@@ -1,0 +1,673 @@
+package graft.compile
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.spec._
+
+/** A compiled subschema: a fail-fast boolean `pass` Column plus an ordered
+  * `violations` Column of `array<struct<json_pointer,description,kind>>`.
+  *
+  * This is the Spark analog of the reference's two evaluation modes
+  * (valijson `subschema.hpp:153-187`): `pass` is the short-circuiting
+  * fail-fast conjunction (`applyStrict`), `violations` the exhaustive
+  * error-accumulating pass (`apply` with a ValidationResults sink). Both are
+  * pure Catalyst expression trees — the whole constraint tree is flattened
+  * at plan time and executed by whole-stage codegen, one row at a time, with
+  * no shuffle (the analog of the reference's single-threaded tree walk,
+  * `validation_visitor.hpp:105-134`, but vectorized and distributed).
+  */
+final case class Compiled(pass: Column, violations: Column)
+
+/** Compile options mirroring `valijson::Validator` modes
+  * (`validator.hpp:22-26`: kStrongTypes/kWeakTypes;
+  * `validation_visitor.hpp` m_strictDateTime). Strong typing is the natural
+  * mode for typed Spark columns; weak mode is reserved (round-2). */
+final case class CompileOptions(strictTypes: Boolean = true,
+                                strictDateTime: Boolean = false)
+
+/** ConstraintSpec → Catalyst compiler.
+  *
+  * The "document" is a Spark value: the top-level row (treated as a JSON
+  * object whose properties are the columns), nested `StructType`s (closed
+  * objects), `MapType(String, _)` (open objects), `ArrayType`s, and scalar
+  * columns. Strong-typing applicability rules follow the reference: a
+  * constraint that targets a type the value cannot be passes silently
+  * (e.g. `minLength` on a number — `validation_visitor.hpp:808-812`).
+  *
+  * Flat-row convention: a NULL column/struct-field is an *absent* property
+  * (required fails; the property subschema is skipped), while a NULL array
+  * element is a JSON `null` value. This matches how fixed-schema tables
+  * encode optionality.
+  */
+object Compiler {
+
+  val violationStructType: StructType = StructType(Seq(
+    StructField("json_pointer", StringType),
+    StructField("description", StringType),
+    StructField("kind", StringType)))
+  val violationArrayType: ArrayType = ArrayType(violationStructType, containsNull = true)
+
+  private val emptyViols: Column = array().cast(violationArrayType)
+
+  private def viol(ptr: Column, desc: Column, kind: String): Column =
+    array(struct(ptr.as("json_pointer"), desc.as("description"), lit(kind).as("kind"))).cast(violationArrayType)
+
+  private def b(c: Column): Column = coalesce(c, lit(false))
+
+  /** Single leaf check → Compiled. `ok` must already be null-safe. */
+  private def leaf(ok: Column, ptr: Column, desc: Column, kind: String): Compiled =
+    Compiled(ok, when(ok, emptyViols).otherwise(viol(ptr, desc, kind)))
+
+  private val alwaysTrue = Compiled(lit(true), emptyViols)
+
+  private def combine(cs: Seq[Compiled]): Compiled = cs match {
+    case Seq()  => alwaysTrue
+    case Seq(c) => c
+    case many   => Compiled(many.map(_.pass).reduce(_ && _),
+                            concat(many.map(_.violations): _*))
+  }
+
+  /** JSON-type view of a Spark type (SURVEY.md §1.1 table). Timestamps and
+    * dates present as RFC3339 strings in the JSON view. */
+  private def jsonTypeOf(dt: DataType): JsonType.Value = dt match {
+    case StringType | _: CharType | _: VarcharType    => JsonType.JString
+    case ByteType | ShortType | IntegerType | LongType => JsonType.JInteger
+    case FloatType | DoubleType | _: DecimalType       => JsonType.JNumber
+    case BooleanType                                   => JsonType.JBoolean
+    case NullType                                      => JsonType.JNull
+    case _: ArrayType                                  => JsonType.JArray
+    case _: StructType | _: MapType                    => JsonType.JObject
+    case TimestampType | DateType | TimestampNTZType   => JsonType.JString
+    case other => throw new IllegalArgumentException(s"unsupported Spark type for validation: $other")
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
+  }
+  private def isStringLike(dt: DataType): Boolean = dt match {
+    case StringType | _: CharType | _: VarcharType => true
+    case _                                         => false
+  }
+
+  // ---------------------------------------------------------------------
+  // Entry points
+  // ---------------------------------------------------------------------
+
+  /** Compile a spec against a whole row of `schema` — the row is the
+    * document, columns are its properties. Shuffle-free: one projection. */
+  def compileRow(spec: SchemaSpec, schema: StructType,
+                 opts: CompileOptions = CompileOptions()): Compiled = {
+    val rowStruct = struct(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // Catalyst's SimplifyExtractValueOps collapses GetStructField(CreateStruct)
+    // back to the raw column references, so this costs nothing at runtime.
+    compile(spec, rowStruct, schema, lit(""), opts)
+  }
+
+  /** Compile a spec against a single typed value. */
+  def compile(spec: SchemaSpec, value: Column, dt: DataType, ptr: Column,
+              opts: CompileOptions = CompileOptions()): Compiled = spec match {
+    case TrueSchema  => alwaysTrue
+    case FalseSchema =>
+      // Boolean-false schema: alwaysInvalid (subschema.hpp:189-192; the
+      // visitor reports it via its generic failure path).
+      Compiled(lit(false), viol(ptr, lit("Failed to validate against boolean-false schema."), "false"))
+    case ConstraintSchema(cs, _, _) =>
+      combine(cs.map(c => compileConstraint(c, value, dt, ptr, opts)))
+  }
+
+  /** Compile a property-site subschema: NULL value = absent ⇒ subschema is
+    * not evaluated (the reference never visits a property that is missing). */
+  private def compileAtProperty(spec: SchemaSpec, value: Column, dt: DataType,
+                                ptr: Column, opts: CompileOptions): Compiled = {
+    val c = compile(spec, value, dt, ptr, opts)
+    Compiled(value.isNull || c.pass, when(value.isNull, emptyViols).otherwise(c.violations))
+  }
+
+  // ---------------------------------------------------------------------
+  // Constraint dispatch
+  // ---------------------------------------------------------------------
+
+  private def compileConstraint(c: Constraint, value: Column, dt: DataType,
+                                ptr: Column, opts: CompileOptions): Compiled = c match {
+
+    // ---- §2.1 leaves ----------------------------------------------------
+
+    case TypeC(types, schemas) =>
+      val staticOk: Boolean = {
+        val jt = jsonTypeOf(dt)
+        types.contains(JsonType.JAny) || types.contains(jt) ||
+          (jt == JsonType.JInteger && types.contains(JsonType.JNumber))
+      }
+      val dynOk: Column =
+        if (staticOk) lit(true)
+        else if (dt == DoubleType || dt == FloatType || dt.isInstanceOf[DecimalType]) {
+          if (types.contains(JsonType.JInteger)) {
+            // Exact-integer doubles count as integers even in strict mode
+            // (validation_visitor.hpp:30-48 isDoubleAnInteger).
+            val d = value.cast(DoubleType)
+            d === floor(d) && d >= lit(Long.MinValue.toDouble) && d <= lit(Long.MaxValue.toDouble)
+          } else lit(false)
+        } else lit(false)
+      val schemaOk: Column = schemas.map(s => compile(s, value, dt, ptr, opts).pass)
+        .foldLeft(dynOk)(_ || _)
+      // NULL element = JSON null; NULL at a property site is filtered by
+      // compileAtProperty before we get here.
+      val ok = when(value.isNull, lit(types.contains(JsonType.JNull) || types.contains(JsonType.JAny)))
+        .otherwise(b(schemaOk))
+      leaf(ok, ptr, lit(Messages.typeNotPermitted), "type")
+
+    case EnumC(values) =>
+      val ok = value.isNull.or(enumMatch(value, dt, values))
+      leaf(ok, ptr, lit(Messages.enumNoMatch), "enum")
+
+    case ConstC(v) =>
+      val ok = value.isNull.or(enumMatch(value, dt, Vector(v)))
+      leaf(ok, ptr, lit(Messages.constNoMatch), "const")
+
+    case MinimumC(m, excl) =>
+      if (!isNumeric(dt)) alwaysTrue
+      else {
+        val ok = value.isNull || (if (excl) value > lit(m) else value >= lit(m))
+        leaf(b(ok), ptr, lit(if (excl) Messages.minimumExcl(m) else Messages.minimumIncl(m)), "minimum")
+      }
+
+    case MaximumC(m, excl) =>
+      if (!isNumeric(dt)) alwaysTrue
+      else {
+        val ok = value.isNull || (if (excl) value < lit(m) else value <= lit(m))
+        leaf(b(ok), ptr, lit(if (excl) Messages.maximumExcl(m) else Messages.maximumIncl(m)), "maximum")
+      }
+
+    case MultipleOfIntC(d) =>
+      if (!isNumeric(dt)) alwaysTrue
+      else {
+        val ok: Column =
+          if (isIntegral(dt)) value === 0 || value % lit(d) === 0
+          else {
+            // Double target, integer divisor (validation_visitor.hpp:934-984):
+            // out-of-int64-range doubles via IEEE remainder, in-range via
+            // C++-style truncating cast then integer modulo.
+            val dv = value.cast(DoubleType)
+            val outOfRange = dv < lit(Long.MinValue.toDouble) || dv > lit(Long.MaxValue.toDouble)
+            val rem = dv - bround(dv / lit(d.toDouble)) * lit(d.toDouble) // IEEE remainder: round-half-even quotient
+            val i = dv.cast(LongType)
+            when(outOfRange, abs(rem) <= lit(2.220446049250313e-16))
+              .otherwise(i === 0 || i % lit(d) === 0)
+          }
+        leaf(b(value.isNull || ok), ptr, lit(Messages.multipleOfInt(d)), "multipleOf")
+      }
+
+    case MultipleOfDoubleC(d) =>
+      if (!isNumeric(dt)) alwaysTrue
+      else if (d == 0.0) leaf(b(value.isNull || value.cast(DoubleType) === 0.0), ptr,
+                              lit(Messages.multipleOfDouble(d)), "multipleOf")
+      else {
+        // Relative-epsilon tolerance, ported exactly from
+        // validation_visitor.hpp:898-925.
+        val x = value.cast(DoubleType)
+        val q = x / lit(d)
+        val finite = !isnan(q) && abs(q) <= lit(Double.MaxValue)
+        val rounded = round(q, 0) // HALF_UP = away-from-zero, same as std::round
+        val diff = abs(q - rounded)
+        val tol = greatest(abs(q), lit(1.0)) * lit(2.220446049250313e-16)
+        val ok = value.isNull || x === 0.0 || (finite && diff <= tol)
+        leaf(b(ok), ptr, lit(Messages.multipleOfDouble(d)), "multipleOf")
+      }
+
+    case PatternC(p) =>
+      if (!isStringLike(dt)) alwaysTrue
+      else leaf(b(value.isNull || value.rlike(p)), ptr, lit(Messages.patternNoMatch), "pattern")
+
+    case MinLengthC(n) =>
+      if (!isStringLike(dt)) alwaysTrue
+      // Spark length() counts Unicode code points — same as u8_strlen
+      // (utils/utf8_utils.hpp:25-55).
+      else leaf(b(value.isNull || length(value) >= lit(n)), ptr, lit(Messages.minLength(n)), "minLength")
+
+    case MaxLengthC(n) =>
+      if (!isStringLike(dt)) alwaysTrue
+      else leaf(b(value.isNull || length(value) <= lit(n)), ptr, lit(Messages.maxLength(n)), "maxLength")
+
+    case FormatC(fmt) => compileFormat(fmt, value, dt, ptr, opts)
+
+    // ---- §2.2 object ------------------------------------------------------
+
+    case RequiredC(props) => dt match {
+      case st: StructType =>
+        combine(props.map { p =>
+          val present = if (st.fieldNames.contains(p)) value.getField(p).isNotNull else lit(false)
+          leaf(present, ptr, lit(Messages.missingRequired(p)), "required")
+        })
+      case MapType(_, _, _) =>
+        combine(props.map { p =>
+          leaf(b(value.isNull || map_contains_key(value, p)), ptr, lit(Messages.missingRequired(p)), "required")
+        })
+      case _ => alwaysTrue // non-objects pass
+    }
+
+    case pc: PropertiesC => compileProperties(pc, value, dt, ptr, opts)
+
+    case MinPropertiesC(n) => objectSize(value, dt) match {
+      case Some(sz) => leaf(b(value.isNull || sz >= lit(n)), ptr, lit(Messages.minProperties(n)), "minProperties")
+      case None     => alwaysTrue
+    }
+    case MaxPropertiesC(n) => objectSize(value, dt) match {
+      case Some(sz) => leaf(b(value.isNull || sz <= lit(n)), ptr, lit(Messages.maxProperties(n)), "maxProperties")
+      case None     => alwaysTrue
+    }
+
+    case PropertyNamesC(s) => dt match {
+      case st: StructType =>
+        // Closed object: key set is static — evaluate each field name as a
+        // string value at plan time (the reference routes names through
+        // StdStringAdapter, validation_visitor.hpp:1213-1230).
+        combine(st.fieldNames.toSeq.map { name =>
+          val c = compile(s, lit(name), StringType, ptr, opts)
+          Compiled(value.isNull || !value.getField(name).isNotNull || c.pass,
+                   when(value.isNull || value.getField(name).isNull, emptyViols).otherwise(c.violations))
+        })
+      case MapType(_, _, _) =>
+        val ok = value.isNull || forall(map_keys(value),
+          k => compile(s, k, StringType, ptr, opts).pass)
+        leaf(b(ok), ptr, lit("Failed to validate against 'propertyNames' constraint."), "propertyNames")
+      case _ => alwaysTrue
+    }
+
+    case DependenciesC(propDeps, schemaDeps) => dt match {
+      case st: StructType =>
+        def present(p: String): Column =
+          if (st.fieldNames.contains(p)) value.getField(p).isNotNull else lit(false)
+        val pd = propDeps.flatMap { case (p, deps) =>
+          deps.map { q =>
+            leaf(b(!present(p) || present(q)), ptr, lit(Messages.missingDependency(q)), "dependencies")
+          }
+        }
+        val sd = schemaDeps.map { case (p, s) =>
+          val c = compile(s, value, dt, ptr, opts)
+          Compiled(!present(p) || c.pass,
+            when(present(p) && !c.pass,
+                 concat(c.violations, viol(ptr, lit(Messages.dependentSchemaFail), "dependencies")))
+              .otherwise(emptyViols))
+        }
+        combine(pd ++ sd)
+      case MapType(_, _, _) =>
+        def present(p: String): Column = b(map_contains_key(value, p))
+        val pd = propDeps.flatMap { case (p, deps) =>
+          deps.map { q =>
+            leaf(b(value.isNull || !present(p) || present(q)), ptr,
+                 lit(Messages.missingDependency(q)), "dependencies")
+          }
+        }
+        val sd = schemaDeps.map { case (p, s) =>
+          val c = compile(s, value, dt, ptr, opts)
+          Compiled(b(value.isNull || !present(p) || c.pass),
+            when(value.isNotNull && present(p) && !c.pass,
+                 concat(c.violations, viol(ptr, lit(Messages.dependentSchemaFail), "dependencies")))
+              .otherwise(emptyViols))
+        }
+        combine(pd ++ sd)
+      case _ => alwaysTrue
+    }
+
+    // ---- §2.3 arrays --------------------------------------------------------
+
+    case ItemsC(s) => dt match {
+      case ArrayType(et, _) =>
+        // items (singular): child visitor per element with extended path;
+        // wrapper "Failed to validate item #N in array." at the PARENT path
+        // (validation_visitor.hpp:1288-1301).
+        val itemViols = flatten(transform(value, (x, i) => {
+          val childPtr = concat(ptr, lit("/"), i.cast(StringType))
+          val ch = compile(s, x, et, childPtr, opts)
+          when(ch.pass, emptyViols).otherwise(concat(ch.violations,
+            viol(ptr, concat(lit("Failed to validate item #"), i.cast(StringType), lit(" in array.")), "items")))
+        }))
+        val ok = value.isNull || forall(value, x => b(compile(s, x, et, ptr, opts).pass))
+        Compiled(b(ok), when(value.isNull, emptyViols).otherwise(itemViols))
+      case _ => alwaysTrue
+    }
+
+    case TupleItemsC(items, additional) => dt match {
+      case ArrayType(et, _) =>
+        // LinearItemsConstraint (validation_visitor.hpp:531-621).
+        val n = items.length
+        // "Array contains more items than allowed by items constraint." fires
+        // FIRST when there is no additionalItems subschema (VV:556-562).
+        val overflowC: Compiled = additional match {
+          case None =>
+            leaf(b(value.isNull || size(value) <= lit(n)), ptr, lit(Messages.tooManyItems), "items")
+          case Some(_) => alwaysTrue
+        }
+        val perItem = flatten(transform(value, (x, i) => {
+          val childPtr = concat(ptr, lit("/"), i.cast(StringType))
+          val branches = items.zipWithIndex.map { case (s, idx) =>
+            val ch = compile(s, x, et, childPtr, opts)
+            (lit(idx) === i, when(ch.pass, emptyViols).otherwise(concat(ch.violations,
+              viol(childPtr, concat(lit("Failed to validate item #"), i.cast(StringType),
+                lit(" against corresponding item schema.")), "items"))))
+          }
+          val extra: Column = additional match {
+            case Some(s) =>
+              val ch = compile(s, x, et, childPtr, opts)
+              when(ch.pass, emptyViols).otherwise(concat(ch.violations,
+                viol(ptr, concat(lit("Failed to validate item #"), i.cast(StringType),
+                  lit(" against additional items schema.")), "items")))
+            case None => emptyViols
+          }
+          branches.foldRight(extra) { case ((cond, v), rest) => when(cond, v).otherwise(rest) }
+        }))
+        val itemPassFlags = transform(value, (x, i) => {
+          val branches = items.zipWithIndex.map { case (s, idx) =>
+            (lit(idx) === i, b(compile(s, x, et, ptr, opts).pass))
+          }
+          val extra: Column = additional match {
+            case Some(s) => b(compile(s, x, et, ptr, opts).pass)
+            case None    => lit(true) // overflow handled by overflowC
+          }
+          branches.foldRight(extra) { case ((cond, v), rest) => when(cond, v).otherwise(rest) }
+        })
+        val itemPass = forall(itemPassFlags, p => p)
+        val inner = Compiled(b(value.isNull || itemPass),
+                             when(value.isNull, emptyViols).otherwise(perItem))
+        combine(Seq(overflowC, inner))
+      case _ => alwaysTrue
+    }
+
+    case MinItemsC(n) => dt match {
+      case _: ArrayType => leaf(b(value.isNull || size(value) >= lit(n)), ptr, lit(Messages.minItems(n)), "minItems")
+      case _            => alwaysTrue
+    }
+    case MaxItemsC(n) => dt match {
+      case _: ArrayType => leaf(b(value.isNull || size(value) <= lit(n)), ptr, lit(Messages.maxItems(n)), "maxItems")
+      case _            => alwaysTrue
+    }
+
+    case UniqueItemsC => dt match {
+      case _: ArrayType =>
+        // Pairwise deep-equality (validation_visitor.hpp:1362-1399) — O(n²)
+        // like the reference, but only within one row's array.
+        val pairViols = flatten(transform(value, (x, i) =>
+          filter(transform(value, (y, j) =>
+            when(j > i && (x <=> y),
+              struct(ptr.as("json_pointer"),
+                concat(lit("Elements at indexes #"), i.cast(StringType), lit(" and #"),
+                  j.cast(StringType), lit(" violate uniqueness constraint.")).as("description"),
+                lit("uniqueItems").as("kind"))).otherwise(lit(null).cast(violationStructType))),
+            v => v.isNotNull)))
+        val ok = value.isNull || size(value) === size(array_distinct(value))
+        Compiled(b(ok), when(value.isNull, emptyViols).otherwise(pairViols.cast(violationArrayType)))
+      case _ => alwaysTrue
+    }
+
+    case ContainsC(s) => dt match {
+      case ArrayType(et, _) =>
+        val ok = value.isNull || exists(value, x => b(compile(s, x, et, ptr, opts).pass))
+        leaf(b(ok), ptr, lit(Messages.containsFail), "contains")
+      case _ => alwaysTrue
+    }
+
+    // ---- §2.4 combinators ---------------------------------------------------
+
+    case AllOfC(schemas) =>
+      combine(schemas.zipWithIndex.map { case (s, i) =>
+        val ch = compile(s, value, dt, ptr, opts)
+        Compiled(ch.pass, when(ch.pass, emptyViols).otherwise(
+          concat(ch.violations, viol(ptr, lit(Messages.allOfChildFail(i)), "allOf"))))
+      })
+
+    case AnyOfC(schemas) =>
+      val children = schemas.map(s => compile(s, value, dt, ptr, opts))
+      val pass = children.map(_.pass).reduceOption(_ || _).getOrElse(lit(false))
+      Compiled(b(pass), when(b(pass), emptyViols).otherwise(
+        concat(children.map(_.violations) :+ viol(ptr, lit(Messages.anyOfFail), "anyOf"): _*)))
+
+    case OneOfC(schemas) =>
+      val children = schemas.map(s => compile(s, value, dt, ptr, opts))
+      val numValid = children.map(c => b(c.pass).cast(IntegerType)).reduceOption(_ + _).getOrElse(lit(0))
+      val pass = numValid === 1
+      val noneViols = concat(children.map(_.violations) :+ viol(ptr, lit(Messages.oneOfNone), "oneOf"): _*)
+      Compiled(pass, when(pass, emptyViols)
+        .when(numValid === 0, noneViols)
+        .otherwise(viol(ptr, lit(Messages.oneOfTooMany), "oneOf")))
+
+    case NotC(s) =>
+      val ch = compile(s, value, dt, ptr, opts)
+      leaf(!b(ch.pass), ptr, lit(Messages.notFail), "not")
+
+    case CondC(ifS, thenS, elseS) =>
+      val ifPass = b(compile(ifS, value, dt, ptr, opts).pass)
+      val thenC = thenS.map(compile(_, value, dt, ptr, opts)).getOrElse(alwaysTrue)
+      val elseC = elseS.map(compile(_, value, dt, ptr, opts)).getOrElse(alwaysTrue)
+      val pass = when(ifPass, thenC.pass).otherwise(elseC.pass)
+      val branchViols = when(ifPass, thenC.violations).otherwise(elseC.violations)
+      Compiled(b(pass), when(b(pass), emptyViols).otherwise(
+        concat(branchViols, viol(ptr, lit(Messages.conditionalFail), "conditional"))))
+
+    case CustomC(name, pred, message) =>
+      leaf(b(value.isNull || pred(value)), ptr, lit(message), s"custom:$name")
+  }
+
+  // ---------------------------------------------------------------------
+  // properties / patternProperties / additionalProperties
+  // ---------------------------------------------------------------------
+
+  private def compileProperties(pc: PropertiesC, value: Column, dt: DataType,
+                                ptr: Column, opts: CompileOptions): Compiled = dt match {
+    case st: StructType =>
+      val fieldNames = st.fieldNames.toSeq
+      val named = pc.properties.filter { case (n, _) => fieldNames.contains(n) }
+      val namedChecks = named.map { case (n, s) =>
+        val f = st(st.fieldIndex(n))
+        val childPtr = concat(ptr, lit("/" + Messages.escapePointerSegment(n)))
+        val ch = compileAtProperty(s, value.getField(n), f.dataType, childPtr, opts)
+        Compiled(ch.pass, when(ch.pass, emptyViols).otherwise(
+          concat(ch.violations, viol(ptr, lit(Messages.propertySchemaFail(n)), "properties"))))
+      }
+      // patternProperties: static key set ⇒ match patterns against field
+      // names on the driver (regex *search* semantics, like the reference).
+      val patChecks = pc.patternProperties.flatMap { case (pat, s) =>
+        val re = java.util.regex.Pattern.compile(pat)
+        fieldNames.filter(n => re.matcher(n).find()).map { n =>
+          val f = st(st.fieldIndex(n))
+          val childPtr = concat(ptr, lit("/" + Messages.escapePointerSegment(n)))
+          val ch = compileAtProperty(s, value.getField(n), f.dataType, childPtr, opts)
+          Compiled(ch.pass, when(ch.pass, emptyViols).otherwise(
+            concat(ch.violations, viol(ptr, lit(Messages.patternPropertySchemaFail(pat)), "patternProperties"))))
+        }
+      }
+      // additionalProperties over leftover (present) fields. None = boolean
+      // false schema ⇒ any present unmatched property is rejected with the
+      // reference's "Object contains a property…" message (VV:1160-1177).
+      val matchedNames = (named.map(_._1) ++ pc.patternProperties.flatMap { case (pat, _) =>
+        val re = java.util.regex.Pattern.compile(pat)
+        fieldNames.filter(n => re.matcher(n).find())
+      }).toSet
+      val leftover = fieldNames.filterNot(matchedNames)
+      val addChecks = pc.additional match {
+        case Some(TrueSchema) => Nil
+        case Some(s) => leftover.map { n =>
+          val f = st(st.fieldIndex(n))
+          val childPtr = concat(ptr, lit("/" + Messages.escapePointerSegment(n)))
+          val ch = compileAtProperty(s, value.getField(n), f.dataType, childPtr, opts)
+          Compiled(ch.pass, when(ch.pass, emptyViols).otherwise(
+            concat(ch.violations, viol(ptr, lit(Messages.additionalPropertiesSchemaFail), "additionalProperties"))))
+        }
+        case None => leftover.map { n =>
+          leaf(value.getField(n).isNull, ptr, lit(Messages.unexpectedProperty(n)), "additionalProperties")
+        }
+      }
+      combine(namedChecks ++ patChecks ++ addChecks)
+
+    case MapType(_, vdt, _) =>
+      // Open object: dynamic keys via higher-order map functions.
+      val namedChecks = pc.properties.map { case (n, s) =>
+        val childPtr = concat(ptr, lit("/" + Messages.escapePointerSegment(n)))
+        val v = element_at(value, n)
+        val ch = compile(s, v, vdt, childPtr, opts)
+        val guarded = !b(map_contains_key(value, n)) || ch.pass
+        Compiled(b(value.isNull || guarded),
+          when(value.isNull || !b(map_contains_key(value, n)) || ch.pass, emptyViols)
+            .otherwise(concat(ch.violations, viol(ptr, lit(Messages.propertySchemaFail(n)), "properties"))))
+      }
+      val patChecks = pc.patternProperties.map { case (pat, s) =>
+        val ok = value.isNull || forall(map_entries(value), e =>
+          !b(e.getField("key").rlike(pat)) ||
+            b(compile(s, e.getField("value"), vdt, ptr, opts).pass))
+        leaf(b(ok), ptr, lit(Messages.patternPropertySchemaFail(pat)), "patternProperties")
+      }
+      val namedKeys = pc.properties.map(_._1)
+      def isLeftover(k: Column): Column = {
+        val notNamed = if (namedKeys.isEmpty) lit(true) else !k.isin(namedKeys: _*)
+        val notPattern = pc.patternProperties.map { case (pat, _) => !b(k.rlike(pat)) }
+          .foldLeft(lit(true))(_ && _)
+        notNamed && notPattern
+      }
+      val addChecks = pc.additional match {
+        case Some(TrueSchema) => Nil
+        case Some(s) => Seq({
+          val ok = value.isNull || forall(map_entries(value), e =>
+            !isLeftover(e.getField("key")) ||
+              b(compile(s, e.getField("value"), vdt, ptr, opts).pass))
+          leaf(b(ok), ptr, lit(Messages.additionalPropertiesSchemaFail), "additionalProperties")
+        })
+        case None => Seq({
+          val firstUnwanted = array_compact(transform(map_entries(value),
+            e => when(isLeftover(e.getField("key")), e.getField("key"))))
+          val ok = value.isNull || size(firstUnwanted) === 0
+          Compiled(b(ok), when(b(ok), emptyViols).otherwise(viol(ptr,
+            concat(lit("Object contains a property that could not be validated using 'properties' " +
+              "or 'additionalProperties' constraints: '"), element_at(firstUnwanted, 1), lit("'.")),
+            "additionalProperties")))
+        })
+      }
+      combine(namedChecks ++ patChecks ++ addChecks)
+
+    case _ => alwaysTrue
+  }
+
+  private def objectSize(value: Column, dt: DataType): Option[Column] = dt match {
+    case st: StructType =>
+      // Closed object: count of present (non-null) fields.
+      Some(st.fieldNames.map(n => when(value.getField(n).isNotNull, 1).otherwise(0))
+        .reduceOption(_ + _).getOrElse(lit(0)))
+    case MapType(_, _, _) => Some(size(value))
+    case _                => None
+  }
+
+  // ---------------------------------------------------------------------
+  // format (RFC3339 incl. Gregorian day-range + leap-second rules,
+  // validation_visitor.hpp:388-513, 2024-2080)
+  // ---------------------------------------------------------------------
+
+  private val dateRe = "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])$"
+  private def timeRe(strict: Boolean) =
+    if (strict) "^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])|([\\+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$"
+    else        "^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])?|([\\+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$"
+  private def dateTimeRe(strict: Boolean) =
+    if (strict) "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])[Tt]([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])|([\\+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$"
+    else        "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])[Tt]([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])?|([\\+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$"
+  private val ipv4Re = "^(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"
+
+  /** Gregorian day-in-month check (validate_date_range, VV:2024-2052). */
+  private def dateRangeOk(y: Column, m: Column, d: Column): Column = {
+    val leap = y % 4 === 0 && (y % 100 =!= 0 || y % 400 === 0)
+    val limit = when(m === 2, when(leap, 29).otherwise(28))
+      .when(m <= 7, when(m % 2 === 0, 30).otherwise(31))
+      .otherwise(when(m % 2 =!= 0, 30).otherwise(31))
+    d >= 1 && d <= limit
+  }
+
+  /** Leap-second rule (validate_leap_second, VV:2055-2080): :60 only at
+    * 23:59 UTC after applying the numeric offset. */
+  private def leapSecondOk(h: Column, mi: Column, offsetMin: Column): Column = {
+    val localMin = h * 60 + mi
+    val utc = ((localMin - offsetMin) % 1440 + 1440) % 1440
+    utc === 1439
+  }
+
+  private def grp(s: Column, re: String, i: Int): Column =
+    nullif(regexp_extract(s, re, i), lit("")).cast(IntegerType) // unmatched group → NULL (ANSI-safe)
+
+  private def offsetMinutes(s: Column, re: String, signG: Int, hG: Int, mG: Int): Column = {
+    val sign = when(regexp_extract(s, re, signG) === "-", -1).otherwise(1)
+    val oh = coalesce(grp(s, re, hG), lit(0))
+    val om = coalesce(grp(s, re, mG), lit(0))
+    sign * (oh * 60 + om)
+  }
+
+  private def compileFormat(fmt: String, value: Column, dt: DataType, ptr: Column,
+                            opts: CompileOptions): Compiled = {
+    // Non-strings pass (VV:405-408). A native timestamp column is by
+    // construction a valid RFC3339 instant, so date-time/date/time pass.
+    if (dt == TimestampType || dt == DateType || dt == TimestampNTZType) return alwaysTrue
+    if (!isStringLike(dt)) return alwaysTrue
+    val s = value
+    fmt match {
+      case "date" =>
+        val ok = s.isNull || (s.rlike(dateRe) &&
+          dateRangeOk(grp(s, dateRe, 1), grp(s, dateRe, 2), grp(s, dateRe, 3)))
+        leaf(b(ok), ptr, lit(Messages.badDate), "format")
+      case "time" =>
+        val re = timeRe(opts.strictDateTime)
+        val secOk = grp(s, re, 3) =!= 60 ||
+          leapSecondOk(grp(s, re, 1), grp(s, re, 2), offsetMinutes(s, re, 7, 8, 9))
+        leaf(b(s.isNull || (s.rlike(re) && secOk)), ptr, lit(Messages.badTime), "format")
+      case "date-time" =>
+        val re = dateTimeRe(opts.strictDateTime)
+        val dOk = dateRangeOk(grp(s, re, 1), grp(s, re, 2), grp(s, re, 3))
+        val secOk = grp(s, re, 6) =!= 60 ||
+          leapSecondOk(grp(s, re, 4), grp(s, re, 5), offsetMinutes(s, re, 10, 11, 12))
+        leaf(b(s.isNull || (s.rlike(re) && dOk && secOk)), ptr, lit(Messages.badDateTime), "format")
+      case "ipv4" =>
+        leaf(b(s.isNull || s.rlike(ipv4Re)), ptr, lit(Messages.badIpv4), "format")
+      case _ => alwaysTrue // unknown formats pass (reference behavior)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // enum / const deep equality on typed columns
+  // ---------------------------------------------------------------------
+
+  /** Deep-equality match of a typed column against frozen constants
+    * (`basic_adapter.hpp:509-547`). Constants that cannot inhabit the
+    * column's type never match. */
+  private def enumMatch(value: Column, dt: DataType, values: Vector[JsonValue]): Column = {
+    val lits: Vector[Column] = values.flatMap(v => literalFor(v, dt))
+    if (lits.isEmpty) lit(false)
+    else lits.map(l => value <=> l).reduce(_ || _)
+  }
+
+  /** Build a Catalyst literal of `dt` for a frozen JSON constant, if the
+    * constant can inhabit that type (FrozenValue analog — a Literal
+    * materialized at plan time). */
+  private[graft] def literalFor(v: JsonValue, dt: DataType): Option[Column] = (v, dt) match {
+    case (JStringV(s), t) if isStringLike(t)          => Some(lit(s))
+    case (JLongV(l), t) if isIntegral(t)              => Some(lit(l).cast(t))
+    case (JLongV(l), DoubleType | FloatType)          => Some(lit(l.toDouble).cast(dt))
+    case (JDoubleV(d), t) if isIntegral(t) && d == Math.floor(d) && !d.isInfinite =>
+      Some(lit(d.toLong).cast(t)) // numbers compare as doubles (basic_adapter.hpp:515-516)
+    case (JDoubleV(d), DoubleType | FloatType)        => Some(lit(d).cast(dt))
+    case (JBoolV(x), BooleanType)                     => Some(lit(x))
+    case (JNullV, _)                                  => None // NULL handled by <=> against isNull upstream
+    case (JArrayV(xs), ArrayType(et, _)) =>
+      val elems = xs.map(x => literalFor(x, et))
+      if (elems.forall(_.isDefined)) Some(array(elems.flatten: _*).cast(dt)) else None
+    case (JObjectV(fields), st: StructType) =>
+      val cols = st.fields.toSeq.map { f =>
+        fields.get(f.name) match {
+          case Some(x) => literalFor(x, f.dataType).map(_.as(f.name))
+          case None    => Some(lit(null).cast(f.dataType).as(f.name))
+        }
+      }
+      if (cols.forall(_.isDefined) && fields.keySet.subsetOf(st.fieldNames.toSet))
+        Some(struct(cols.flatten: _*)) else None
+    case _ => None
+  }
+}
