@@ -1,0 +1,102 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift checks (KL divergence / PSI) against baseline
+  * sketches — the north-rule capability with no reference counterpart
+  * (the closest machinery is the reference's mergeable frozen-constant
+  * model; the sketch here is a mergeable per-partition state, realized as a
+  * typed Spark `Aggregator` so Catalyst gives partial+final merge for free).
+  */
+object Drift {
+
+  /** Fixed-width histogram sketch: mergeable, bounded size, deterministic.
+    * Bucket 0 = underflow, bucket n+1 = overflow. */
+  final case class Histogram(lo: Double, hi: Double, counts: Array[Long]) {
+    def n: Int = counts.length - 2
+    def total: Long = counts.sum
+    def probs(smooth: Double = 1e-6): Array[Double] = {
+      val t = total.toDouble.max(1.0)
+      counts.map(c => (c + smooth) / (t + smooth * counts.length))
+    }
+    def merge(o: Histogram): Histogram = {
+      require(o.lo == lo && o.hi == hi && o.counts.length == counts.length)
+      val out = new Array[Long](counts.length)
+      var i = 0
+      while (i < out.length) { out(i) = counts(i) + o.counts(i); i += 1 }
+      Histogram(lo, hi, out)
+    }
+  }
+
+  object Histogram {
+    def empty(lo: Double, hi: Double, n: Int): Histogram =
+      Histogram(lo, hi, new Array[Long](n + 2))
+  }
+
+  /** Typed aggregator building a [[Histogram]] over a Double column.
+    * Partial buffers merge associatively per partition → one shuffle of
+    * O(buckets) state, never of rows. */
+  final class HistogramAgg(lo: Double, hi: Double, n: Int)
+      extends Aggregator[Option[Double], Histogram, Histogram] {
+    override def zero: Histogram = Histogram.empty(lo, hi, n)
+    override def reduce(b: Histogram, x: Option[Double]): Histogram = {
+      x.foreach { v =>
+        val idx =
+          if (v.isNaN) 0
+          else if (v < lo) 0
+          else if (v >= hi) n + 1
+          else 1 + ((v - lo) / (hi - lo) * n).toInt.min(n - 1)
+        b.counts(idx) += 1
+      }
+      b
+    }
+    override def merge(a: Histogram, b: Histogram): Histogram = a.merge(b)
+    override def finish(r: Histogram): Histogram = r
+    override def bufferEncoder: Encoder[Histogram] = Encoders.product[Histogram]
+    override def outputEncoder: Encoder[Histogram] = Encoders.product[Histogram]
+  }
+
+  /** Column-level histogram via pure built-ins (`width_bucket` + groupBy) —
+    * preferred at scale: whole-stage-codegen'd, partial-agg'd, no Encoders.
+    * Returns (bucket, cnt) with bucket ∈ [0, n+1]. */
+  def histogramDF(df: DataFrame, c: Column, lo: Double, hi: Double, n: Int): DataFrame =
+    df.where(c.isNotNull)
+      .groupBy(width_bucket(c.cast("double"), lit(lo), lit(hi), lit(n)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Collect a small (n+2)-bucket histogram to the driver as a sketch. */
+  def sketch(df: DataFrame, c: Column, lo: Double, hi: Double, n: Int): Histogram = {
+    val h = Histogram.empty(lo, hi, n)
+    histogramDF(df, c, lo, hi, n).collect().foreach { r =>
+      val b = r.getLong(0).toInt.max(0).min(n + 1)
+      h.counts(b) += r.getLong(1)
+    }
+    h
+  }
+
+  /** KL(P‖Q) with additive smoothing. */
+  def kl(p: Histogram, q: Histogram): Double = {
+    val pp = p.probs(); val qq = q.probs()
+    pp.zip(qq).map { case (a, b) => if (a <= 0) 0.0 else a * math.log(a / b) }.sum
+  }
+
+  /** Population Stability Index: Σ (p−q)·ln(p/q). Conventional alert
+    * thresholds: <0.1 stable, 0.1-0.25 moderate, >0.25 drifted. */
+  def psi(p: Histogram, q: Histogram): Double = {
+    val pp = p.probs(); val qq = q.probs()
+    pp.zip(qq).map { case (a, b) => (a - b) * math.log(a / b) }.sum
+  }
+
+  final case class DriftVerdict(metric: String, value: Double, threshold: Double) {
+    def pass: Boolean = value <= threshold
+  }
+
+  /** Compare a column's current distribution against a baseline sketch. */
+  def check(df: DataFrame, c: Column, baseline: Histogram,
+            psiThreshold: Double = 0.25): DriftVerdict = {
+    val cur = sketch(df, c, baseline.lo, baseline.hi, baseline.n)
+    DriftVerdict("psi", psi(cur, baseline), psiThreshold)
+  }
+}

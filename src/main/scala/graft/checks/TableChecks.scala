@@ -1,0 +1,114 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-level checks — the capabilities the north rule adds beyond the
+  * reference's single-document validator (SURVEY.md §2.5): uniqueness,
+  * referential integrity, per-partition column statistics. Each is a plain
+  * declarative plan so Catalyst supplies partial aggregation, AQE skew
+  * handling and broadcast planning; nothing is collected to the driver
+  * except final verdict scalars.
+  */
+object TableChecks {
+
+  /** Uniqueness on a key tuple via hash/sort aggregate (the table-scale
+    * recast of `uniqueItems`'s O(n²) pairwise scan,
+    * `validation_visitor.hpp:1362-1399`). Shuffles once on the key columns;
+    * map-side partial count keeps the shuffle small. Returns duplicate keys
+    * with their multiplicities. */
+  def uniqueness(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+
+  /** Referential check of `column` against a small vocabulary table —
+    * broadcast hash left-anti join (violations = values with no match).
+    * The table-scale recast of enum-vocabulary membership
+    * (`concrete_constraints.hpp:354-430`). `vocab` must be small (it is
+    * broadcast); NULLs in `column` are not violations (absent property). */
+  def referential(df: DataFrame, column: String, vocab: DataFrame,
+                  vocabCol: String): DataFrame =
+    df.where(col(column).isNotNull)
+      .join(broadcast(vocab.select(col(vocabCol).as(column)).distinct()),
+            Seq(column), "left_anti")
+
+  /** Same, against an in-memory vocabulary (compiles to a literal IN list —
+    * no join at all). */
+  def referentialStatic(df: DataFrame, column: String, vocab: Seq[String]): DataFrame =
+    df.where(col(column).isNotNull && !col(column).isin(vocab: _*))
+
+  /** Per-group column statistics in ONE aggregation pass: null rate,
+    * min/max, HLL distinct sketch, and (numeric) approximate quantiles.
+    * `groupCols` empty → global. Partial+final agg is automatic; HLL and
+    * percentile_approx buffers merge associatively, so this scales to
+    * arbitrarily many partitions without a second shuffle. */
+  def stats(df: DataFrame, groupCols: Seq[String], dataCols: Seq[String]): DataFrame = {
+    val schema = df.schema
+    val aggs: Seq[Column] = dataCols.flatMap { c =>
+      val dt = schema(c).dataType
+      val base = Seq(
+        count(lit(1)).as(s"${c}_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        approx_count_distinct(col(c)).as(s"${c}_approx_distinct"))
+      val ordered = dt match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+              percentile_approx(col(c), lit(Array(0.5, 0.95, 0.99)), lit(10000)).as(s"${c}_quantiles"))
+        case org.apache.spark.sql.types.StringType =>
+          Seq(min(length(col(c))).as(s"${c}_minlen"), max(length(col(c))).as(s"${c}_maxlen"))
+        case org.apache.spark.sql.types.TimestampType =>
+          Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+        case _ => Nil
+      }
+      base ++ ordered
+    }
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Salted two-phase count for heavily skewed group keys (long
+    * conversations): phase 1 aggregates (key, salt) partial counts, phase 2
+    * merges per key. Use when a plain groupBy(key) would put one hot key's
+    * entire weight on a single reducer. */
+  def countBySkewedKey(df: DataFrame, key: String, salts: Int = 16): DataFrame = {
+    // Deterministic salt from the input split id: a hot key's rows live in
+    // many splits, so phase 1 spreads them across `salts` reducers.
+    df.groupBy(col(key), pmod(spark_partition_id(), lit(salts)).as("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as("cnt"))
+  }
+
+  /** Conversation-level checks (group-level recasts of array constraints,
+    * SURVEY.md §2.3): turns-per-conversation bounds, dense turn indexing,
+    * per-conversation ts monotonicity — one shuffle on conv_id for all of
+    * them. Returns one row per failing conversation with boolean flags. */
+  def conversationChecks(df: DataFrame, minTurns: Long = 1, maxTurns: Long = 4096): DataFrame = {
+    df.groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        countDistinct(col("turn_idx")).as("n_distinct_idx"),
+        min(col("turn_idx")).as("min_idx"),
+        max(col("turn_idx")).as("max_idx"),
+        // monotone ts in turn order: max over turns of (ts < ts of previous)
+        // computed as: sorted-by-idx ts array is non-decreasing
+        sum(when(col("ts").isNull, 1).otherwise(0)).as("null_ts"))
+      .withColumn("size_ok", col("n_turns") >= minTurns && col("n_turns") <= maxTurns)
+      .withColumn("dense_ok",
+        col("n_distinct_idx") === col("n_turns") &&
+          col("min_idx") === 0 && col("max_idx") === col("n_turns") - 1)
+      .where(!col("size_ok") || !col("dense_ok"))
+  }
+
+  /** Per-conversation ts monotonicity via a window over (conv_id, turn_idx)
+    * — shuffles once on conv_id, sorts within partitions. Returns violating
+    * turns. */
+  def monotoneTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    df.withColumn("_prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("_prev_ts").isNotNull && col("ts") < col("_prev_ts"))
+      .drop("_prev_ts")
+  }
+}

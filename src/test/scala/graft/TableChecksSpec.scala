@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{length => fn_length}
+
+import graft.checks.{Drift, TableChecks}
+import graft.data.TranscriptGen
+import graft.run.Runner
+import graft.spec.SpecParser
+
+/** Table-level checks + runner over the deterministic synthetic transcript
+  * table (FIXTURES.md §4): injected violation rates are pure functions of
+  * (conv, turn), so expectations are computable independently. */
+class TableChecksSpec extends SparkTestBase {
+
+  lazy val turns = TranscriptGen.turns(spark, numConvs = 2000, parts = 8, numParts = 16).cache()
+  lazy val spec = SpecParser.parse(TranscriptGen.transcriptSchemaJson)
+
+  test("generator is deterministic across parallelism levels") {
+    val a = TranscriptGen.turns(spark, 500, parts = 2, numParts = 8)
+    val b = TranscriptGen.turns(spark, 500, parts = 7, numParts = 8)
+    a.count() shouldBe b.count()
+    a.exceptAll(b).count() shouldBe 0L
+    b.exceptAll(a).count() shouldBe 0L
+  }
+
+  test("generator injects skewed conversations") {
+    val sizes = turns.groupBy("conv_id").count()
+    sizes.where(col("count") >= 2000).count() should be >= 1L
+    sizes.where(col("count") <= 9).count() should be > 1000L
+  }
+
+  test("uniqueness check finds exactly the injected duplicates") {
+    val dups = TableChecks.uniqueness(turns, Seq("conv_id", "turn_idx"))
+    val expected = turns.groupBy("conv_id", "turn_idx").count()
+      .where(col("count") > 1).count()
+    dups.count() shouldBe expected
+    expected should be > 0L
+  }
+
+  test("referential check: static vocab and broadcast anti-join agree") {
+    import spark.implicits._
+    val vocabDf = TranscriptGen.toolVocab.toDF("tool_name")
+    val viaJoin = TableChecks.referential(turns, "tool", vocabDf, "tool_name").count()
+    val viaStatic = TableChecks.referentialStatic(turns, "tool", TranscriptGen.toolVocab).count()
+    viaJoin shouldBe viaStatic
+    viaJoin should be > 0L // injected "tool_zz"
+  }
+
+  test("stats: null rates, HLL distinct, quantiles in one pass") {
+    val s = TableChecks.stats(turns, Seq("part_id"), Seq("role", "text", "turn_idx")).collect()
+    s.length shouldBe 16
+    val row = s.head
+    row.getAs[Long]("role_nulls") shouldBe 0L
+    row.getAs[Long]("text_rows") should be > 0L
+    // approx distinct of role ≈ 5 (4 vocab + narrator)
+    assert(math.abs(row.getAs[Long]("role_approx_distinct") - 5L) <= 1L)
+  }
+
+  test("conversation-level checks find duplicate-index conversations") {
+    val bad = TableChecks.conversationChecks(turns)
+    bad.count() should be > 0L
+    bad.where(!col("dense_ok")).count() should be > 0L
+  }
+
+  test("monotoneTs finds injected non-monotone timestamps") {
+    TableChecks.monotoneTs(turns).count() should be > 0L
+  }
+
+  test("drift: identical distributions have ~zero PSI, shifted ones do not") {
+    val base = Drift.sketch(turns, fn_length(col("text")).cast("double"), 0, 200, 20)
+    val same = Drift.sketch(turns, fn_length(col("text")).cast("double"), 0, 200, 20)
+    Drift.psi(same, base) shouldBe 0.0 +- 1e-9
+    val shifted = Drift.sketch(
+      turns.withColumn("text", concat(col("text"), lit(" padpadpadpadpadpadpad"))),
+      fn_length(col("text")).cast("double"), 0, 200, 20)
+    Drift.psi(shifted, base) should be > 0.25
+    Drift.kl(shifted, base) should be > 0.0
+  }
+
+  test("drift: typed Aggregator histogram merges to same sketch as width_bucket path") {
+    import spark.implicits._
+    val agg = new Drift.HistogramAgg(0, 200, 20)
+    val viaAgg = turns.select(fn_length(col("text")).cast("double").as("v"))
+      .as[Option[Double]].select(agg.toColumn).head()
+    val viaDf = Drift.sketch(turns, fn_length(col("text")).cast("double"), 0, 200, 20)
+    viaAgg.counts.toSeq shouldBe viaDf.counts.toSeq
+  }
+
+  test("row checks: pass flags + violations match injected rates; verdicts cover all partitions") {
+    val out = Runner.rowChecks(turns, spec, Seq("conv_id", "turn_idx"))
+    val total = turns.count()
+    val failing = out.flagged.where(!col("pass")).count()
+    // injected: role 1/1000, text 1/1000, tool-pattern 1/1000 of tool turns
+    failing.toDouble / total should be > 0.0005
+    failing.toDouble / total should be < 0.01
+    val v = out.violations.cache()
+    v.where(col("kind") === "enum").count() should be > 0L   // narrator role
+    v.where(col("kind") === "minLength").count() should be > 0L // empty text
+    v.where(col("kind") === "pattern").count() should be > 0L   // tool_zz
+    out.partitionVerdicts.count() shouldBe 16L
+    out.partitionVerdicts.agg(sum("rows")).head().getLong(0) shouldBe total
+  }
+
+  test("resumable runner: second invocation processes nothing new") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-run").toString
+    val v1 = Runner.runResumable(spark, turns, spec, Seq("conv_id", "turn_idx"), dir, "r1")
+    v1.count() shouldBe 16L
+    val v2 = Runner.runResumable(spark, turns, spec, Seq("conv_id", "turn_idx"), dir, "r1")
+    v2.count() shouldBe 0L
+    // verdicts on disk cover every partition exactly once
+    spark.read.parquet(s"$dir/verdicts").count() shouldBe 16L
+  }
+}
