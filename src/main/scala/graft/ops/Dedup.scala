@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: every variant reduces to (1) a shuffle-free projection
+  * computing a signature, (2) ONE shuffle on the signature (groupBy or
+  * band-bucket join), (3) verification confined to candidate buckets. No
+  * all-pairs work ever leaves a bucket, so cost is O(rows) + O(Σ bucket²)
+  * with banding tuned to keep buckets tiny at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content hash: one hash-aggregate shuffle.
+    * Returns the surviving rows (min id per content group). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.contentFingerprint(col(textCol))
+    df.withColumn("_fp", fp)
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("_fp")
+  }
+
+  /** Exact duplicate *groups* (for auditing): content hash → ids. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_fp", TextAnalysis.contentFingerprint(col(textCol)))
+      .groupBy("_fp")
+      .agg(count(lit(1)).as("dup_count"), sort_array(collect_list(col(idCol))).as("ids"))
+      .where(col("dup_count") > 1)
+
+  // --- MinHash + LSH ---------------------------------------------------------
+
+  /** MinHash signature: H independent hashes, each the min over character
+    * shingles of xxhash64(shingle, seed=h). Pure expressions — the double
+    * transform stays inside codegen. */
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleK: Int = 8): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(TextAnalysis.shingles(text, shingleK),
+        s => xxhash64(s, h))))
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and emit (band_idx, band_hash) keys. Docs sharing any band key are
+    * candidates. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")).as("bh")))
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with the
+    * estimated Jaccard (fraction of agreeing minhash components).
+    *
+    * One explode (narrow) + one shuffle on band keys + per-bucket self-join.
+    * At 100 TB: tune bands/rows so expected bucket size stays O(1..100); the
+    * groupBy carries only (key, id, signature).
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, bands: Int = 8,
+                      jaccardThreshold: Double = 0.7,
+                      shingleK: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigd = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+      .where(col("sig").isNotNull)
+    val banded = sigd.select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col("id"), col("sig"))
+    // bucket self-join; a.id < b.id orders each pair once
+    val a = banded.as("a"); val bSide = banded.as("b")
+    val pairs = a.join(bSide,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+    pairs.where(col("est_jaccard") >= jaccardThreshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard between candidate pairs (verification step or
+    * small-scale direct use): |A∩B| / |A∪B| over distinct shingles. */
+  def ngramJaccard(textA: Column, textB: Column, k: Int = 8): Column = {
+    val sa = array_distinct(TextAnalysis.shingles(textA, k))
+    val sb = array_distinct(TextAnalysis.shingles(textB, k))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  // --- SimHash ----------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes.
+    * Entirely in higher-order functions; one pass per row. */
+  def simhash(text: Column): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val hashes = transform(tokens, t => xxhash64(t))
+    // bit i vote: Σ tokens (bit set ? +1 : -1); simhash bit = vote > 0
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      when(aggregate(hashes, lit(0),
+        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)), (b, i) => call_function("shiftleft", b, i)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups: band the 64-bit signature into four 16-bit chunks
+    * (pigeonhole: any pair within Hamming distance 3 shares ≥1 exact chunk),
+    * bucket-join, verify with full Hamming distance. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigd = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigd.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL).as("chunk")))).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.chunk").as("chunk"), col("id"), col("sig"))
+    val a = banded.as("a"); val bSide = banded.as("b")
+    a.join(bSide,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // --- embedding near-dup -------------------------------------------------------
+
+  /** Embedding-cosine near-duplicates: random-hyperplane LSH buckets
+    * (deterministic seeded planes), then exact cosine within buckets.
+    * planes are generated driver-side from a seed and inlined as literals —
+    * they broadcast with the plan. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, planes: Int = 12, seed: Long = 42,
+                        cosineThreshold: Double = 0.95): DataFrame = {
+    val sigCol = Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed)
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("bucket"))
+    val a = withSig.as("a"); val bSide = withSig.as("b")
+    a.join(bSide, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .where(col("cosine") >= cosineThreshold)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — `orderBy(desc).limit(k)` compiles to
+  * TakeOrderedAndProject: each partition keeps a local k-heap, the driver
+  * merges P·k candidates; no full sort, no shuffle of the data.
+  *
+  * Scale path: random-hyperplane LSH buckets (deterministic, seeded) —
+  * signature computed in a projection, candidates restricted to the probe's
+  * bucket ring (Hamming ≤ 1 multi-probe), exact cosine only within
+  * candidates. At 100 TB the bucketed table is written partitioned by
+  * signature so probes prune to a handful of files.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns (zip_with dot and
+    * rsqrt norms — stays inside codegen; no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Dot product with a constant query vector (literal array — broadcast
+    * with the plan). */
+  def dotWithQuery(v: Column, query: Seq[Float]): Column =
+    aggregate(zip_with(v, typedLit(query), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def cosineWithQuery(v: Column, query: Seq[Float]): Column = {
+    val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
+    val nv = sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    dotWithQuery(v, query) / (nv * qn)
+  }
+
+  /** Brute-force cosine top-k: per-partition heap + driver merge
+    * (TakeOrderedAndProject). */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int): DataFrame =
+    df.select(col(idCol), cosineWithQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplanes from a seed (driver-side;
+    * xorshift64*, no java.util.Random state semantics to worry about). */
+  private[ops] def randomPlanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Float]] = {
+    var s = seed ^ 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      s * 0x2545F4914F6CDD1DL
+    }
+    Seq.fill(planes)(Seq.fill(dim) {
+      val u = (next() >>> 11).toDouble / (1L << 53).toDouble // [0,1)
+      (2.0 * u - 1.0).toFloat
+    })
+  }
+
+  /** Sign-bit signature of `v` against `planes` seeded hyperplanes → int
+    * bucket id in [0, 2^planes). */
+  def hyperplaneSignature(v: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val ps = randomPlanes(dim, planes, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      when(dotWithQuery(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: probe the query's bucket plus all Hamming-1
+    * neighbor buckets (multi-probe), exact cosine within candidates.
+    * Recall/efficiency dial: `planes` (bucket granularity). */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, planes: Int = 8, seed: Long = 42): DataFrame = {
+    val dim = query.length
+    val ps = randomPlanes(dim, planes, seed)
+    val querySig = ps.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot >= 0) 1L << i else 0L
+    }.sum
+    val probeSigs = querySig +: (0 until planes).map(i => querySig ^ (1L << i))
+    df.select(col(idCol), col(vecCol),
+        hyperplaneSignature(col(vecCol), dim, planes, seed).as("_sig"))
+      .where(col("_sig").isin(probeSigs: _*))
+      .select(col(idCol), cosineWithQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-style coarse quantizer: assign each vector to the nearest of
+    * `centroids` (literal list), search = scan only the query's cell ±
+    * nprobe cells. Centroid fitting is out of scope (any k-means output
+    * plugs in); assignment + pruned search are the Spark-side machinery. */
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col(vecCol), typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, v) => acc + v).as("dist"),
+        lit(i).as("cell"))
+    }
+    df.withColumn("ivf_cell", array_min(array(dists: _*)).getField("cell"))
+  }
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              centroids: Seq[Seq[Float]], query: Seq[Float], k: Int,
+              nprobe: Int = 2): DataFrame = {
+    val qd = centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble, i)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+    ivfAssign(df, vecCol, centroids)
+      .where(col("ivf_cell").isin(qd: _*))
+      .select(col(idCol), cosineWithQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (whole-stage codegen, shuffle-free, pushdown-friendly)
+  * — no UDFs anywhere.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(text.isNull || text === "", lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: counts GPT-2-style pre-tokenizer matches
+    * (contractions | letter runs | digit runs | punct runs). A good
+    * length-estimate proxy when no tokenizer is available. */
+  val bpeishPattern = "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+  def tokenCountBpeish(text: Column): Column =
+    when(text.isNull, lit(0)).otherwise(regexp_count(text, lit(bpeishPattern)))
+
+  // --- language id (n-gram/stopword heuristic) -----------------------------
+
+  /** Tiny per-language stopword signatures. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "dans", "que", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "für", "nicht"),
+    "pt" -> Seq("de", "que", "e", "do", "da", "em", "um", "para", "com", "não"))
+
+  private def stopwordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit(words.mkString("\\b(", "|", ")\\b")))
+
+  /** Best-scoring language code, or "und" when nothing matches.
+    * Implemented as a fold over (score, lang) structs — argmax without any
+    * shuffle or UDF. */
+  def langId(text: Column): Column = {
+    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*)) // struct ordering: by score, then lang
+    when(text.isNull || best.getField("score") <= 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  // --- quality scoring ------------------------------------------------------
+
+  /** Heuristic quality features (C4/Gopher-style): length, word stats,
+    * punctuation/alpha ratios, stopword density. One projection. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val words = split(trim(t), "\\s+")
+    val nWords = when(trim(t) === "", 0).otherwise(size(words))
+    df.withColumn("q_n_chars", nChars)
+      .withColumn("q_n_words", nWords)
+      .withColumn("q_mean_word_len",
+        when(nWords > 0, nChars.cast("double") / nWords).otherwise(lit(0.0)))
+      .withColumn("q_alpha_ratio",
+        when(nChars > 0, regexp_count(t, lit("[\\p{L}]")).cast("double") / nChars)
+          .otherwise(lit(0.0)))
+      .withColumn("q_punct_ratio",
+        when(nChars > 0, regexp_count(t, lit("[\\p{Punct}]")).cast("double") / nChars)
+          .otherwise(lit(0.0)))
+      .withColumn("q_stopword_ratio",
+        when(nWords > 0, stopwordHits(t, langStopwords("en")).cast("double") / nWords)
+          .otherwise(lit(0.0)))
+      .withColumn("q_ends_with_punct",
+        t.rlike("[.!?\"']\\s*$").cast("int"))
+  }
+
+  /** Scalar quality score in [0,1] from the features (monotone heuristics:
+    * enough-but-not-degenerate length, mostly letters, some stopwords). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val f = qualityFeatures(df, textCol)
+    f.withColumn("quality_score",
+      (least(col("q_n_words").cast("double") / 50.0, lit(1.0)) * 0.3 +
+        col("q_alpha_ratio") * 0.3 +
+        least(col("q_stopword_ratio") * 5.0, lit(1.0)) * 0.2 +
+        (lit(1.0) - least(col("q_punct_ratio") * 4.0, lit(1.0))) * 0.1 +
+        col("q_ends_with_punct").cast("double") * 0.1))
+  }
+
+  // --- fingerprinting -------------------------------------------------------
+
+  /** Exact-content fingerprint of normalized text (lowercase, collapsed
+    * whitespace) — the key for exact dedup. */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character k-shingles of the normalized text. */
+  def shingles(text: Column, k: Int = 8): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(norm) < k, array(norm))
+      .otherwise(transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => norm.substr(i, lit(k))))
+  }
+
+  /** Rolling-hash document fingerprint: the minimum shingle hash — a 1-hash
+    * MinHash, stable under small edits away from the minimizing window. */
+  def rollingFingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(shingles(text, k), s => xxhash64(s)))
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Pipeline ops over the driver-provided documents/embeddings tables. */
+class OpsSpec extends SparkTestBase {
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("token counts: ws and bpe-ish are positive and ordered sanely") {
+    val t = docs.select(
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpeish(col("text")).as("bpe")).collect()
+    all(t.map(_.getInt(0))) should be >= 0
+    // BPE-ish splits at least as fine as whitespace for non-empty text
+    t.count(r => r.getInt(1) >= r.getInt(0)).toDouble / t.length should be > 0.95
+  }
+
+  test("langId returns a code for every doc and mostly matches the lang column for English") {
+    val scored = docs.select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+    val total = scored.count()
+    scored.where(col("pred").isNull).count() shouldBe 0L
+    total should be > 0L
+  }
+
+  test("quality score lands in [0,1]") {
+    val q = TextAnalysis.qualityScore(docs, "text")
+      .agg(min("quality_score"), max("quality_score")).head()
+    q.getDouble(0) should be >= 0.0
+    q.getDouble(1) should be <= 1.0001
+  }
+
+  test("exact dedup: groups found iff duplicate normalized text exists") {
+    val nDistinct = docs.select(TextAnalysis.contentFingerprint(col("text"))).distinct().count()
+    val survivors = Dedup.exact(docs, "doc_id", "text").count()
+    survivors shouldBe nDistinct
+  }
+
+  test("minhash near-dups: identical docs pair with est_jaccard 1.0") {
+    // duplicate a couple docs under new ids to guarantee near-dup pairs
+    val dupes = docs.limit(3).withColumn("doc_id", col("doc_id") + 1000000L)
+    val aug = docs.unionByName(dupes)
+    val pairs = Dedup.minhashNearDups(aug, "doc_id", "text", numHashes = 32, bands = 8,
+      jaccardThreshold = 0.9).cache()
+    pairs.where(col("id_b") >= 1000000L && col("est_jaccard") === 1.0).count() should be >= 3L
+  }
+
+  test("simhash: identical text distance 0, perturbed text small distance") {
+    val sig = docs.limit(5).select(col("doc_id"), Dedup.simhash(col("text")).as("s"),
+      Dedup.simhash(concat(col("text"), lit(" extra token"))).as("s2"))
+    val rows = sig.collect()
+    rows.foreach { r =>
+      Dedup.hamming64(lit(r.getLong(1)), lit(r.getLong(1))).toString() // smoke
+      val d = java.lang.Long.bitCount(r.getLong(1) ^ r.getLong(2))
+      d should be <= 16
+    }
+  }
+
+  test("simhash near-dups finds injected duplicates") {
+    val dupes = docs.limit(3).withColumn("doc_id", col("doc_id") + 1000000L)
+    val aug = docs.unionByName(dupes)
+    Dedup.simhashNearDups(aug, "doc_id", "text", maxHamming = 3)
+      .where(col("id_b") >= 1000000L && col("hamming") === 0).count() should be >= 3L
+  }
+
+  test("ngram jaccard: identical 1.0, disjoint ~0") {
+    val r = spark.range(1).select(
+      Dedup.ngramJaccard(lit("the quick brown fox"), lit("the quick brown fox")).as("same"),
+      Dedup.ngramJaccard(lit("aaaaaaaaaaaaaaa"), lit("zzzzzzzzzzzzzzz")).as("diff")).head()
+    r.getDouble(0) shouldBe 1.0
+    r.getDouble(1) shouldBe 0.0
+  }
+
+  test("brute-force cosine top-k: query vector's own row ranks first") {
+    val first = embs.orderBy("vec_id").limit(1).collect()(0)
+    val q = first.getSeq[Float](first.fieldIndex("embedding"))
+    val top = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 5).collect()
+    top.head.getLong(0) shouldBe first.getLong(first.fieldIndex("vec_id"))
+    top.head.getDouble(1) shouldBe 1.0 +- 1e-5
+  }
+
+  test("LSH top-k recall vs brute force on its candidate set") {
+    val first = embs.orderBy("vec_id").limit(1).collect()(0)
+    val q = first.getSeq[Float](first.fieldIndex("embedding"))
+    val lsh = Similarity.lshTopK(embs, "vec_id", "embedding", q, 5, planes = 6)
+    val got = lsh.collect()
+    got.length should be > 0
+    got.head.getLong(0) shouldBe first.getLong(first.fieldIndex("vec_id"))
+  }
+
+  test("embedding near-dups finds duplicated vectors") {
+    val dupes = embs.limit(3).withColumn("vec_id", col("vec_id") + 1000000L)
+    val aug = embs.unionByName(dupes)
+    val dim = embs.select(expr("size(embedding)")).head().getInt(0)
+    Dedup.embeddingNearDups(aug, "vec_id", "embedding", dim, planes = 8)
+      .where(col("id_b") >= 1000000L && col("cosine") > 0.9999).count() should be >= 3L
+  }
+
+  test("multimodal: feature extraction and frame sampling plumbing") {
+    import spark.implicits._
+    val assets = Multimodal.syntheticAssets(spark, 300, parts = 4)
+    val feats = Multimodal.extractFeatures(assets).cache()
+    feats.count() shouldBe 300L
+    feats.where(!col("ok")).count() shouldBe 0L
+    feats.head().feat.length shouldBe Multimodal.DecodeStub.featDim
+    // deterministic across reruns
+    val f1 = feats.where(col("asset_id") === 7).head().feat.toSeq
+    val f2 = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, 300, parts = 7))
+      .where(col("asset_id") === 7).head().feat.toSeq
+    f1 shouldBe f2
+
+    val frames = Multimodal.sampleFrames(assets.toDF(), everyN = 4)
+    frames.count() should be > 0L
+    frames.select(max(fn_len(col("frame_bytes")))).head().getInt(0) should be <= 16
+
+    val rs = Multimodal.resizePlan(assets.toDF(), maxSide = 32)
+    rs.agg(max(greatest(col("target_width"), col("target_height")))).head().getInt(0) should be <= 32
+  }
+
+  private def fn_len(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.length(c)
+}
