@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.compile.{CompileOptions, Compiler}
+import graft.run.Runner
+import graft.spec.{SchemaSpec, SpecParser}
+
+/** Library front door — what a valijson user migrating to Spark calls.
+  *
+  * valijson:                         graft:
+  *   SchemaParser().populateSchema     Graft.parseSchema(json)
+  *   Validator().validate(doc)         Graft.validate(df, spec) per row
+  *   ValidationResults drain           .violations Dataset
+  *
+  * plus the table-scale checks the north rule adds (uniqueness,
+  * referential, stats, drift) under [[graft.checks]].
+  */
+object Graft {
+
+  /** Compile a JSON Schema document into a constraint spec (the analog of
+    * `SchemaParser::populateSchema`, schema_parser.hpp:108-134). */
+  def parseSchema(json: String): SchemaSpec = SpecParser.parse(json)
+
+  final case class RowValidation(flagged: DataFrame, violations: DataFrame,
+                                 partitionVerdicts: DataFrame)
+
+  /** Validate every row of `df` against `spec` (the analog of
+    * `Validator::validate` per document, validator.hpp:71-85): fail-fast
+    * `pass` flag on every row; exhaustive violation rows only for failures;
+    * per-partition verdicts. */
+  def validate(df: DataFrame, spec: SchemaSpec, keyCols: Seq[String],
+               opts: CompileOptions = CompileOptions()): RowValidation = {
+    val out = Runner.rowChecks(df, spec, keyCols, opts = opts)
+    RowValidation(out.flagged, out.violations, out.partitionVerdicts)
+  }
+
+  def validate(df: DataFrame, schemaJson: String, keyCols: Seq[String]): RowValidation =
+    validate(df, parseSchema(schemaJson), keyCols)
+
+  /** Violation rows (keys + json_pointer + description [+ kind]) for a
+    * schema, optionally filtered to specific constraint kinds — convenient
+    * for per-constraint result tables. */
+  def violations(df: DataFrame, schemaJson: String, keyCols: Seq[String],
+                 kinds: Seq[String] = Nil): DataFrame = {
+    val v = validate(df, parseSchema(schemaJson), keyCols).violations
+    val filtered = if (kinds.isEmpty) v else v.where(col("kind").isin(kinds: _*))
+    filtered.select((keyCols.map(col) :+ col("json_pointer") :+ col("description")): _*)
+  }
+
+  /** Fail-fast boolean per row (the `applyStrict` mode) — cheapest scan. */
+  def passColumn(df: DataFrame, schemaJson: String): Column =
+    Compiler.compileRow(parseSchema(schemaJson), df.schema).pass
+}
