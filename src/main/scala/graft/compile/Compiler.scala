@@ -115,9 +115,9 @@ object Compiler {
               opts: CompileOptions = CompileOptions()): Compiled = spec match {
     case TrueSchema  => alwaysTrue
     case FalseSchema =>
-      // Boolean-false schema: alwaysInvalid (subschema.hpp:189-192; the
-      // visitor reports it via its generic failure path).
-      Compiled(lit(false), viol(ptr, lit("Failed to validate against boolean-false schema."), "false"))
+      // Boolean-false schema: alwaysInvalid with NO error of its own
+      // (validation_visitor.hpp:107-109) — enclosing wrappers still report.
+      Compiled(lit(false), emptyViols)
     case ConstraintSchema(cs, _, _) =>
       combine(cs.map(c => compileConstraint(c, value, dt, ptr, opts)))
   }

@@ -1,0 +1,107 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.compile.Compiler
+import graft.spec.SpecParser
+
+/** Conformance harness mirroring the reference's JSON-Schema-Test-Suite
+  * driver (`tests/test_validator.cpp:96-182`): files of
+  * `{description, schema, tests: [{description, data, valid}]}` groups;
+  * assertion is `validate(schema, data) == valid` per case.
+  *
+  * Data values are arbitrary JSON; they are lifted into typed single-row
+  * DataFrames (flat-row convention: JSON objects become rows, other values
+  * a single `doc` column). Cases whose data shape cannot inhabit a static
+  * Spark type (heterogeneous arrays, objects with null-valued properties)
+  * are skipped with a count assertion, like the reference's skip-lists
+  * (test_validator.cpp:129-134). */
+class ConformanceSpec extends SparkTestBase {
+
+  private val mapper = new ObjectMapper()
+
+  /** JSON value → (Spark type, Catalyst-external value); None = untypeable. */
+  private def infer(n: JsonNode): Option[(DataType, Any)] = {
+    if (n.isNull) Some((StringType, null))
+    else if (n.isBoolean) Some((BooleanType, n.asBoolean()))
+    else if (n.isIntegralNumber) Some((LongType, n.asLong()))
+    else if (n.isNumber) Some((DoubleType, n.asDouble()))
+    else if (n.isTextual) Some((StringType, n.asText()))
+    else if (n.isArray) {
+      val elems = n.elements().asScala.toSeq.map(infer)
+      if (elems.exists(_.isEmpty)) None
+      else {
+        val typed = elems.flatten
+        val dts = typed.map(_._1).distinct
+        if (typed.isEmpty) Some((ArrayType(StringType), Seq.empty))
+        else if (dts.size == 1) Some((ArrayType(dts.head), typed.map(_._2)))
+        else if (dts.toSet == Set(LongType, DoubleType))
+          Some((ArrayType(DoubleType), typed.map {
+            case (LongType, v: Long) => v.toDouble
+            case (_, v) => v
+          }))
+        else None
+      }
+    } else if (n.isObject) {
+      val fields = n.properties().asScala.toSeq.map { e =>
+        infer(e.getValue).map { case (dt, v) => (StructField(e.getKey, dt), v) }
+      }
+      if (fields.exists(_.isEmpty)) None
+      else {
+        val fs = fields.flatten
+        if (fs.exists(_._2 == null)) None // null-valued property ≠ absent; needs variant mode
+        else Some((StructType(fs.map(_._1)), Row.fromSeq(fs.map(_._2))))
+      }
+    } else None
+  }
+
+  private def runCase(schemaJson: JsonNode, data: JsonNode): Option[Boolean] = {
+    val spec = SpecParser.parseNode(schemaJson)
+    infer(data).map {
+      case (st: StructType, row: Row) =>
+        val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(row)), st)
+        val c = Compiler.compileRow(spec, st)
+        df.select(c.pass).collect()(0).getBoolean(0)
+      case (dt, v) =>
+        val st = StructType(Seq(StructField("doc", dt)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(v))), st)
+        val c = Compiler.compile(spec, col("doc"), dt, lit(""))
+        df.select(coalesce(c.pass, lit(true))).collect()(0).getBoolean(0)
+    }
+  }
+
+  test("conformance suite (JSON-Schema-Test-Suite format)") {
+    val url = getClass.getResource("/conformance")
+    val dir = new java.io.File(url.toURI)
+    var total = 0; var passed = 0; var skipped = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    dir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName).foreach { f =>
+      val groups = mapper.readTree(f)
+      groups.elements().asScala.foreach { g =>
+        val schema = g.get("schema")
+        g.get("tests").elements().asScala.foreach { t =>
+          total += 1
+          try runCase(schema, t.get("data")) match {
+            case None => skipped += 1
+            case Some(got) =>
+              val want = t.get("valid").asBoolean()
+              if (got == want) passed += 1
+              else failures += s"${f.getName}: ${g.get("description").asText()} / ${t.get("description").asText()}: got $got want $want"
+          } catch {
+            case e: IllegalArgumentException => skipped += 1 // unsupported construct
+          }
+        }
+      }
+    }
+    info(s"conformance: $passed passed, $skipped skipped, ${failures.size} failed of $total")
+    failures.foreach(f => info(s"  FAIL $f"))
+    failures shouldBe empty
+    passed should be > 80
+  }
+}

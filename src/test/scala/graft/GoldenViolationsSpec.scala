@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.compile.Compiler
+import graft.spec.SpecParser
+
+/** Byte-exact replication of the reference's golden error-output tests
+  * (`tests/test_validation_errors.cpp:29-199`): same schemas, same
+  * documents, same FIFO (json_pointer, description) sequences. */
+class GoldenViolationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def viols(schemaJson: String, df: org.apache.spark.sql.DataFrame,
+                    colName: Option[String] = None): Seq[(String, String)] = {
+    val spec = SpecParser.parse(schemaJson)
+    val c = colName match {
+      case Some(n) => // top-level value is the named column (array documents)
+        Compiler.compile(spec, col(n), df.schema(n).dataType, lit(""))
+      case None => Compiler.compileRow(spec, df.schema)
+    }
+    df.select(c.violations).collect()(0).getSeq[Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+  }
+
+  test("AllOfConstraintFailure (test_validation_errors.cpp:29-108)") {
+    // schema: tests/data/schemas/allof_integers_and_numbers.schema.json
+    // document: tests/data/documents/array_doubles_1p5_2p5_3p5.json
+    val schema =
+      """{"allOf": [
+           {"items": {"type": "integer"}, "additionalItems": false, "type": "array"},
+           {"items": {"type": "number"}, "additionalItems": false, "type": "array",
+            "uniqueItems": true}]}"""
+    val df = Seq(Tuple1(Seq(1.5, 2.5, 3.5))).toDF("doc")
+    viols(schema, df, Some("doc")) shouldBe Seq(
+      ("/0", "Value type not permitted by 'type' constraint."),
+      ("",   "Failed to validate item #0 in array."),
+      ("/1", "Value type not permitted by 'type' constraint."),
+      ("",   "Failed to validate item #1 in array."),
+      ("/2", "Value type not permitted by 'type' constraint."),
+      ("",   "Failed to validate item #2 in array."),
+      ("",   "Failed to validate against child schema #0."))
+  }
+
+  test("AdditionalPropertiesConstraintError_1 (cpp:110-157): number property vs string schema") {
+    // schema: additional_properties_string.schema.json
+    // document: object_property_number.json {"abc": 123}
+    val schema = """{"additionalProperties": {"type": "string"}}"""
+    val df = Seq(Tuple1(123L)).toDF("abc")
+    viols(schema, df) shouldBe Seq(
+      ("/abc", "Value type not permitted by 'type' constraint."),
+      ("",     "Failed to validate against additional properties schema."))
+  }
+
+  test("AdditionalPropertiesConstraintError_2 (cpp:159-199): string property vs number schema") {
+    val schema = """{"additionalProperties": {"type": "number"}}"""
+    val df = Seq(Tuple1("world")).toDF("hello")
+    viols(schema, df) shouldBe Seq(
+      ("/hello", "Value type not permitted by 'type' constraint."),
+      ("",       "Failed to validate against additional properties schema."))
+  }
+
+  test("JSON Pointer escaping: ~ and / in property names (validation_results.hpp:140-160)") {
+    val schema = """{"properties": {"a/b": {"type": "integer"}, "c~d": {"type": "integer"}}}"""
+    val st = StructType(Seq(StructField("a/b", StringType), StructField("c~d", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("x", "y"))), st)
+    val got = viols(schema, df)
+    got.map(_._1) should contain allOf ("/a~1b", "/c~0d")
+  }
+}
