@@ -64,6 +64,7 @@ object Bench {
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, warm) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
       val (_, t) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+      System.err.println(f"[bench] $name: warm=$warm%.2fs timed=$t%.2fs")
       name -> math.min(warm, t)
     }
 

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.spec.SpecParser
+import graft.streaming.StreamingValidator
+import graft.streaming.StreamingValidator.{ConvAnomaly, TurnEvent}
+
+/** Structured Streaming validation over MemoryStream sources. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val spec = SpecParser.parse(
+    """{"properties":{"role":{"enum":["user","assistant"]},
+        "text":{"minLength":1}},"required":["role","text"]}""")
+
+  test("stateless row validation works on a stream (same plan as batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF().toDF("role", "text")
+    val out = StreamingValidator.validateStream(df, spec)
+    val q = out.writeStream.format("memory").queryName("sv_rows").outputMode("append").start()
+    input.addData(("user", "hi"), ("robot", "hello"), ("assistant", ""))
+    q.processAllAvailable()
+    val got = spark.table("sv_rows").select("role", "pass").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    q.stop()
+    got shouldBe Map("user" -> true, "robot" -> false, "assistant" -> false)
+  }
+
+  test("windowed verdicts with watermark aggregate failures per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp)]
+    val df = input.toDF().toDF("role", "text", "ts")
+    val out = StreamingValidator.windowedVerdicts(df, spec, "ts", "10 minutes", "1 minute")
+    val q = out.writeStream.format("memory").queryName("sv_windows").outputMode("append").start()
+    val t0 = 1600000000000L
+    input.addData(
+      ("user", "hi", new Timestamp(t0)),
+      ("robot", "x", new Timestamp(t0 + 1000)),
+      ("user", "yo", new Timestamp(t0 + 61000)))
+    q.processAllAvailable()
+    // push watermark far ahead so earlier windows finalize in append mode
+    input.addData(("user", "later", new Timestamp(t0 + 3600 * 1000)))
+    q.processAllAvailable()
+    val rows = spark.table("sv_windows")
+      .select(col("window.start").cast("long"), col("rows"), col("fail_rows")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    q.stop()
+    rows.length should be >= 2
+    // windows are epoch-aligned: 1600000000 floors to 1599999960
+    rows(0) shouldBe ((1599999960L, 2L, 1L))
+    rows(1) shouldBe ((1600000020L, 1L, 0L))
+  }
+
+  test("flatMapGroupsWithState flags duplicate/gap turn_idx and non-monotone ts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TurnEvent]
+    val out = StreamingValidator.conversationAnomalies(input.toDS())
+    val q = out.writeStream.format("memory").queryName("sv_anoms").outputMode("append").start()
+    val t0 = 1600000000000L
+    input.addData(
+      TurnEvent("c1", 0, new Timestamp(t0)),
+      TurnEvent("c1", 1, new Timestamp(t0 + 1000)),
+      TurnEvent("c2", 0, new Timestamp(t0)))
+    q.processAllAvailable()
+    input.addData(
+      TurnEvent("c1", 1, new Timestamp(t0 + 2000)), // duplicate idx (cross-batch state)
+      TurnEvent("c1", 3, new Timestamp(t0 + 500)),  // gap + non-monotone ts
+      TurnEvent("c2", 1, new Timestamp(t0 + 1000))) // fine
+    q.processAllAvailable()
+    val got = spark.table("sv_anoms").as[ConvAnomaly].collect().toSet
+    q.stop()
+    got should contain(ConvAnomaly("c1", 1, "duplicate_or_regressed_turn_idx"))
+    got should contain(ConvAnomaly("c1", 3, "gap_in_turn_idx"))
+    got should contain(ConvAnomaly("c1", 3, "non_monotone_ts"))
+    got.exists(_.conv_id == "c2") shouldBe false
+  }
+}
