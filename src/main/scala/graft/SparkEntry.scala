@@ -178,7 +178,7 @@ object SparkEntry {
     }),
 
     "q_simhash_neardups" -> ((s, dir) => { implicit val sp = s
-      Dedup.simhashNearDups(t(dir, "documents"), "doc_id", "text", maxHamming = 10)
+      Dedup.simhashNearDups(t(dir, "documents"), "doc_id", "text", maxHamming = 3)
     }),
 
     "q_ann_topk" -> ((s, dir) => { implicit val sp = s

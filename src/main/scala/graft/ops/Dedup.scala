@@ -59,14 +59,16 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8,
                       jaccardThreshold: Double = 0.7,
-                      shingleK: Int = 8): DataFrame = {
+                      shingleK: Int = 8,
+                      maxBucketSize: Int = 256): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigd = df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
       .where(col("sig").isNotNull)
-    val banded = sigd.select(col("id"), col("sig"),
+    val banded0 = sigd.select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col("id"), col("sig"))
+    val banded = capBuckets(banded0, Seq("band", "bh"), maxBucketSize)
     // bucket self-join; a.id < b.id orders each pair once
     val a = banded.as("a"); val bSide = banded.as("b")
     val pairs = a.join(bSide,
@@ -79,6 +81,24 @@ object Dedup {
     pairs.where(col("est_jaccard") >= jaccardThreshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Drop over-full LSH buckets before the self-join. A band hash shared by
+    * thousands of rows carries almost no locality signal but costs O(n²) in
+    * the bucket join — production LSH dedup skips super-frequent band
+    * hashes for exactly this reason. NOT a silent cap: use
+    * [[overfullBuckets]] to audit what was dropped. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("_bucket_n", count(lit(1)).over(w))
+      .where(col("_bucket_n") <= maxBucketSize)
+      .drop("_bucket_n")
+  }
+
+  /** Audit view of the buckets a given cap would drop: (band key..., n). */
+  def overfullBuckets(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
 
   /** Exact n-gram Jaccard between candidate pairs (verification step or
     * small-scale direct use): |A∩B| / |A∪B| over distinct shingles. */
@@ -112,13 +132,14 @@ object Dedup {
     * (pigeonhole: any pair within Hamming distance 3 shares ≥1 exact chunk),
     * bucket-join, verify with full Hamming distance. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
     val sigd = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val banded = sigd.select(col("id"), col("sig"),
+    val banded0 = sigd.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
           call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL).as("chunk")))).as("bk"))
       .select(col("bk.band").as("band"), col("bk.chunk").as("chunk"), col("id"), col("sig"))
+    val banded = capBuckets(banded0, Seq("band", "chunk"), maxBucketSize)
     val a = banded.as("a"); val bSide = banded.as("b")
     a.join(bSide,
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -137,9 +158,11 @@ object Dedup {
     * they broadcast with the plan. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, planes: Int = 12, seed: Long = 42,
-                        cosineThreshold: Double = 0.95): DataFrame = {
+                        cosineThreshold: Double = 0.95,
+                        maxBucketSize: Int = 1024): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed)
-    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("bucket"))
+    val withSig0 = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("bucket"))
+    val withSig = capBuckets(withSig0, Seq("bucket"), maxBucketSize)
     val a = withSig.as("a"); val bSide = withSig.as("b")
     a.join(bSide, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

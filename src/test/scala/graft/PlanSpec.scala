@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.data.TranscriptGen
+import graft.ops.Similarity
+import graft.run.Runner
+import graft.spec.SpecParser
+
+/** Physical-plan quality gates — the 100 TB design assertions, checked on
+  * every build (SURVEY.md §4): pushdown, pruning, broadcast, top-k without
+  * global sort, shuffle-free row validation, whole-stage codegen. */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and column selection reach the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    scan should include("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]")
+    scan should include("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>")
+  }
+
+  test("fail-fast row validation pushes the violation filter to the scan and stays shuffle-free") {
+    val spec = SpecParser.parse("""{"properties":{"l_quantity":{"maximum":25}}}""")
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = Runner.rowChecks(df, spec, Seq("l_orderkey"))
+    val vPlan = plan(out.violations)
+    // no shuffle anywhere in the violation scan
+    vPlan should not include "Exchange"
+    // the !pass conjunct is pushed into the parquet scan as a data filter
+    vPlan should include("DataFilters: [isnotnull(l_quantity")
+    // only the 2 referenced columns are read
+    vPlan should include("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>")
+    vPlan should include("*(1)") // whole-stage codegen stage marker
+  }
+
+  test("small-dimension joins broadcast (no shuffle join)") {
+    val q = SparkEntry.queries("q_join_broadcast")
+    val p = plan(q(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("referential anti-join broadcasts the vocabulary side") {
+    val q = SparkEntry.queries("q_referential")
+    val p = plan(q(spark, sf))
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+  }
+
+  test("brute-force top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = embs.limit(1).collect()(0).getSeq[Float](1)
+    val p = plan(Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10))
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange rangepartitioning"
+  }
+
+  test("transcript validation end-to-end plan: one shuffle for verdicts only") {
+    val turns = TranscriptGen.turns(spark, 100, parts = 2, numParts = 4)
+    val spec = SpecParser.parse(TranscriptGen.transcriptSchemaJson)
+    val out = Runner.rowChecks(turns, spec, Seq("conv_id", "turn_idx"))
+    // flagged scan is shuffle-free
+    plan(out.flagged) should not include "Exchange"
+    // verdicts shuffle exactly once (partial -> final hash aggregate)
+    val vp = plan(out.partitionVerdicts)
+    vp.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+    vp should include("HashAggregate")
+  }
+}
