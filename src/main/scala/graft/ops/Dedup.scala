@@ -33,13 +33,26 @@ object Dedup {
 
   // --- MinHash + LSH ---------------------------------------------------------
 
-  /** MinHash signature: H independent hashes, each the min over character
-    * shingles of xxhash64(shingle, seed=h). Pure expressions — the double
-    * transform stays inside codegen. */
-  def minhashSignature(text: Column, numHashes: Int = 32, shingleK: Int = 8): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(TextAnalysis.shingles(text, shingleK),
-        s => xxhash64(s, h))))
+  /** MinHash signature over a SHINGLE-ARRAY column: H independent hashes,
+    * each the min over shingles of xxhash64(shingle, h).
+    *
+    * Single `aggregate` pass referencing the shingle array exactly once —
+    * a formulation like transform(0..H, h => array_min(transform(sh, ...)))
+    * would re-evaluate `sh` (and anything captured in it) H times per row
+    * in interpreted HOF eval. */
+  def minhashSignatureOfShingles(sh: Column, numHashes: Int = 32): Column =
+    aggregate(sh,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, h) => least(m, xxhash64(s, h))))
+
+  /** Staged DataFrame form: id, sig — normalization and shingling each
+    * materialized once per row. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, shingleK: Int = 8): DataFrame =
+    TextAnalysis.withShingles(
+        df.select(col(idCol).as("id"), col(textCol).as("_text")), "_text", shingleK, "_sh")
+      .select(col("id"), minhashSignatureOfShingles(col("_sh"), numHashes).as("sig"))
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and emit (band_idx, band_hash) keys. Docs sharing any band key are
@@ -62,8 +75,7 @@ object Dedup {
                       shingleK: Int = 8,
                       maxBucketSize: Int = 256): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigd = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+    val sigd = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
       .where(col("sig").isNotNull)
     val banded0 = sigd.select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -111,19 +123,31 @@ object Dedup {
 
   // --- SimHash ----------------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes.
-    * Entirely in higher-order functions; one pass per row. */
-  def simhash(text: Column): Column = {
-    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val hashes = transform(tokens, t => xxhash64(t))
-    // bit i vote: Σ tokens (bit set ? +1 : -1); simhash bit = vote > 0
-    val bits = transform(sequence(lit(0), lit(63)), i =>
-      when(aggregate(hashes, lit(0),
-        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-        lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)), (b, i) => call_function("shiftleft", b, i)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  /** 64-bit SimHash over a TOKEN-ARRAY column: per-bit vote of token
+    * hashes. ONE aggregate pass over the tokens accumulating all 64 vote
+    * counters (referencing the token array exactly once — a per-bit
+    * aggregate would re-scan the tokens 64 times per row). */
+  def simhashOfTokens(tokens: Column): Column = {
+    val votes = aggregate(tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, sequence(lit(0L), lit(63L)),
+        (v, i) => v + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    // fold votes to a 64-bit signature: bit i set iff vote > 0
+    aggregate(zip_with(votes, sequence(lit(0L), lit(63L)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
+
+  /** Convenience Column form (normalization inlined — fine for one-shot
+    * use; the token array is referenced once). */
+  def simhash(text: Column): Column =
+    simhashOfTokens(split(TextAnalysis.normalizeText(text), " "))
+
+  /** Staged DataFrame form: id, sig. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.normalizeText(col(textCol)).as("_norm"))
+      .withColumn("_tokens", split(col("_norm"), " "))
+      .select(col("id"), simhashOfTokens(col("_tokens")).as("sig"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -133,7 +157,7 @@ object Dedup {
     * bucket-join, verify with full Hamming distance. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
-    val sigd = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigd = simhashSignatures(df, idCol, textCol)
     val banded0 = sigd.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),

@@ -87,21 +87,50 @@ object TextAnalysis {
 
   // --- fingerprinting -------------------------------------------------------
 
-  /** Exact-content fingerprint of normalized text (lowercase, collapsed
-    * whitespace) — the key for exact dedup. */
-  def contentFingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+  /** Canonical text normalization: lowercase, trimmed, whitespace runs
+    * collapsed. One regex pass — materialize it ONCE per row (its own
+    * projected column) before any per-shingle/per-token work: an expression
+    * captured inside a higher-order-function lambda is re-evaluated per
+    * element in interpreted eval, turning O(len) normalizations into
+    * O(len²). */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** Character k-shingles of the normalized text. */
-  def shingles(text: Column, k: Int = 8): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  /** Exact-content fingerprint of normalized text — the key for exact
+    * dedup. (Single reference to the normalization: one regex pass.) */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(normalizeText(text))
+
+  /** Character k-shingles of an ALREADY-NORMALIZED column. `norm` must be a
+    * cheap expression (ideally a projected attribute — see
+    * [[normalizeText]]): it is referenced inside the per-element lambda. */
+  def shinglesOfNorm(norm: Column, k: Int = 8): Column =
     when(length(norm) < k, array(norm))
       .otherwise(transform(sequence(lit(1), length(norm) - (k - 1)),
         i => norm.substr(i, lit(k))))
-  }
 
-  /** Rolling-hash document fingerprint: the minimum shingle hash — a 1-hash
-    * MinHash, stable under small edits away from the minimizing window. */
-  def rollingFingerprint(text: Column, k: Int = 8): Column =
-    array_min(transform(shingles(text, k), s => xxhash64(s)))
+  /** Convenience for tests/small data: normalize + shingle in one Column.
+    * Cost warning: O(len) normalizations per row; at scale use
+    * `withColumn("_norm", normalizeText(c))` + [[shinglesOfNorm]]. */
+  def shingles(text: Column, k: Int = 8): Column =
+    shinglesOfNorm(normalizeText(text), k)
+
+  /** Staged (cost-safe) shingling: materializes `_norm` then `outCol`;
+    * CollapseProject keeps the multi-referenced regex in its own projection,
+    * so normalization runs once per row. */
+  def withShingles(df: DataFrame, textCol: String, k: Int, outCol: String): DataFrame =
+    df.withColumn("_norm", normalizeText(col(textCol)))
+      .withColumn(outCol, shinglesOfNorm(col("_norm"), k))
+      .drop("_norm")
+
+  /** Rolling-hash document fingerprint over a shingle-array column: the
+    * minimum shingle hash — a 1-hash MinHash, stable under small edits away
+    * from the minimizing window. */
+  def rollingFingerprintOfShingles(sh: Column): Column =
+    array_min(transform(sh, s => xxhash64(s)))
+
+  def rollingFingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    withShingles(df, textCol, k, "_sh")
+      .withColumn("fingerprint", rollingFingerprintOfShingles(col("_sh")))
+      .drop("_sh")
 }
