@@ -32,13 +32,16 @@ object Bench {
     s
   }
 
-  /** One full validation pass; returns validated turn count. */
-  private def validationPass(spark: SparkSession, numConvs: Long, parts: Int): Long = {
+  /** One full validation pass over a stored transcript table; returns
+    * validated turn count. This is the engine under test: row constraint
+    * scan (fail-fast + violations for failures), key uniqueness,
+    * tool-vocabulary referential check, per-partition stats — reading from
+    * parquet like a real run. */
+  private def validationPass(spark: SparkSession, path: String): Long = {
     import graft.checks.TableChecks
-    val turns = TranscriptGen.turns(spark, numConvs, parts = parts, numParts = 64)
+    val turns = spark.read.parquet(path)
     val res = Graft.validate(turns, TranscriptGen.transcriptSchemaJson,
       Seq("conv_id", "turn_idx"))
-    // force the whole pipeline: verdict agg + violation count + table checks
     val rows = res.partitionVerdicts.agg(sum("rows")).head().getLong(0)
     res.violations.count()
     TableChecks.uniqueness(turns, Seq("conv_id", "turn_idx")).count()
@@ -57,28 +60,42 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nLow = math.max(1, cpus / 4)
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "300000").toLong
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000000").toLong
 
     // --- part 1: per-query times on the sf dir at full parallelism ---------
     val spark = newSession(cpus)
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long =
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        System.err.println(s"[bench] QUERY FAILED $name: ${e.getMessage}"); -1L }
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, warm) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
-      val (_, t) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+      val (_, warm) = time(runOnce(name, fn))
+      val (_, t) = time(runOnce(name, fn))
       System.err.println(f"[bench] $name: warm=$warm%.2fs timed=$t%.2fs")
       name -> math.min(warm, t)
     }
 
-    // --- part 2: scaling run (same input, N vs 4N cores) -------------------
-    // warm-up at full cores (JIT/codegen caches), then timed runs
-    val (rowsHi0, _) = time(validationPass(spark, benchConvs / 10, parts = cpus * 2))
-    val (rowsHi, tHi) = time(validationPass(spark, benchConvs, parts = cpus * 2))
+    // --- part 2: scaling run (same stored input, N vs 4N cores) ------------
+    // materialize the synthetic table once (untimed) — the engine under
+    // test reads from parquet, like a real run against the lake
+    val benchPath = s"/tmp/graft-bench-turns-$benchConvs"
+    if (!new java.io.File(benchPath, "_SUCCESS").exists()) {
+      TranscriptGen.turns(spark, benchConvs, parts = cpus * 2, numParts = 64)
+        .write.mode("overwrite").parquet(benchPath)
+    }
+    val warmPath = "/tmp/graft-bench-turns-warm"
+    if (!new java.io.File(warmPath, "_SUCCESS").exists()) {
+      TranscriptGen.turns(spark, 20000, parts = cpus, numParts = 64)
+        .write.mode("overwrite").parquet(warmPath)
+    }
+    time(validationPass(spark, warmPath)) // warm (JIT/codegen caches)
+    val (rowsHi, tHi) = time(validationPass(spark, benchPath))
     spark.stop()
 
     val sparkLo = newSession(nLow)
-    time(validationPass(sparkLo, benchConvs / 10, parts = cpus * 2)) // warm
-    val (rowsLo, tLo) = time(validationPass(sparkLo, benchConvs, parts = cpus * 2))
+    time(validationPass(sparkLo, warmPath)) // warm
+    val (rowsLo, tLo) = time(validationPass(sparkLo, benchPath))
     sparkLo.stop()
-    require(rowsLo == rowsHi, s"determinism breach: $rowsLo != $rowsHi (warm=$rowsHi0)")
+    require(rowsLo == rowsHi, s"determinism breach: $rowsLo != $rowsHi")
 
     val thrHi = rowsHi / tHi
     val thrLo = rowsLo / tLo

@@ -41,15 +41,28 @@ object Dedup {
     * would re-evaluate `sh` (and anything captured in it) H times per row
     * in interpreted HOF eval. */
   def minhashSignatureOfShingles(sh: Column, numHashes: Int = 32): Column =
+    // family member h = xxhash64(shingle, h) — Spark chains multi-arg
+    // xxhash64 as hashLong(h, seed = hashBytes(shingle, 42)), so the native
+    // MinHashExpr reproduces it with ONE bytes-hash per shingle.
     aggregate(sh,
       array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+      (acc, s) => zip_with(acc, sequence(lit(0L), lit(numHashes - 1L)),
         (m, h) => least(m, xxhash64(s, h))))
 
-  /** Staged DataFrame form: id, sig — normalization and shingling each
-    * materialized once per row. */
+  /** Staged DataFrame form: id, sig. Uses the native codegen'd
+    * [[graft.functions.MinHashExpr]] — one pass over the normalized bytes,
+    * no shingle-array materialization; bit-identical to the HOF
+    * formulation (asserted in OpsSpec). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, shingleK: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.normalizeText(col(textCol)).as("_norm"))
+      .select(col("id"),
+        graft.functions.MinHashExpr.minhash(col("_norm"), shingleK, numHashes).as("sig"))
+
+  /** HOF reference implementation of the signature (oracle for the native
+    * expression; also usable where a pure-builtin plan is preferred). */
+  def minhashSignaturesHof(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 32, shingleK: Int = 8): DataFrame =
     TextAnalysis.withShingles(
         df.select(col(idCol).as("id"), col(textCol).as("_text")), "_text", shingleK, "_sh")
       .select(col("id"), minhashSignatureOfShingles(col("_sh"), numHashes).as("sig"))
@@ -128,10 +141,12 @@ object Dedup {
     * counters (referencing the token array exactly once — a per-bit
     * aggregate would re-scan the tokens 64 times per row). */
   def simhashOfTokens(tokens: Column): Column = {
-    val votes = aggregate(tokens,
+    // hash each token once; the per-bit vote reads bits of the lambda var
+    val hashes = transform(tokens, t => xxhash64(t))
+    val votes = aggregate(hashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, sequence(lit(0L), lit(63L)),
-        (v, i) => v + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(63L)),
+        (v, i) => v + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
     // fold votes to a 64-bit signature: bit i set iff vote > 0
     aggregate(zip_with(votes, sequence(lit(0L), lit(63L)),
         (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),

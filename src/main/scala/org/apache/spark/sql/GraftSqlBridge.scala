@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the `private[sql]` Column↔Expression converters —
+  * the standard extension-point idiom for libraries that register custom
+  * Catalyst expressions (same technique Spark connectors use). Kept to two
+  * forwarding calls; no Spark internals are reimplemented here. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -48,6 +48,19 @@ class OpsSpec extends SparkTestBase {
     pairs.where(col("id_b") >= 1000000L && col("est_jaccard") === 1.0).count() should be >= 3L
   }
 
+  test("native MinHashExpr matches the HOF formulation bit-for-bit") {
+    val nat = graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", 16, 8)
+    val hof = graft.ops.Dedup.minhashSignaturesHof(docs, "doc_id", "text", 16, 8)
+    val joined = nat.as("n").join(hof.as("h"), col("n.id") === col("h.id"))
+      .where(expr("n.sig <> h.sig"))
+    joined.count() shouldBe 0L
+    // short-string edge: whole string as single shingle
+    val one = spark.sql("SELECT 'abc' AS t")
+    val a = graft.ops.Dedup.minhashSignatures(one.withColumn("id", lit(1L)), "id", "t", 4, 8).head().getSeq[Long](1)
+    val b = graft.ops.Dedup.minhashSignaturesHof(one.withColumn("id", lit(1L)), "id", "t", 4, 8).head().getSeq[Long](1)
+    a shouldBe b
+  }
+
   test("simhash: identical text distance 0, perturbed text small distance") {
     val sig = docs.limit(5).select(col("doc_id"), Dedup.simhash(col("text")).as("s"),
       Dedup.simhash(concat(col("text"), lit(" extra token"))).as("s2"))
