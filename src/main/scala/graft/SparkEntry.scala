@@ -111,6 +111,16 @@ object SparkEntry {
         .where(col("n_events") > 72)
     }),
 
+    "q_monotone_value" -> ((s, dir) => { implicit val sp = s
+      // per-group ordered-sequence monotonicity (the ts-monotonicity
+      // operator shape, applied to events.value ordered by event_id)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(dir, "events").withColumn("_prev", lag(col("value"), 1).over(w))
+        .where(col("_prev").isNotNull && col("value") < col("_prev"))
+        .select(col("event_id"))
+    }),
+
     "q_window_first" -> ((s, dir) => { implicit val sp = s
       // stable per-group ordering (row_number over (user, ts, id)) — the
       // turn-ordering primitive for transcripts
@@ -263,6 +273,12 @@ object SparkEntry {
     "q_group_size" ->
       """SELECT user_id, count(*) AS n_events FROM events
          GROUP BY user_id HAVING count(*) > 72""",
+
+    "q_monotone_value" ->
+      """SELECT event_id FROM (
+           SELECT event_id, value,
+                  lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+           FROM events) WHERE pv IS NOT NULL AND value < pv""",
 
     "q_window_first" ->
       """SELECT user_id, event_id FROM (

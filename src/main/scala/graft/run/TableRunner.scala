@@ -1,0 +1,72 @@
+package graft.run
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.checks.{Drift, TableChecks}
+import graft.spec.SchemaSpec
+
+/** Whole-table validation orchestration: one declarative config → one
+  * report. This is the "switch from the reference" entry point for a table:
+  * the row-level constraint pass (valijson semantics) plus every
+  * north-rule table check, each a separate lazily-planned DataFrame so
+  * callers pay only for what they materialize.
+  */
+object TableRunner {
+
+  final case class UniquenessSpec(keys: Seq[String])
+  final case class ReferentialSpec(column: String, vocab: Either[Seq[String], (DataFrame, String)])
+  final case class DriftSpec(column: String, expr: Option[Column], baseline: Drift.Histogram,
+                             psiThreshold: Double = 0.25)
+
+  final case class TableValidationConfig(
+      rowSpec: SchemaSpec,
+      keyCols: Seq[String],
+      uniqueness: Seq[UniquenessSpec] = Nil,
+      referential: Seq[ReferentialSpec] = Nil,
+      statsCols: Seq[String] = Nil,
+      drift: Seq[DriftSpec] = Nil,
+      partCol: String = "part_id")
+
+  final case class TableValidationReport(
+      flagged: DataFrame,
+      violations: DataFrame,
+      partitionVerdicts: DataFrame,
+      duplicateKeys: Map[String, DataFrame],
+      referentialViolations: Map[String, DataFrame],
+      stats: Option[DataFrame],
+      driftVerdicts: Seq[(String, Drift.DriftVerdict)]) {
+
+    /** Global pass/fail: no failing rows, no duplicate keys, no
+      * referential violations, no drifted columns. Materializes
+      * everything. */
+    def pass(): Boolean = {
+      val rowsOk = partitionVerdicts.agg(sum(when(col("pass"), 0).otherwise(1))).head().getLong(0) == 0
+      val dupsOk = duplicateKeys.values.forall(_.isEmpty)
+      val refOk = referentialViolations.values.forall(_.isEmpty)
+      val driftOk = driftVerdicts.forall(_._2.pass)
+      rowsOk && dupsOk && refOk && driftOk
+    }
+  }
+
+  def run(df: DataFrame, cfg: TableValidationConfig): TableValidationReport = {
+    val row = Runner.rowChecks(df, cfg.rowSpec, cfg.keyCols, cfg.partCol)
+    val dups = cfg.uniqueness.map { u =>
+      u.keys.mkString(",") -> TableChecks.uniqueness(df, u.keys)
+    }.toMap
+    val refs = cfg.referential.map { r =>
+      r.column -> (r.vocab match {
+        case Left(values)        => TableChecks.referentialStatic(df, r.column, values)
+        case Right((vdf, vcol))  => TableChecks.referential(df, r.column, vdf, vcol)
+      })
+    }.toMap
+    val stats = if (cfg.statsCols.nonEmpty)
+      Some(TableChecks.stats(df, Seq(cfg.partCol), cfg.statsCols)) else None
+    val drifts = cfg.drift.map { d =>
+      val c = d.expr.getOrElse(col(d.column))
+      d.column -> Drift.check(df, c, d.baseline, d.psiThreshold)
+    }
+    TableValidationReport(row.flagged, row.violations, row.partitionVerdicts,
+      dups, refs, stats, drifts)
+  }
+}
