@@ -164,11 +164,14 @@ object Compiler {
       leaf(ok, ptr, lit(Messages.typeNotPermitted), "type")
 
     case EnumC(values) =>
-      val ok = value.isNull.or(enumMatch(value, dt, values))
+      // JSON null (NULL element / scalar) matches only a null constant;
+      // absent properties never reach here (guarded at the property site).
+      val nullOk = values.contains(JNullV)
+      val ok = when(value.isNull, lit(nullOk)).otherwise(b(enumMatch(value, dt, values)))
       leaf(ok, ptr, lit(Messages.enumNoMatch), "enum")
 
     case ConstC(v) =>
-      val ok = value.isNull.or(enumMatch(value, dt, Vector(v)))
+      val ok = when(value.isNull, lit(v == JNullV)).otherwise(b(enumMatch(value, dt, Vector(v))))
       leaf(ok, ptr, lit(Messages.constNoMatch), "const")
 
     case MinimumC(m, excl) =>

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.checks.TableChecks
+import graft.data.TranscriptGen
+
+/** Clean scaling measurement: fresh JVM, one parallelism level, N timed
+  * repetitions of the full validation pass over a stored table. */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val path = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // size scan splits so the input stage has >= 2 waves at full cores
+      .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("GRAFT_MAX_PART", "16m"))
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def step[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      System.err.println(f"[step] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      a
+    }
+    def pass(): Long = {
+      val turns = spark.read.parquet(path)
+      val res = Graft.validate(turns, TranscriptGen.transcriptSchemaJson, Seq("conv_id", "turn_idx"))
+      val rows = step("verdicts")(res.partitionVerdicts.agg(sum("rows")).head().getLong(0))
+      step("violations")(res.violations.count())
+      step("uniqueness")(TableChecks.uniqueness(turns, Seq("conv_id", "turn_idx")).count())
+      step("referential")(TableChecks.referentialStatic(turns, "tool", TranscriptGen.toolVocab).count())
+      step("stats")(TableChecks.stats(turns, Seq("part_id"), Seq("role", "text", "turn_idx")).count())
+      rows
+    }
+    var rows = 0L
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      rows = pass()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scaling] cores=$cores rep=$i rows=$rows time=$t%.2fs thr=${rows / t}%.0f turns/s")
+    }
+    spark.stop()
+  }
+}
