@@ -29,6 +29,9 @@ object Bench {
       // scan-split sizing: keep >=2 waves of input tasks at full cores
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // shuffle/spill on tmpfs: /dev/vda writeback storms otherwise inject
+      // 30-60s stalls into timed runs on this VM
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -50,6 +53,7 @@ object Bench {
     TableChecks.uniqueness(turns, Seq("conv_id", "turn_idx")).count()
     TableChecks.referentialStatic(turns, "tool", TranscriptGen.toolVocab).count()
     TableChecks.stats(turns, Seq("part_id"), Seq("role", "text", "turn_idx")).count()
+    graft.checks.Drift.histogramDF(turns, length(col("text")).cast("double"), 0, 400, 40).count()
     rows
   }
 
@@ -79,12 +83,12 @@ object Bench {
     // --- part 2: scaling run (same stored input, N vs 4N cores) ------------
     // materialize the synthetic table once (untimed) — the engine under
     // test reads from parquet, like a real run against the lake
-    val benchPath = s"/tmp/graft-bench-turns-$benchConvs"
+    val benchPath = s"/dev/shm/graft-bench-turns-$benchConvs"
     if (!new java.io.File(benchPath, "_SUCCESS").exists()) {
       TranscriptGen.turns(spark, benchConvs, parts = cpus * 2, numParts = 64)
         .write.mode("overwrite").parquet(benchPath)
     }
-    val warmPath = "/tmp/graft-bench-turns-warm"
+    val warmPath = "/dev/shm/graft-bench-turns-warm"
     if (!new java.io.File(warmPath, "_SUCCESS").exists()) {
       TranscriptGen.turns(spark, 20000, parts = cpus, numParts = 64)
         .write.mode("overwrite").parquet(warmPath)
@@ -102,15 +106,23 @@ object Bench {
     // level is min-of-reps to shed scheduler noise.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
-    def levelTime(cores: Int): (Long, Double) = {
+    // interleaved pairs: this VM's background noise moves on minute
+    // timescales, so measuring 4N and N back-to-back within each pair and
+    // taking per-level minima keeps the ratio honest. Codegen/JIT caches
+    // are JVM-wide, so per-pair sessions restart cheaply.
+    def onePass(cores: Int, path: String): (Long, Double) = {
       val s = newSession(cores)
-      time(validationPass(s, warmPath)) // warm
-      val runs = (1 to reps).map(_ => time(validationPass(s, benchPath)))
-      s.stop()
-      (runs.head._1, runs.map(_._2).min)
+      val r = time(validationPass(s, path))
+      s.stop(); r
     }
-    val (rows4n, t4n) = levelTime(scaleN * 4)
-    val (rowsLo, tLo) = levelTime(scaleN)
+    onePass(scaleN * 4, warmPath); onePass(scaleN, warmPath) // warm both levels
+    val pairs = (1 to reps).map { _ =>
+      (onePass(scaleN * 4, benchPath), onePass(scaleN, benchPath))
+    }
+    val rows4n = pairs.head._1._1
+    val rowsLo = pairs.head._2._1
+    val t4n = pairs.map(_._1._2).min
+    val tLo = pairs.map(_._2._2).min
     require(rowsLo == rows4n && rowsLo == rowsHi, s"determinism breach: $rowsLo/$rows4n/$rowsHi")
 
     val thrHi = rowsHi / t4n

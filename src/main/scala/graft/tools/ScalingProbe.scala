@@ -20,6 +20,9 @@ object ScalingProbe {
       // size scan splits so the input stage has >= 2 waves at full cores
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("GRAFT_MAX_PART", "16m"))
       .config("spark.sql.files.openCostInBytes", "1m")
+      // shuffle/spill on tmpfs: /dev/vda writeback storms otherwise inject
+      // 30-60s stalls into timed runs on this VM
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -36,6 +39,7 @@ object ScalingProbe {
       step("uniqueness")(TableChecks.uniqueness(turns, Seq("conv_id", "turn_idx")).count())
       step("referential")(TableChecks.referentialStatic(turns, "tool", TranscriptGen.toolVocab).count())
       step("stats")(TableChecks.stats(turns, Seq("part_id"), Seq("role", "text", "turn_idx")).count())
+      step("drift")(graft.checks.Drift.histogramDF(turns, length(col("text")).cast("double"), 0, 400, 40).count())
       rows
     }
     var rows = 0L
