@@ -189,6 +189,48 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // --- near-dup clusters -----------------------------------------------------
+
+  /** Connected components over near-dup pairs (id_a, id_b) → (id, cluster)
+    * where cluster = min id reachable. Iterative min-label propagation
+    * (alternating join rounds), converging in O(log(diameter)) iterations —
+    * near-dup clusters are tiny (chains of a few docs), so 2-3 rounds
+    * suffice in practice; `maxIter` bounds the worst case. Each round is
+    * one shuffle on id; label frames are cached and localCheckpoint-ed to
+    * cut the growing lineage. */
+  def clusters(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label per node: min over own label and neighbors' labels
+      val viaNeighbors = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .unionAll(viaNeighbors)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("l"), col("n.id") === col("l.id"))
+        .where(col("n.cluster") =!= col("l.cluster")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Survivors after near-dup clustering: keep the min id per cluster.
+    * `all` = the full id set (ids not in any pair survive untouched). */
+  def survivors(all: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cl = clusters(pairs)
+    val losers = cl.where(col("id") =!= col("cluster")).select(col("id").as(idCol))
+    all.join(losers, Seq(idCol), "left_anti")
+  }
+
   // --- embedding near-dup -------------------------------------------------------
 
   /** Embedding-cosine near-duplicates: random-hyperplane LSH buckets

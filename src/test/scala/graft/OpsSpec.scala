@@ -79,6 +79,27 @@ class OpsSpec extends SparkTestBase {
       .where(col("id_b") >= 1000000L && col("hamming") === 0).count() should be >= 3L
   }
 
+  test("near-dup clusters: min-label connected components + survivors") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one cluster), isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cl(1L) shouldBe 1L; cl(2L) shouldBe 1L; cl(3L) shouldBe 1L
+    cl(10L) shouldBe 10L; cl(11L) shouldBe 10L
+    val all = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val surv = Dedup.survivors(all, "doc_id", pairs).collect().map(_.getLong(0)).sorted
+    surv shouldBe Array(1L, 10L, 99L)
+  }
+
+  test("salted skewed count equals plain groupBy count") {
+    val turns = graft.data.TranscriptGen.turns(spark, 300, parts = 4, numParts = 8)
+    val plain = turns.groupBy("conv_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.checks.TableChecks.countBySkewedKey(turns, "conv_id", salts = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    salted shouldBe plain
+  }
+
   test("ngram jaccard: identical 1.0, disjoint ~0") {
     val r = spark.range(1).select(
       Dedup.ngramJaccard(lit("the quick brown fox"), lit("the quick brown fox")).as("same"),
