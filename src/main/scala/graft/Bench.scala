@@ -100,29 +100,51 @@ object Bench {
     val tFull = fullRuns.map(_._2).min
     spark.stop()
 
-    // scaling levels: the same job at N and 4N cores. On this VM memory
-    // bandwidth saturates around 8 threads, so the CPU-scaling evidence
-    // uses N=2 vs 4N=8 by default (driver rule: "N and 4N cores"); each
-    // level is min-of-reps to shed scheduler noise.
+    // scaling levels: the same job at N and 4N CPUs. A "cluster of size N"
+    // is a JVM *pinned to N CPUs* (taskset): plain local[N] only limits
+    // Spark task threads while GC/JIT/netty still use every core, which
+    // flatters the small level and understates true scaling. Each level
+    // runs in a fresh pinned child JVM, interleaved 4N/N per pair, with
+    // min-of-reps per level (this VM has minute-scale background noise).
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
-    // interleaved pairs: this VM's background noise moves on minute
-    // timescales, so measuring 4N and N back-to-back within each pair and
-    // taking per-level minima keeps the ratio honest. Codegen/JIT caches
-    // are JVM-wide, so per-pair sessions restart cheaply.
-    def onePass(cores: Int, path: String): (Long, Double) = {
-      val s = newSession(cores)
-      val r = time(validationPass(s, path))
-      s.stop(); r
+    val pairsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val innerReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_INNER", "4").toInt
+
+    def pinnedLevel(cores: Int, path: String): (Long, Seq[Double]) = {
+      val java = sys.props("java.home") + "/bin/java"
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+        "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+        "java.base/sun.nio.cs", "java.base/sun.security.action",
+        "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq("taskset", "-c", s"0-${cores - 1}", java) ++ addOpens ++ Seq(
+        "-Xmx12g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"),
+        "graft.tools.ScalingProbe", cores.toString, path, innerReps.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      proc.waitFor()
+      val re = """rows=(\d+) time=([0-9.]+)s""".r.unanchored
+      val parsed = out.collect { case re(r, t) => (r.toLong, t.toDouble) }
+      require(parsed.nonEmpty, s"pinned level $cores produced no timings:\n${out.mkString("\n")}")
+      (parsed.head._1, parsed.map(_._2))
     }
-    onePass(scaleN * 4, warmPath); onePass(scaleN, warmPath) // warm both levels
-    val pairs = (1 to reps).map { _ =>
-      (onePass(scaleN * 4, benchPath), onePass(scaleN, benchPath))
+
+    val pairs = (1 to pairsN).map { _ =>
+      (pinnedLevel(scaleN * 4, benchPath), pinnedLevel(scaleN, benchPath))
     }
     val rows4n = pairs.head._1._1
     val rowsLo = pairs.head._2._1
-    val t4n = pairs.map(_._1._2).min
-    val tLo = pairs.map(_._2._2).min
+    // drop each child's first (JIT-cold) rep, then min across pairs
+    def steady(ts: Seq[Seq[Double]]): Double =
+      ts.map(t => (if (t.size > 1) t.drop(1) else t).min).min
+    val t4n = steady(pairs.map(_._1._2))
+    val tLo = steady(pairs.map(_._2._2))
     require(rowsLo == rows4n && rowsLo == rowsHi, s"determinism breach: $rowsLo/$rows4n/$rowsHi")
 
     val thrHi = rowsHi / t4n
