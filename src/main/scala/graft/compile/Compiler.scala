@@ -145,16 +145,42 @@ object Compiler {
         types.contains(JsonType.JAny) || types.contains(jt) ||
           (jt == JsonType.JInteger && types.contains(JsonType.JNumber))
       }
-      val dynOk: Column =
+      val intLikeDouble: Column = {
+        // Exact-integer doubles count as integers even in strict mode
+        // (validation_visitor.hpp:30-48 isDoubleAnInteger).
+        val d = value.cast(DoubleType)
+        d === floor(d) && d >= lit(Long.MinValue.toDouble) && d <= lit(Long.MaxValue.toDouble)
+      }
+      val strictDyn: Column =
         if (staticOk) lit(true)
-        else if (dt == DoubleType || dt == FloatType || dt.isInstanceOf[DecimalType]) {
-          if (types.contains(JsonType.JInteger)) {
-            // Exact-integer doubles count as integers even in strict mode
-            // (validation_visitor.hpp:30-48 isDoubleAnInteger).
-            val d = value.cast(DoubleType)
-            d === floor(d) && d >= lit(Long.MinValue.toDouble) && d <= lit(Long.MaxValue.toDouble)
-          } else lit(false)
-        } else lit(false)
+        else if ((dt == DoubleType || dt == FloatType || dt.isInstanceOf[DecimalType]) &&
+                 types.contains(JsonType.JInteger)) intLikeDouble
+        else lit(false)
+      val dynOk: Column =
+        if (staticOk || opts.strictTypes) strictDyn
+        else {
+          // Weak typing (kWeakTypes): maybe* conversions,
+          // basic_adapter.hpp:762-880 / ValidateNamedTypes VV:1650-1697.
+          val weak: Seq[Column] = dt match {
+            case t if isStringLike(t) =>
+              types.toSeq.flatMap {
+                case JsonType.JInteger => Some(value.try_cast(LongType).isNotNull)
+                case JsonType.JNumber  => Some(value.try_cast(DoubleType).isNotNull)
+                case JsonType.JBoolean => Some(value.isin("true", "false"))
+                case JsonType.JNull    => Some(value === "")
+                case _                 => None
+              }
+            case t if isNumeric(t) || t == BooleanType =>
+              // numbers/bools are maybeString (asString renders them)
+              if (types.contains(JsonType.JString)) Seq(lit(true))
+              else if (isNumeric(dt) && types.contains(JsonType.JInteger)) Seq(intLikeDouble)
+              else Nil
+            case _: ArrayType if types.contains(JsonType.JObject) => Seq(size(value) === 0)
+            case MapType(_, _, _) if types.contains(JsonType.JArray) => Seq(size(value) === 0)
+            case _ => Nil
+          }
+          weak.foldLeft(strictDyn)(_ || _)
+        }
       val schemaOk: Column = schemas.map(s => compile(s, value, dt, ptr, opts).pass)
         .foldLeft(dynOk)(_ || _)
       // NULL element = JSON null; NULL at a property site is filtered by
@@ -175,22 +201,31 @@ object Compiler {
       leaf(ok, ptr, lit(Messages.constNoMatch), "const")
 
     case MinimumC(m, excl) =>
-      if (!isNumeric(dt)) alwaysTrue
-      else {
-        val ok = value.isNull || (if (excl) value > lit(m) else value >= lit(m))
-        leaf(b(ok), ptr, lit(if (excl) Messages.minimumExcl(m) else Messages.minimumIncl(m)), "minimum")
+      numericTarget(value, dt, opts) match {
+        case None => alwaysTrue
+        case Some(d) =>
+          val ok = d.isNull || (if (excl) d > lit(m) else d >= lit(m))
+          leaf(b(value.isNull || ok), ptr,
+            lit(if (excl) Messages.minimumExcl(m) else Messages.minimumIncl(m)), "minimum")
       }
 
     case MaximumC(m, excl) =>
-      if (!isNumeric(dt)) alwaysTrue
-      else {
-        val ok = value.isNull || (if (excl) value < lit(m) else value <= lit(m))
-        leaf(b(ok), ptr, lit(if (excl) Messages.maximumExcl(m) else Messages.maximumIncl(m)), "maximum")
+      numericTarget(value, dt, opts) match {
+        case None => alwaysTrue
+        case Some(d) =>
+          val ok = d.isNull || (if (excl) d < lit(m) else d <= lit(m))
+          leaf(b(value.isNull || ok), ptr,
+            lit(if (excl) Messages.maximumExcl(m) else Messages.maximumIncl(m)), "maximum")
       }
 
     case MultipleOfIntC(d) =>
-      if (!isNumeric(dt)) alwaysTrue
-      else {
+      if (!isNumeric(dt) && !(isStringLike(dt) && !opts.strictTypes)) alwaysTrue
+      else if (isStringLike(dt)) {
+        // weak mode: string parseable as integer -> integer check; else pass
+        val i = value.try_cast(LongType)
+        val ok = value.isNull || i.isNull || i === 0 || i % lit(d) === 0
+        leaf(b(ok), ptr, lit(Messages.multipleOfInt(d)), "multipleOf")
+      } else {
         val ok: Column =
           if (isIntegral(dt)) value === 0 || value % lit(d) === 0
           else {
@@ -208,35 +243,42 @@ object Compiler {
       }
 
     case MultipleOfDoubleC(d) =>
-      if (!isNumeric(dt)) alwaysTrue
-      else if (d == 0.0) leaf(b(value.isNull || value.cast(DoubleType) === 0.0), ptr,
+      val target = numericTarget(value, dt, opts)
+      if (target.isEmpty) alwaysTrue
+      else if (d == 0.0) leaf(b(value.isNull || target.get.isNull || target.get === 0.0), ptr,
                               lit(Messages.multipleOfDouble(d)), "multipleOf")
       else {
         // Relative-epsilon tolerance, ported exactly from
         // validation_visitor.hpp:898-925.
-        val x = value.cast(DoubleType)
+        val x = target.get
         val q = x / lit(d)
         val finite = !isnan(q) && abs(q) <= lit(Double.MaxValue)
         val rounded = round(q, 0) // HALF_UP = away-from-zero, same as std::round
         val diff = abs(q - rounded)
         val tol = greatest(abs(q), lit(1.0)) * lit(2.220446049250313e-16)
-        val ok = value.isNull || x === 0.0 || (finite && diff <= tol)
+        val ok = value.isNull || x.isNull || x === 0.0 || (finite && diff <= tol)
         leaf(b(ok), ptr, lit(Messages.multipleOfDouble(d)), "multipleOf")
       }
 
     case PatternC(p) =>
-      if (!isStringLike(dt)) alwaysTrue
-      else leaf(b(value.isNull || value.rlike(p)), ptr, lit(Messages.patternNoMatch), "pattern")
+      stringTarget(value, dt, opts) match {
+        case None    => alwaysTrue
+        case Some(s) => leaf(b(value.isNull || s.rlike(p)), ptr, lit(Messages.patternNoMatch), "pattern")
+      }
 
     case MinLengthC(n) =>
-      if (!isStringLike(dt)) alwaysTrue
       // Spark length() counts Unicode code points — same as u8_strlen
       // (utils/utf8_utils.hpp:25-55).
-      else leaf(b(value.isNull || length(value) >= lit(n)), ptr, lit(Messages.minLength(n)), "minLength")
+      stringTarget(value, dt, opts) match {
+        case None    => alwaysTrue
+        case Some(s) => leaf(b(value.isNull || length(s) >= lit(n)), ptr, lit(Messages.minLength(n)), "minLength")
+      }
 
     case MaxLengthC(n) =>
-      if (!isStringLike(dt)) alwaysTrue
-      else leaf(b(value.isNull || length(value) <= lit(n)), ptr, lit(Messages.maxLength(n)), "maxLength")
+      stringTarget(value, dt, opts) match {
+        case None    => alwaysTrue
+        case Some(s) => leaf(b(value.isNull || length(s) <= lit(n)), ptr, lit(Messages.maxLength(n)), "maxLength")
+      }
 
     case FormatC(fmt) => compileFormat(fmt, value, dt, ptr, opts)
 
@@ -456,6 +498,33 @@ object Compiler {
     case CustomC(name, pred, message) =>
       leaf(b(value.isNull || pred(value)), ptr, lit(message), s"custom:$name")
   }
+
+  // ---------------------------------------------------------------------
+  // weak-typing targets (kWeakTypes, basic_adapter.hpp:335-547)
+  // ---------------------------------------------------------------------
+
+  /** The numeric view of a value for bounds/multipleOf checks. Strict:
+    * numeric columns only. Weak: strings too, via try_cast (parse failure
+    * = constraint passes, mirroring `!maybeDouble -> return true`,
+    * validation_visitor.hpp:632,749). */
+  private def numericTarget(value: Column, dt: DataType, opts: CompileOptions): Option[Column] =
+    if (isNumeric(dt)) Some(value.cast(DoubleType))
+    else if (!opts.strictTypes && isStringLike(dt)) Some(value.try_cast(DoubleType))
+    else None
+
+  /** The string view of a value for length/pattern checks. Weak mode
+    * renders bools as true/false and numbers via C++ std::to_string
+    * (asString, basic_adapter.hpp:467-507: doubles get 6 fixed decimals). */
+  private def stringTarget(value: Column, dt: DataType, opts: CompileOptions): Option[Column] =
+    if (isStringLike(dt)) Some(value)
+    else if (opts.strictTypes) None
+    else dt match {
+      case BooleanType => Some(when(value, "true").otherwise("false"))
+      case t if isIntegral(t) => Some(value.cast(StringType))
+      case DoubleType | FloatType => Some(format_string("%.6f", value.cast(DoubleType)))
+      case _: DecimalType => Some(value.cast(StringType))
+      case _ => None
+    }
 
   // ---------------------------------------------------------------------
   // properties / patternProperties / additionalProperties
