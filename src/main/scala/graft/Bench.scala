@@ -120,7 +120,8 @@ object Bench {
         "java.base/sun.nio.cs", "java.base/sun.security.action",
         "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
       val cmd = Seq("taskset", "-c", s"0-${cores - 1}", java) ++ addOpens ++ Seq(
-        "-Xmx12g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-Xmx12g", "-Dspark.ui.enabled=false", "-Dfile.encoding=UTF-8",
+        "-Dspark.sql.session.timeZone=UTC",
         "-cp", sys.props("java.class.path"),
         "graft.tools.ScalingProbe", cores.toString, path, innerReps.toString)
       val pb = new ProcessBuilder(cmd: _*)

@@ -52,4 +52,28 @@ object Graft {
   /** Fail-fast boolean per row (the `applyStrict` mode) — cheapest scan. */
   def passColumn(df: DataFrame, schemaJson: String): Column =
     Compiler.compileRow(parseSchema(schemaJson), df.schema).pass
+
+  final case class JsonValidation(flagged: DataFrame)
+
+  /** Validate a column of arbitrary JSON documents — the fully-dynamic
+    * valijson mode: each document is parsed to a Spark variant and the
+    * compiled spec dispatches on the per-row runtime type. Adds `pass`
+    * (malformed JSON fails) and `violations`. Shuffle-free projection. */
+  def validateJsonColumn(df: DataFrame, jsonCol: String, spec: SchemaSpec,
+                         opts: CompileOptions = CompileOptions()): DataFrame = {
+    val v = try_parse_json(col(jsonCol))
+    val c = Compiler.compile(spec, v, org.apache.spark.sql.types.VariantType, lit(""), opts)
+    val malformed = col(jsonCol).isNotNull && v.isNull
+    df.withColumn("pass", !malformed && coalesce(c.pass, lit(true)))
+      .withColumn("violations",
+        when(malformed, array(struct(
+          lit("").as("json_pointer"),
+          lit("Failed to parse JSON document.").as("description"),
+          lit("parse").as("kind"))).cast(Compiler.violationArrayType))
+          .when(col("pass"), array().cast(Compiler.violationArrayType))
+          .otherwise(c.violations))
+  }
+
+  def validateJsonColumn(df: DataFrame, jsonCol: String, schemaJson: String): DataFrame =
+    validateJsonColumn(df, jsonCol, parseSchema(schemaJson))
 }

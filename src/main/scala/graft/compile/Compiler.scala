@@ -135,7 +135,12 @@ object Compiler {
   // ---------------------------------------------------------------------
 
   private def compileConstraint(c: Constraint, value: Column, dt: DataType,
-                                ptr: Column, opts: CompileOptions): Compiled = c match {
+                                ptr: Column, opts: CompileOptions): Compiled =
+    if (dt == VariantType) compileVariantConstraint(c, value, ptr, opts)
+    else compileTypedConstraint(c, value, dt, ptr, opts)
+
+  private def compileTypedConstraint(c: Constraint, value: Column, dt: DataType,
+                                     ptr: Column, opts: CompileOptions): Compiled = c match {
 
     // ---- §2.1 leaves ----------------------------------------------------
 
@@ -435,18 +440,23 @@ object Compiler {
     }
 
     case UniqueItemsC => dt match {
-      case _: ArrayType =>
+      case ArrayType(et, _) =>
         // Pairwise deep-equality (validation_visitor.hpp:1362-1399) — O(n²)
-        // like the reference, but only within one row's array.
+        // like the reference, but only within one row's array. Variant
+        // elements compare through their canonical JSON rendering.
+        def deepEq(x: Column, y: Column): Column =
+          if (et == VariantType) to_json(x) <=> to_json(y) else x <=> y
         val pairViols = flatten(transform(value, (x, i) =>
           filter(transform(value, (y, j) =>
-            when(j > i && (x <=> y),
+            when(j > i && deepEq(x, y),
               struct(ptr.as("json_pointer"),
                 concat(lit("Elements at indexes #"), i.cast(StringType), lit(" and #"),
                   j.cast(StringType), lit(" violate uniqueness constraint.")).as("description"),
                 lit("uniqueItems").as("kind"))).otherwise(lit(null).cast(violationStructType))),
             v => v.isNotNull)))
-        val ok = value.isNull || size(value) === size(array_distinct(value))
+        val ok =
+          if (et == VariantType) value.isNull || size(pairViols) === 0
+          else value.isNull || size(value) === size(array_distinct(value))
         Compiled(b(ok), when(value.isNull, emptyViols).otherwise(pairViols.cast(violationArrayType)))
       case _ => alwaysTrue
     }
@@ -497,6 +507,131 @@ object Compiler {
 
     case CustomC(name, pred, message) =>
       leaf(b(value.isNull || pred(value)), ptr, lit(message), s"custom:$name")
+  }
+
+  // ---------------------------------------------------------------------
+  // Dynamic JSON documents (Spark VariantType) — the fully-dynamic path:
+  // arbitrary JSON values validated with the same spec, type dispatch done
+  // per row via schema_of_variant, containers recursing through
+  // map<string,variant> / array<variant> casts into the typed machinery.
+  // This is the closest analog of the reference's adapter interface
+  // (internal/adapter.hpp:22-457) — one "parser adapter", Spark's variant.
+  // ---------------------------------------------------------------------
+
+  private val mapOfVariant = MapType(StringType, VariantType)
+  private val arrOfVariant = ArrayType(VariantType)
+
+  private def compileVariantConstraint(c: Constraint, v: Column, ptr: Column,
+                                       opts: CompileOptions): Compiled = {
+    val sch = schema_of_variant(v)
+    def vStr  = sch === "STRING"
+    def vBool = sch === "BOOLEAN"
+    def vLong = sch.isin("TINYINT", "SMALLINT", "INT", "BIGINT")
+    def vFrac = sch.startsWith("DECIMAL") || sch.isin("DOUBLE", "FLOAT")
+    def vNum  = vLong || vFrac
+    def vNull = is_variant_null(v)
+    def vArr  = sch.startsWith("ARRAY")
+    def vObj  = sch.startsWith("OBJECT")
+    def asD   = v.try_cast("double")
+    def asS   = v.try_cast("string")
+    def asArr = v.try_cast("array<variant>")
+    def asMap = v.try_cast("map<string,variant>")
+
+    /** Apply `inner` only when `applicable`; other types pass (the
+      * reference's type-applicability rule). NULL variant = absent. */
+    def guarded(applicable: Column, inner: Compiled): Compiled =
+      Compiled(b(v.isNull || !b(applicable) || inner.pass),
+        when(v.isNull || !b(applicable), emptyViols).otherwise(inner.violations))
+
+    def constEq(jv: JsonValue): Column = jv match {
+      case JNullV       => vNull
+      case JBoolV(x)    => vBool && v.try_cast("boolean") === x
+      case JLongV(l)    => vNum && asD === lit(l.toDouble) // numbers compare as doubles
+      case JDoubleV(d)  => vNum && asD === lit(d)
+      case JStringV(s)  => vStr && asS === s
+      case composite    =>
+        // arrays/objects: canonicalize BOTH sides through variant encoding
+        (vArr || vObj) && (to_json(v) <=> to_json(parse_json(lit(JsonValue.render(composite)))))
+    }
+
+    c match {
+      case TypeC(types, schemas) =>
+        val named: Seq[Column] = types.toSeq.map {
+          case JsonType.JAny     => lit(true)
+          case JsonType.JString  => vStr
+          case JsonType.JBoolean => vBool
+          case JsonType.JInteger => vLong || (vFrac && asD === floor(asD) &&
+            asD >= lit(Long.MinValue.toDouble) && asD <= lit(Long.MaxValue.toDouble))
+          case JsonType.JNumber  => vNum
+          case JsonType.JNull    => vNull
+          case JsonType.JArray   => vArr
+          case JsonType.JObject  => vObj
+        }
+        val schemaOk = schemas.map(s => compile(s, v, VariantType, ptr, opts).pass)
+        val ok = (named ++ schemaOk).foldLeft(lit(false))(_ || b(_))
+        leaf(b(v.isNull || ok), ptr, lit(Messages.typeNotPermitted), "type")
+
+      case EnumC(values) =>
+        val ok = values.map(constEq).foldLeft(lit(false))(_ || b(_))
+        leaf(b(v.isNull || ok), ptr, lit(Messages.enumNoMatch), "enum")
+
+      case ConstC(jv) =>
+        leaf(b(v.isNull || constEq(jv)), ptr, lit(Messages.constNoMatch), "const")
+
+      case MinimumC(m, excl) =>
+        val cmp = if (excl) asD > lit(m) else asD >= lit(m)
+        leaf(b(v.isNull || !vNum || cmp), ptr,
+          lit(if (excl) Messages.minimumExcl(m) else Messages.minimumIncl(m)), "minimum")
+
+      case MaximumC(m, excl) =>
+        val cmp = if (excl) asD < lit(m) else asD <= lit(m)
+        leaf(b(v.isNull || !vNum || cmp), ptr,
+          lit(if (excl) Messages.maximumExcl(m) else Messages.maximumIncl(m)), "maximum")
+
+      case MultipleOfIntC(d) =>
+        val i = v.try_cast("bigint")
+        val intOk = i === 0 || i % lit(d) === 0
+        val fracOutOfRange = asD < lit(Long.MinValue.toDouble) || asD > lit(Long.MaxValue.toDouble)
+        val rem = asD - bround(asD / lit(d.toDouble)) * lit(d.toDouble)
+        val fracOk = when(fracOutOfRange, abs(rem) <= lit(2.220446049250313e-16))
+          .otherwise(asD.try_cast("bigint") === 0 || asD.try_cast("bigint") % lit(d) === 0)
+        leaf(b(v.isNull || when(vLong, intOk).when(vFrac, fracOk).otherwise(lit(true))),
+          ptr, lit(Messages.multipleOfInt(d)), "multipleOf")
+
+      case MultipleOfDoubleC(d) =>
+        if (d == 0.0) leaf(b(v.isNull || !vNum || asD === 0.0), ptr,
+          lit(Messages.multipleOfDouble(d)), "multipleOf")
+        else {
+          val q = asD / lit(d)
+          val finite = !isnan(q) && abs(q) <= lit(Double.MaxValue)
+          val diff = abs(q - round(q, 0))
+          val tol = greatest(abs(q), lit(1.0)) * lit(2.220446049250313e-16)
+          leaf(b(v.isNull || !vNum || asD === 0.0 || (finite && diff <= tol)), ptr,
+            lit(Messages.multipleOfDouble(d)), "multipleOf")
+        }
+
+      case PatternC(p) =>
+        leaf(b(v.isNull || !vStr || asS.rlike(p)), ptr, lit(Messages.patternNoMatch), "pattern")
+      case MinLengthC(n) =>
+        leaf(b(v.isNull || !vStr || length(asS) >= lit(n)), ptr, lit(Messages.minLength(n)), "minLength")
+      case MaxLengthC(n) =>
+        leaf(b(v.isNull || !vStr || length(asS) <= lit(n)), ptr, lit(Messages.maxLength(n)), "maxLength")
+      case FormatC(fmt) =>
+        guarded(vStr, compileFormat(fmt, asS, StringType, ptr, opts))
+
+      // objects: recurse through map<string,variant>
+      case _: RequiredC | _: PropertiesC | _: MinPropertiesC | _: MaxPropertiesC |
+           _: PropertyNamesC | _: DependenciesC =>
+        guarded(vObj, compileTypedConstraint(c, asMap, mapOfVariant, ptr, opts))
+
+      // arrays: recurse through array<variant>
+      case _: ItemsC | _: TupleItemsC | _: MinItemsC | _: MaxItemsC |
+           UniqueItemsC | _: ContainsC =>
+        guarded(vArr, compileTypedConstraint(c, asArr, arrOfVariant, ptr, opts))
+
+      // combinators + custom recurse with VariantType unchanged
+      case _ => compileTypedConstraint(c, v, VariantType, ptr, opts)
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -54,6 +54,26 @@ final case class JArrayV(vs: Vector[JsonValue]) extends JsonValue
 final case class JObjectV(vs: Map[String, JsonValue]) extends JsonValue
 
 object JsonValue {
+  /** Serialize back to JSON text (for canonical comparison of composite
+    * frozen constants through Spark's variant encoding). */
+  def render(v: JsonValue): String = v match {
+    case JNullV       => "null"
+    case JBoolV(b)    => if (b) "true" else "false"
+    case JLongV(l)    => l.toString
+    case JDoubleV(d)  => if (d == Math.floor(d) && !d.isInfinite && math.abs(d) < 1e15)
+                           s"${d.toLong}.0" else d.toString
+    case JStringV(s)  => "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case JArrayV(xs)  => xs.map(render).mkString("[", ",", "]")
+    case JObjectV(fs) => fs.toSeq.sortBy(_._1)
+      .map { case (k, x) => render(JStringV(k)) + ":" + render(x) }
+      .mkString("{", ",", "}")
+  }
+
   /** Deep equality per valijson `basic_adapter.hpp:509-547`: numeric kinds
     * unify through double comparison (515-516); arrays ordered (525-530);
     * objects unordered by key (534-540). */

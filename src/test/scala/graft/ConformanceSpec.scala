@@ -60,6 +60,17 @@ class ConformanceSpec extends SparkTestBase {
     } else None
   }
 
+  /** Dynamic path: the document as an arbitrary JSON value through the
+    * VariantType compiler — no typing restrictions, nothing skipped. */
+  private def runCaseVariant(schemaJson: JsonNode, data: JsonNode): Boolean = {
+    val spec = SpecParser.parseNode(schemaJson)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(data.toString))),
+      StructType(Seq(StructField("j", StringType))))
+    val out = Graft.validateJsonColumn(df, "j", spec)
+    out.select("pass").collect()(0).getBoolean(0)
+  }
+
   private def runCase(schemaJson: JsonNode, data: JsonNode): Option[Boolean] = {
     val spec = SpecParser.parseNode(schemaJson)
     infer(data).map {
@@ -76,32 +87,51 @@ class ConformanceSpec extends SparkTestBase {
     }
   }
 
-  test("conformance suite (JSON-Schema-Test-Suite format)") {
-    val url = getClass.getResource("/conformance")
-    val dir = new java.io.File(url.toURI)
-    var total = 0; var passed = 0; var skipped = 0
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    dir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName).foreach { f =>
-      val groups = mapper.readTree(f)
-      groups.elements().asScala.foreach { g =>
-        val schema = g.get("schema")
+  private def forEachCase(f: (String, String, JsonNode, JsonNode, Boolean) => Unit): Unit = {
+    val dir = new java.io.File(getClass.getResource("/conformance").toURI)
+    dir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName).foreach { file =>
+      mapper.readTree(file).elements().asScala.foreach { g =>
         g.get("tests").elements().asScala.foreach { t =>
-          total += 1
-          try runCase(schema, t.get("data")) match {
-            case None => skipped += 1
-            case Some(got) =>
-              val want = t.get("valid").asBoolean()
-              if (got == want) passed += 1
-              else failures += s"${f.getName}: ${g.get("description").asText()} / ${t.get("description").asText()}: got $got want $want"
-          } catch {
-            case e: IllegalArgumentException => skipped += 1 // unsupported construct
-          }
+          f(s"${file.getName}: ${g.get("description").asText()} / ${t.get("description").asText()}",
+            g.get("description").asText(), g.get("schema"), t.get("data"),
+            t.get("valid").asBoolean())
         }
       }
     }
-    info(s"conformance: $passed passed, $skipped skipped, ${failures.size} failed of $total")
+  }
+
+  test("conformance suite: typed-column path (JSON-Schema-Test-Suite format)") {
+    var total = 0; var passed = 0; var skipped = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    forEachCase { (label, _, schema, data, want) =>
+      total += 1
+      try runCase(schema, data) match {
+        case None => skipped += 1
+        case Some(got) =>
+          if (got == want) passed += 1
+          else failures += s"$label: got $got want $want"
+      } catch {
+        case _: IllegalArgumentException => skipped += 1 // unsupported construct
+      }
+    }
+    info(s"typed conformance: $passed passed, $skipped skipped, ${failures.size} failed of $total")
     failures.foreach(f => info(s"  FAIL $f"))
     failures shouldBe empty
     passed should be > 80
+  }
+
+  test("conformance suite: dynamic variant path (no skips)") {
+    var total = 0; var passed = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    forEachCase { (label, _, schema, data, want) =>
+      total += 1
+      val got = runCaseVariant(schema, data)
+      if (got == want) passed += 1
+      else failures += s"$label: got $got want $want"
+    }
+    info(s"variant conformance: $passed passed, ${failures.size} failed of $total")
+    failures.foreach(f => info(s"  FAIL $f"))
+    failures shouldBe empty
+    passed shouldBe total
   }
 }
