@@ -81,6 +81,19 @@ object SparkEntry {
 
     // --- table-level checks (north rule: uniqueness / referential / stats) ---
 
+    "q_json_validate" -> ((s, dir) => { implicit val sp = s
+      // fully-dynamic path: events.props validated as arbitrary JSON
+      // documents through the VariantType compiler
+      val out = Graft.validateJsonColumn(t(dir, "events"), "props",
+        """{"type":"object","required":["k"],
+            "properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""")
+      out.where(!col("pass"))
+        .select(col("event_id"), explode(col("violations")).as("v"))
+        .where(col("v.kind") === "maximum")
+        .select(col("event_id"), col("v.json_pointer").as("json_pointer"),
+          col("v.description").as("description"))
+    }),
+
     "q_uniqueness" -> ((s, dir) => { implicit val sp = s
       TableChecks.uniqueness(t(dir, "orders"), Seq("o_custkey"))
     }),
@@ -251,6 +264,12 @@ object SparkEntry {
       """SELECT event_id, '' AS json_pointer,
                 'Failed to validate against a conditional schema set by if-then-else constraints.' AS description
          FROM events WHERE event_type = 'purchase' AND NOT (value <= 300)""",
+
+    "q_json_validate" ->
+      """SELECT event_id, '/k' AS json_pointer,
+                'Expected number less than or equal to 50.000000' AS description
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50""",
 
     "q_uniqueness" ->
       """SELECT o_custkey, count(*) AS cnt FROM orders
