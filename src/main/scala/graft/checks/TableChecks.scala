@@ -101,6 +101,16 @@ object TableChecks {
       .where(!col("size_ok") || !col("dense_ok"))
   }
 
+  /** Verdict regression diff between two runs (set ops, SURVEY.md §2.5):
+    * partitions whose verdict changed — gone, new, or flipped. */
+  def verdictDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val cols = Seq("part_id", "rows", "fail_rows", "pass")
+    val p = prev.select(cols.map(col): _*)
+    val c = cur.select(cols.map(col): _*)
+    p.exceptAll(c).withColumn("side", lit("prev_only"))
+      .unionAll(c.exceptAll(p).withColumn("side", lit("cur_only")))
+  }
+
   /** Per-conversation ts monotonicity via a window over (conv_id, turn_idx)
     * — shuffles once on conv_id, sorts within partitions. Returns violating
     * turns. */

@@ -104,6 +104,7 @@ object Runner {
                    partCol: String = "part_id"): DataFrame = {
     val manifest = new Manifest(outDir, runId)
     val remaining = resume(df, manifest, partCol)
+    val t0 = System.nanoTime()
     val out = rowChecks(remaining, spec, keyCols, partCol)
     out.violations.write.mode("append").partitionBy(partCol)
       .parquet(s"$outDir/violations")
@@ -111,6 +112,17 @@ object Runner {
     verdicts.write.mode("append").parquet(s"$outDir/verdicts")
     val doneIds = verdicts.select(col(partCol).cast("long")).collect().map(_.getLong(0)).toSeq
     manifest.markDone(doneIds)
+    // per-run lineage + metrics line (north rule: "per-partition lineage
+    // and metrics logged"); JSONL, one record per increment
+    val agg = verdicts.agg(sum("rows"), sum("fail_rows")).head()
+    val rows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val failRows = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val metrics = s"""{"run_id":"$runId","partitions":${doneIds.length},""" +
+      s""""rows":$rows,"fail_rows":$failRows,""" +
+      s""""wall_sec":${(System.nanoTime() - t0) / 1e9},""" +
+      s""""part_ids":[${doneIds.sorted.mkString(",")}]}\n"""
+    Files.write(Paths.get(outDir, s"metrics-$runId.jsonl"), metrics.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     verdicts
   }
 }

@@ -108,8 +108,36 @@ object SpecParser {
         }
         cs += DependenciesC(propDeps.toVector, schemaDeps.toVector)
       }
+      // divisibleBy — draft3 alias of multipleOf (SP:879-897)
+      sub("divisibleBy").foreach { m =>
+        if (m.isIntegralNumber) cs += MultipleOfIntC(m.asLong())
+        else cs += MultipleOfDoubleC(m.asDouble())
+      }
       // enum (SP:899)
       sub("enum").foreach { e => cs += EnumC(e.elements().asScala.map(jsonValue).toVector) }
+      // extends — draft3: value (or array) of schemas that must also hold
+      // (SP:905-911); equivalent to allOf
+      sub("extends").foreach { ext =>
+        val schemas =
+          if (ext.isArray) ext.elements().asScala.zipWithIndex.map { case (s, i) =>
+            childSchema(s, s"$path/extends/$i") }.toVector
+          else Vector(childSchema(ext, s"$path/extends"))
+        cs += AllOfC(schemas)
+      }
+      // disallow — draft3: must NOT match any listed type/schema
+      sub("disallow").foreach { d =>
+        val items = if (d.isArray) d.elements().asScala.toVector else Vector(d)
+        val subSchemas = items.zipWithIndex.map { case (it, i) =>
+          if (it.isTextual) ConstraintSchema(Vector(TypeC(Set(it.asText() match {
+            case "any" => JsonType.JAny;     case "array" => JsonType.JArray
+            case "boolean" => JsonType.JBoolean; case "integer" => JsonType.JInteger
+            case "null" => JsonType.JNull;   case "number" => JsonType.JNumber
+            case "object" => JsonType.JObject; case _ => JsonType.JString
+          }))))
+          else childSchema(it, s"$path/disallow/$i")
+        }
+        cs += NotC(ConstraintSchema(Vector(AnyOfC(subSchemas))))
+      }
       // format (SP:913)
       sub("format").foreach { f => cs += FormatC(f.asText()) }
       // items / additionalItems (SP:919-941)
