@@ -158,8 +158,14 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashOfTokens(split(TextAnalysis.normalizeText(text), " "))
 
-  /** Staged DataFrame form: id, sig. */
+  /** Staged DataFrame form: id, sig. Uses the native codegen'd
+    * [[graft.functions.SimHashExpr]]; bit-identical to the HOF form. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.normalizeText(col(textCol)).as("_norm"))
+      .select(col("id"), graft.functions.SimHashExpr.simhash(col("_norm")).as("sig"))
+
+  /** HOF reference implementation (oracle for the native expression). */
+  def simhashSignaturesHof(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.normalizeText(col(textCol)).as("_norm"))
       .withColumn("_tokens", split(col("_norm"), " "))
       .select(col("id"), simhashOfTokens(col("_tokens")).as("sig"))

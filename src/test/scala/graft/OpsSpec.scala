@@ -79,6 +79,13 @@ class OpsSpec extends SparkTestBase {
       .where(col("id_b") >= 1000000L && col("hamming") === 0).count() should be >= 3L
   }
 
+  test("native SimHashExpr matches the HOF formulation bit-for-bit") {
+    val nat = Dedup.simhashSignatures(docs, "doc_id", "text")
+    val hof = Dedup.simhashSignaturesHof(docs, "doc_id", "text")
+    nat.as("n").join(hof.as("h"), col("n.id") === col("h.id"))
+      .where(col("n.sig") =!= col("h.sig")).count() shouldBe 0L
+  }
+
   test("near-dup clusters: min-label connected components + survivors") {
     import spark.implicits._
     // chain 1-2, 2-3 (one cluster), isolated pair 10-11
