@@ -61,10 +61,15 @@ object Graft {
     * (malformed JSON fails) and `violations`. Shuffle-free projection. */
   def validateJsonColumn(df: DataFrame, jsonCol: String, spec: SchemaSpec,
                          opts: CompileOptions = CompileOptions()): DataFrame = {
-    val v = try_parse_json(col(jsonCol))
+    // materialize the parsed variant ONCE: the compiled tree references the
+    // document many times (type probe + casts per constraint), and an
+    // inlined try_parse_json would re-parse per reference
+    val vCol = "__graft_variant"
+    val withV = df.withColumn(vCol, try_parse_json(col(jsonCol)))
+    val v = col(vCol)
     val c = Compiler.compile(spec, v, org.apache.spark.sql.types.VariantType, lit(""), opts)
     val malformed = col(jsonCol).isNotNull && v.isNull
-    df.withColumn("pass", !malformed && coalesce(c.pass, lit(true)))
+    withV.withColumn("pass", !malformed && coalesce(c.pass, lit(true)))
       .withColumn("violations",
         when(malformed, array(struct(
           lit("").as("json_pointer"),
@@ -72,6 +77,7 @@ object Graft {
           lit("parse").as("kind"))).cast(Compiler.violationArrayType))
           .when(col("pass"), array().cast(Compiler.violationArrayType))
           .otherwise(c.violations))
+      .drop(vCol)
   }
 
   def validateJsonColumn(df: DataFrame, jsonCol: String, schemaJson: String): DataFrame =
