@@ -59,8 +59,23 @@ object Graft {
     * valijson mode: each document is parsed to a Spark variant and the
     * compiled spec dispatches on the per-row runtime type. Adds `pass`
     * (malformed JSON fails) and `violations`. Shuffle-free projection. */
-  def validateJsonColumn(df: DataFrame, jsonCol: String, spec: SchemaSpec,
-                         opts: CompileOptions = CompileOptions()): DataFrame = {
+  /** Default dynamic-JSON path: ONE parse + ONE document walk per row via
+    * the native [[graft.functions.ValidateJsonExpr]] (the reference's
+    * ValidationVisitor shape, vectorized by the scan). NULL documents pass
+    * (absent); malformed JSON fails with a parse violation. */
+  def validateJsonColumn(df: DataFrame, jsonCol: String, spec: SchemaSpec): DataFrame = {
+    val res = graft.functions.ValidateJsonExpr.validate(col(jsonCol), spec)
+    df.withColumn("__graft_res", res)
+      .withColumn("pass", col("__graft_res.pass"))
+      .withColumn("violations", col("__graft_res.violations"))
+      .drop("__graft_res")
+  }
+
+  /** Pure-Catalyst dynamic path (expression-tree formulation) — kept as
+    * the cross-checking oracle for the native validator; slower (the
+    * optimizer clones document probes across constraint sites). */
+  def validateJsonColumnCatalyst(df: DataFrame, jsonCol: String, spec: SchemaSpec,
+                                 opts: CompileOptions = CompileOptions()): DataFrame = {
     // materialize the parsed variant ONCE: the compiled tree references the
     // document many times (type probe + casts per constraint), and an
     // inlined try_parse_json would re-parse per reference

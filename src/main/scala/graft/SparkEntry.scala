@@ -87,8 +87,10 @@ object SparkEntry {
       val out = Graft.validateJsonColumn(t(dir, "events"), "props",
         """{"type":"object","required":["k"],
             "properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""")
-      out.where(!col("pass"))
-        .select(col("event_id"), explode(col("violations")).as("v"))
+      // no pass-filter before the explode: predicate pushdown would clone
+      // the parse into every CASE branch of the condition; exploding the
+      // violations array emits zero rows for passing documents anyway
+      out.select(col("event_id"), explode(col("violations")).as("v"))
         .where(col("v.kind") === "maximum")
         .select(col("event_id"), col("v.json_pointer").as("json_pointer"),
           col("v.description").as("description"))

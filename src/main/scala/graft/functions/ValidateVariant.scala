@@ -1,0 +1,746 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.types.variant.{Variant, VariantUtil}
+import org.apache.spark.unsafe.types.{UTF8String, VariantVal}
+
+import graft.compile.{CompileOptions, Messages}
+import graft.spec._
+
+/** Whole-document dynamic validation in ONE pass: a custom Expression that
+  * takes a variant value and runs the entire compiled constraint tree over
+  * the variant binary in JVM code, returning `struct(pass, violations)`.
+  *
+  * Why it exists: the pure-Catalyst variant path re-reads the document at
+  * every constraint site (optimizer rules clone the parse/probe
+  * subexpressions across CASE branches where CSE cannot reach), costing
+  * O(constraints) document walks per row. This expression is the direct
+  * analog of the reference's `ValidationVisitor` tree walk
+  * (`validation_visitor.hpp:105-134`) — one walk, identical FIFO violation
+  * order and byte-identical messages — vectorized row-by-row by Spark's
+  * scan. The Catalyst formulation remains as the cross-checking oracle
+  * (ConformanceSpec runs both paths over the full suite).
+  */
+case class ValidateVariantExpr(child: Expression, spec: SchemaSpec,
+                               strictDateTime: Boolean = false)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("pass", BooleanType, nullable = false),
+    StructField("violations", graft.compile.Compiler.violationArrayType)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == VariantType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"validate_variant requires a variant input, got ${child.dataType}")
+
+  @transient private lazy val validator = new VariantValidator(spec, strictDateTime)
+
+  override def nullSafeEval(input: Any): Any =
+    validator.validateRow(input.asInstanceOf[VariantVal])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftValidator",
+      new VariantValidator(spec, strictDateTime), classOf[VariantValidator].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.validateRow($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ValidateVariantExpr =
+    copy(child = newChild)
+}
+
+object ValidateVariantExpr {
+  /** Column API: `struct(pass, violations)` for a variant column. */
+  def validate(variant: Column, spec: SchemaSpec,
+               strictDateTime: Boolean = false): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ValidateVariantExpr(org.apache.spark.sql.GraftSqlBridge.expression(variant),
+        spec, strictDateTime))
+}
+
+/** String-input form: parses the JSON inside the expression (one parse +
+  * one walk per row; NULL input passes, malformed input fails with a
+  * parse violation). Keeping parse + walk + malformed handling inside ONE
+  * deterministic expression makes downstream `getField` extractions
+  * ordinary top-level common subexpressions, which whole-stage codegen
+  * deduplicates — no document probe is ever cloned. */
+case class ValidateJsonExpr(child: Expression, spec: SchemaSpec,
+                            strictDateTime: Boolean = false)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("pass", BooleanType, nullable = false),
+    StructField("violations", graft.compile.Compiler.violationArrayType)))
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"validate_json requires a string input, got ${child.dataType}")
+
+  @transient private lazy val validator = new VariantValidator(spec, strictDateTime)
+
+  override def eval(input: InternalRow): Any =
+    VariantValidator.validateJsonString(validator,
+      child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): ValidateJsonExpr =
+    copy(child = newChild)
+}
+
+object ValidateJsonExpr {
+  def validate(jsonText: Column, spec: SchemaSpec,
+               strictDateTime: Boolean = false): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ValidateJsonExpr(org.apache.spark.sql.GraftSqlBridge.expression(jsonText),
+        spec, strictDateTime))
+}
+
+/** Serializable single-pass evaluator over the variant binary — the
+  * `ValidationVisitor` port. Strict-types mode (the JSON document is real
+  * JSON; weak mode is a typed-column concern). */
+final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
+    extends Serializable {
+
+  import VariantUtil.Type._
+
+  VariantValidator.assertSupported(spec)
+
+  // regex cache: compiled once per executor (validator.hpp:96 analog)
+  @transient private lazy val regexCache = mutable.Map[String, java.util.regex.Pattern]()
+  private def pattern(p: String) = regexCache.getOrElseUpdate(p, java.util.regex.Pattern.compile(p))
+
+  private type Sink = mutable.ArrayBuffer[(String, String, String)]
+
+  def validateRow(vv: VariantVal): InternalRow = {
+    val v = new Variant(vv.getValue, vv.getMetadata)
+    val sink: Sink = mutable.ArrayBuffer.empty
+    val pass = validateSchema(spec, v, "", Some(sink))
+    val arr = new GenericArrayData(sink.map { case (p, d, k) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(p),
+        UTF8String.fromString(d), UTF8String.fromString(k)))
+    }.toArray[Any])
+    new GenericInternalRow(Array[Any](pass, arr))
+  }
+
+  private def push(sink: Option[Sink], ptr: String, desc: String, kind: String): Unit =
+    sink.foreach(_ += ((ptr, desc, kind)))
+
+  // --- type probes -----------------------------------------------------------
+
+  private def isString(v: Variant) = v.getType == STRING
+  private def isBool(v: Variant) = v.getType == BOOLEAN
+  private def isNullT(v: Variant) = v.getType == NULL
+  private def isObject(v: Variant) = v.getType == OBJECT
+  private def isArray(v: Variant) = v.getType == ARRAY
+  private def isLong(v: Variant) = v.getType == LONG
+  private def isNumber(v: Variant) = v.getType match {
+    case LONG | DOUBLE | DECIMAL | FLOAT => true
+    case _ => false
+  }
+  private def asDouble(v: Variant): Double = v.getType match {
+    case LONG    => v.getLong.toDouble
+    case DOUBLE  => v.getDouble
+    case FLOAT   => v.getFloat.toDouble
+    case DECIMAL => v.getDecimal.doubleValue()
+    case _       => Double.NaN
+  }
+  private def isIntegerLike(v: Variant): Boolean = v.getType match {
+    case LONG => true
+    case DOUBLE | DECIMAL | FLOAT =>
+      val d = asDouble(v)
+      d == Math.floor(d) && !d.isInfinite &&
+        d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble
+    case _ => false
+  }
+  private def codePoints(s: String): Int = s.codePointCount(0, s.length)
+  private def escSeg(s: String) = Messages.escapePointerSegment(s)
+
+  /** Deep equality (basic_adapter.hpp:509-547, strict): numbers as doubles,
+    * arrays ordered, objects key-unordered. */
+  private def deepEq(a: Variant, b: Variant): Boolean = {
+    if (isNullT(a) || isNullT(b)) return isNullT(a) && isNullT(b)
+    if (isBool(a) || isBool(b))
+      return isBool(a) && isBool(b) && a.getBoolean == b.getBoolean
+    if (isNumber(a) || isNumber(b))
+      return isNumber(a) && isNumber(b) && asDouble(a) == asDouble(b)
+    if (isString(a) || isString(b))
+      return isString(a) && isString(b) && a.getString == b.getString
+    if (isArray(a) || isArray(b)) {
+      if (!(isArray(a) && isArray(b)) || a.arraySize() != b.arraySize()) return false
+      var i = 0
+      while (i < a.arraySize()) {
+        if (!deepEq(a.getElementAtIndex(i), b.getElementAtIndex(i))) return false
+        i += 1
+      }
+      return true
+    }
+    if (isObject(a) && isObject(b)) {
+      if (a.objectSize() != b.objectSize()) return false
+      var i = 0
+      while (i < a.objectSize()) {
+        val f = a.getFieldAtIndex(i)
+        val other = b.getFieldByKey(f.key)
+        if (other == null || !deepEq(f.value, other)) return false
+        i += 1
+      }
+      return true
+    }
+    false
+  }
+
+  private def eqJson(v: Variant, jv: JsonValue): Boolean = jv match {
+    case JNullV      => isNullT(v)
+    case JBoolV(x)   => isBool(v) && v.getBoolean == x
+    case JLongV(l)   => isNumber(v) && asDouble(v) == l.toDouble
+    case JDoubleV(d) => isNumber(v) && asDouble(v) == d
+    case JStringV(s) => isString(v) && v.getString == s
+    case JArrayV(xs) => isArray(v) && v.arraySize() == xs.length &&
+      xs.indices.forall(i => eqJson(v.getElementAtIndex(i), xs(i)))
+    case JObjectV(fs) => isObject(v) && v.objectSize() == fs.size &&
+      fs.forall { case (k, x) =>
+        val f = v.getFieldByKey(k); f != null && eqJson(f, x)
+      }
+  }
+
+  // --- schema walk -------------------------------------------------------------
+
+  private def validateSchema(s: SchemaSpec, v: Variant, path: String,
+                             sink: Option[Sink]): Boolean = s match {
+    case TrueSchema  => true
+    case FalseSchema => false // no error of its own (VV:107-109)
+    case ConstraintSchema(cs, _, _) =>
+      var ok = true
+      cs.foreach { c => if (!visit(c, v, path, sink)) { ok = false; if (sink.isEmpty) return false } }
+      ok
+  }
+
+  private def visit(c: Constraint, v: Variant, path: String, sink: Option[Sink]): Boolean = c match {
+
+    case TypeC(types, schemas) =>
+      val named = types.exists {
+        case JsonType.JAny     => true
+        case JsonType.JString  => isString(v)
+        case JsonType.JBoolean => isBool(v)
+        case JsonType.JInteger => isIntegerLike(v)
+        case JsonType.JNumber  => isNumber(v)
+        case JsonType.JNull    => isNullT(v)
+        case JsonType.JArray   => isArray(v)
+        case JsonType.JObject  => isObject(v)
+      }
+      val ok = named || schemas.exists(validateSchema(_, v, path, None))
+      if (!ok) push(sink, path, Messages.typeNotPermitted, "type")
+      ok
+
+    case EnumC(values) =>
+      val ok = values.exists(eqJson(v, _))
+      if (!ok) push(sink, path, Messages.enumNoMatch, "enum")
+      ok
+
+    case ConstC(jv) =>
+      val ok = eqJson(v, jv)
+      if (!ok) push(sink, path, Messages.constNoMatch, "const")
+      ok
+
+    case MinimumC(m, excl) =>
+      if (!isNumber(v)) true
+      else {
+        val d = asDouble(v)
+        val ok = if (excl) d > m else d >= m
+        if (!ok) push(sink, path,
+          if (excl) Messages.minimumExcl(m) else Messages.minimumIncl(m), "minimum")
+        ok
+      }
+
+    case MaximumC(m, excl) =>
+      if (!isNumber(v)) true
+      else {
+        val d = asDouble(v)
+        val ok = if (excl) d < m else d <= m
+        if (!ok) push(sink, path,
+          if (excl) Messages.maximumExcl(m) else Messages.maximumIncl(m), "maximum")
+        ok
+      }
+
+    case MultipleOfIntC(div) =>
+      // VV:934-984
+      if (isLong(v)) {
+        val i = v.getLong
+        val ok = i == 0 || i % div == 0
+        if (!ok) push(sink, path, Messages.multipleOfInt(div), "multipleOf")
+        ok
+      } else if (isNumber(v)) {
+        val d = asDouble(v)
+        val ok =
+          if (d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble)
+            Math.abs(Math.IEEEremainder(d, div.toDouble)) <= Math.ulp(1.0)
+          else { val i = d.toLong; i == 0 || i % div == 0 }
+        if (!ok) push(sink, path, Messages.multipleOfInt(div), "multipleOf")
+        ok
+      } else true
+
+    case MultipleOfDoubleC(div) =>
+      // VV:898-925 tolerance port
+      if (!isNumber(v)) true
+      else {
+        val d = asDouble(v)
+        val ok =
+          if (d == 0) true
+          else if (div == 0) false
+          else {
+            val q = d / div
+            if (q.isNaN || q.isInfinite) false
+            else {
+              val diff = Math.abs(q - Math.round(q).toDouble)
+              val tol = Math.max(Math.abs(q), 1.0) * 2.220446049250313e-16
+              diff <= tol
+            }
+          }
+        if (!ok) push(sink, path, Messages.multipleOfDouble(div), "multipleOf")
+        ok
+      }
+
+    case PatternC(p) =>
+      if (!isString(v)) true
+      else {
+        val ok = pattern(p).matcher(v.getString).find()
+        if (!ok) push(sink, path, Messages.patternNoMatch, "pattern")
+        ok
+      }
+
+    case MinLengthC(n) =>
+      if (!isString(v)) true
+      else {
+        val ok = codePoints(v.getString) >= n
+        if (!ok) push(sink, path, Messages.minLength(n), "minLength")
+        ok
+      }
+
+    case MaxLengthC(n) =>
+      if (!isString(v)) true
+      else {
+        val ok = codePoints(v.getString) <= n
+        if (!ok) push(sink, path, Messages.maxLength(n), "maxLength")
+        ok
+      }
+
+    case FormatC(fmt) =>
+      if (!isString(v)) true else Formats.check(fmt, v.getString, strictDateTime) match {
+        case None => true
+        case Some(msg) => push(sink, path, msg, "format"); false
+      }
+
+    case RequiredC(props) =>
+      if (!isObject(v)) true
+      else {
+        var ok = true
+        props.foreach { p =>
+          if (v.getFieldByKey(p) == null) {
+            push(sink, path, Messages.missingRequired(p), "required")
+            ok = false
+          }
+        }
+        ok
+      }
+
+    case PropertiesC(props, patProps, additional) =>
+      if (!isObject(v)) true
+      else {
+        var ok = true
+        val matched = mutable.Set[String]()
+        props.foreach { case (name, s) =>
+          val f = v.getFieldByKey(name)
+          if (f != null) {
+            matched += name
+            if (!validateSchema(s, f, s"$path/${escSeg(name)}", sink)) {
+              push(sink, path, Messages.propertySchemaFail(name), "properties")
+              ok = false
+            }
+          }
+        }
+        patProps.foreach { case (pat, s) =>
+          val re = pattern(pat)
+          var i = 0
+          while (i < v.objectSize()) {
+            val f = v.getFieldAtIndex(i)
+            if (re.matcher(f.key).find()) {
+              matched += f.key
+              if (!validateSchema(s, f.value, s"$path/${escSeg(f.key)}", sink)) {
+                push(sink, path, Messages.patternPropertySchemaFail(pat), "patternProperties")
+                ok = false
+              }
+            }
+            i += 1
+          }
+        }
+        additional match {
+          case Some(TrueSchema) => // allow
+          case Some(s) =>
+            var i = 0
+            while (i < v.objectSize()) {
+              val f = v.getFieldAtIndex(i)
+              if (!matched.contains(f.key)) {
+                if (!validateSchema(s, f.value, s"$path/${escSeg(f.key)}", sink)) {
+                  push(sink, path, Messages.additionalPropertiesSchemaFail, "additionalProperties")
+                  ok = false
+                }
+              }
+              i += 1
+            }
+          case None =>
+            // reject first unexpected property (VV:1160-1177)
+            var i = 0
+            var unwanted: String = null
+            while (i < v.objectSize() && unwanted == null) {
+              val f = v.getFieldAtIndex(i)
+              if (!matched.contains(f.key)) unwanted = f.key
+              i += 1
+            }
+            if (unwanted != null) {
+              push(sink, path, Messages.unexpectedProperty(unwanted), "additionalProperties")
+              ok = false
+            }
+        }
+        ok
+      }
+
+    case MinPropertiesC(n) =>
+      if (!isObject(v)) true
+      else {
+        val ok = v.objectSize() >= n
+        if (!ok) push(sink, path, Messages.minProperties(n), "minProperties")
+        ok
+      }
+    case MaxPropertiesC(n) =>
+      if (!isObject(v)) true
+      else {
+        val ok = v.objectSize() <= n
+        if (!ok) push(sink, path, Messages.maxProperties(n), "maxProperties")
+        ok
+      }
+
+    case PropertyNamesC(s) =>
+      if (!isObject(v)) true
+      else {
+        var ok = true
+        var i = 0
+        while (i < v.objectSize()) {
+          val key = v.getFieldAtIndex(i).key
+          if (!StringSchema.validates(s, key, this)) {
+            push(sink, path, s"Failed to validate against 'propertyNames' constraint.", "propertyNames")
+            ok = false
+          }
+          i += 1
+        }
+        ok
+      }
+
+    case DependenciesC(propDeps, schemaDeps) =>
+      if (!isObject(v)) true
+      else {
+        var ok = true
+        propDeps.foreach { case (p, deps) =>
+          if (v.getFieldByKey(p) != null) {
+            deps.foreach { q =>
+              if (v.getFieldByKey(q) == null) {
+                push(sink, path, Messages.missingDependency(q), "dependencies")
+                ok = false
+              }
+            }
+          }
+        }
+        schemaDeps.foreach { case (p, s) =>
+          if (v.getFieldByKey(p) != null) {
+            if (!validateSchema(s, v, path, sink)) {
+              push(sink, path, Messages.dependentSchemaFail, "dependencies")
+              ok = false
+            }
+          }
+        }
+        ok
+      }
+
+    case ItemsC(s) =>
+      if (!isArray(v)) true
+      else {
+        var ok = true
+        var i = 0
+        while (i < v.arraySize()) {
+          if (!validateSchema(s, v.getElementAtIndex(i), s"$path/$i", sink)) {
+            push(sink, path, Messages.itemFail(i), "items")
+            ok = false
+          }
+          i += 1
+        }
+        ok
+      }
+
+    case TupleItemsC(items, additional) =>
+      if (!isArray(v)) true
+      else {
+        var ok = true
+        val n = v.arraySize()
+        if (additional.isEmpty && n > items.length) {
+          push(sink, path, Messages.tooManyItems, "items")
+          ok = false
+        }
+        var i = 0
+        while (i < n) {
+          if (i < items.length) {
+            if (!validateSchema(items(i), v.getElementAtIndex(i), s"$path/$i", sink)) {
+              push(sink, s"$path/$i", Messages.tupleItemFail(i), "items")
+              ok = false
+            }
+          } else additional match {
+            case Some(TrueSchema) =>
+            case Some(s) =>
+              if (!validateSchema(s, v.getElementAtIndex(i), s"$path/$i", sink)) {
+                push(sink, path, Messages.additionalItemFail(i), "items")
+                ok = false
+              }
+            case None => // handled by tooManyItems above
+          }
+          i += 1
+        }
+        ok
+      }
+
+    case MinItemsC(n) =>
+      if (!isArray(v)) true
+      else {
+        val ok = v.arraySize() >= n
+        if (!ok) push(sink, path, Messages.minItems(n), "minItems")
+        ok
+      }
+    case MaxItemsC(n) =>
+      if (!isArray(v)) true
+      else {
+        val ok = v.arraySize() <= n
+        if (!ok) push(sink, path, Messages.maxItems(n), "maxItems")
+        ok
+      }
+
+    case UniqueItemsC =>
+      if (!isArray(v)) true
+      else {
+        var ok = true
+        var i = 0
+        while (i < v.arraySize()) {
+          var j = i + 1
+          while (j < v.arraySize()) {
+            if (deepEq(v.getElementAtIndex(i), v.getElementAtIndex(j))) {
+              push(sink, path, Messages.uniqueViolation(i, j), "uniqueItems")
+              ok = false
+            }
+            j += 1
+          }
+          i += 1
+        }
+        ok
+      }
+
+    case ContainsC(s) =>
+      if (!isArray(v)) true
+      else {
+        var found = false
+        var i = 0
+        while (i < v.arraySize() && !found) {
+          if (validateSchema(s, v.getElementAtIndex(i), path, None)) found = true
+          i += 1
+        }
+        if (!found) push(sink, path, Messages.containsFail, "contains")
+        found
+      }
+
+    case AllOfC(schemas) =>
+      var ok = true
+      schemas.zipWithIndex.foreach { case (s, i) =>
+        if (!validateSchema(s, v, path, sink)) {
+          push(sink, path, Messages.allOfChildFail(i), "allOf")
+          ok = false
+        }
+      }
+      ok
+
+    case AnyOfC(schemas) =>
+      val child: Sink = mutable.ArrayBuffer.empty
+      val ok = schemas.exists(validateSchema(_, v, path, Some(child)))
+      if (!ok) {
+        sink.foreach(_ ++= child)
+        push(sink, path, Messages.anyOfFail, "anyOf")
+      }
+      ok
+
+    case OneOfC(schemas) =>
+      val child: Sink = mutable.ArrayBuffer.empty
+      val n = schemas.count(validateSchema(_, v, path, Some(child)))
+      if (n == 1) true
+      else if (n == 0) {
+        sink.foreach(_ ++= child)
+        push(sink, path, Messages.oneOfNone, "oneOf")
+        false
+      } else {
+        push(sink, path, Messages.oneOfTooMany, "oneOf")
+        false
+      }
+
+    case NotC(s) =>
+      val ok = !validateSchema(s, v, path, None)
+      if (!ok) push(sink, path, Messages.notFail, "not")
+      ok
+
+    case CondC(ifS, thenS, elseS) =>
+      val branch = if (validateSchema(ifS, v, path, None)) thenS else elseS
+      val child: Sink = mutable.ArrayBuffer.empty
+      val ok = branch.forall(validateSchema(_, v, path, Some(child)))
+      if (!ok) {
+        sink.foreach(_ ++= child)
+        push(sink, path, Messages.conditionalFail, "conditional")
+      }
+      ok
+
+    case cc: CustomC =>
+      throw new UnsupportedOperationException(
+        s"CustomC(${cc.name}) is Column-based; not usable in the variant validator")
+  }
+
+  private[functions] def validateStringValue(s: SchemaSpec, str: String): Boolean =
+    StringSchema.validates(s, str, this)
+
+  private[functions] def patternFind(p: String, s: String): Boolean =
+    pattern(p).matcher(s).find()
+}
+
+/** String-value sub-evaluation for propertyNames (StdStringAdapter analog). */
+private object StringSchema {
+  def validates(s: SchemaSpec, str: String, owner: VariantValidator): Boolean = s match {
+    case TrueSchema  => true
+    case FalseSchema => false
+    case ConstraintSchema(cs, _, _) => cs.forall {
+      case TypeC(types, _) => types.exists(t => t == JsonType.JString || t == JsonType.JAny)
+      case MinLengthC(n)   => str.codePointCount(0, str.length) >= n
+      case MaxLengthC(n)   => str.codePointCount(0, str.length) <= n
+      case PatternC(p)     => owner.patternFind(p, str)
+      case EnumC(vs)       => vs.contains(JStringV(str))
+      case ConstC(jv)      => jv == JStringV(str)
+      case _               => true // non-string constraints pass for strings
+    }
+  }
+}
+
+/** Format checks (VV:388-513 + helpers 2024-2080), JVM-side port. */
+private object Formats {
+  private val dateRe = java.util.regex.Pattern.compile(
+    "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])$")
+  private def timeRe(strict: Boolean) = java.util.regex.Pattern.compile(
+    if (strict) "^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$"
+    else "^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])?|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$")
+  private def dtRe(strict: Boolean) = java.util.regex.Pattern.compile(
+    if (strict) "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])[Tt]([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$"
+    else "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])[Tt]([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])?|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$")
+  private val ipv4Re = java.util.regex.Pattern.compile(
+    "^(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
+
+  private def dateRangeOk(y: Int, m: Int, d: Int): Boolean = {
+    if (d < 1) return false
+    val leap = y % 4 == 0 && (y % 100 != 0 || y % 400 == 0)
+    val limit =
+      if (m == 2) { if (leap) 29 else 28 }
+      else if (m <= 7) { if (m % 2 == 0) 30 else 31 }
+      else { if (m % 2 != 0) 30 else 31 }
+    d <= limit
+  }
+  private def leapOk(h: Int, mi: Int, offMin: Int): Boolean = {
+    val utc = (((h * 60 + mi - offMin) % 1440) + 1440) % 1440
+    utc == 1439
+  }
+  private def g(m: java.util.regex.Matcher, i: Int): Int = {
+    val s = m.group(i); if (s == null || s.isEmpty) 0 else s.toInt
+  }
+
+  /** None = pass; Some(msg) = the verbatim failure message. */
+  def check(fmt: String, s: String, strict: Boolean): Option[String] = fmt match {
+    case "date" =>
+      val m = dateRe.matcher(s)
+      if (m.matches() && dateRangeOk(g(m, 1), g(m, 2), g(m, 3))) None
+      else Some(Messages.badDate)
+    case "time" =>
+      val m = timeRe(strict).matcher(s)
+      if (!m.matches()) Some(Messages.badTime)
+      else if (g(m, 3) == 60) {
+        val sign = if ("-" == m.group(7)) -1 else 1
+        val off = sign * (g(m, 8) * 60 + g(m, 9))
+        if (leapOk(g(m, 1), g(m, 2), off)) None else Some(Messages.badTime)
+      } else None
+    case "date-time" =>
+      val m = dtRe(strict).matcher(s)
+      if (!m.matches()) Some(Messages.badDateTime)
+      else if (!dateRangeOk(g(m, 1), g(m, 2), g(m, 3))) Some(Messages.badDateTime)
+      else if (g(m, 6) == 60) {
+        val sign = if ("-" == m.group(10)) -1 else 1
+        val off = sign * (g(m, 11) * 60 + g(m, 12))
+        if (leapOk(g(m, 4), g(m, 5), off)) None else Some(Messages.badDateTime)
+      } else None
+    case "ipv4" =>
+      if (ipv4Re.matcher(s).matches()) None else Some(Messages.badIpv4)
+    case _ => None
+  }
+}
+
+object VariantValidator {
+
+  private val passRow: InternalRow =
+    new GenericInternalRow(Array[Any](true, new GenericArrayData(Array.empty[Any])))
+  private val parseFailRow: InternalRow =
+    new GenericInternalRow(Array[Any](false, new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](UTF8String.fromString(""),
+        UTF8String.fromString("Failed to parse JSON document."),
+        UTF8String.fromString("parse")))))))
+
+  /** NULL input passes (absent document); malformed fails with a parse
+    * violation; otherwise one walk. */
+  def validateJsonString(validator: VariantValidator, s: UTF8String): InternalRow = {
+    if (s == null) return passRow
+    val vv =
+      try org.apache.spark.sql.catalyst.expressions.variant.VariantExpressionEvalUtils
+        .parseJson(s, false, false)
+      catch { case _: Throwable => null }
+    if (vv == null) parseFailRow
+    else validator.validateRow(vv)
+  }
+
+  def assertSupported(s: SchemaSpec): Unit = s match {
+    case ConstraintSchema(cs, _, _) => cs.foreach {
+      case cc: CustomC => throw new UnsupportedOperationException(
+        s"CustomC(${cc.name}) not supported in the variant validator")
+      case PropertiesC(p, pp, a) =>
+        p.foreach(x => assertSupported(x._2)); pp.foreach(x => assertSupported(x._2))
+        a.foreach(assertSupported)
+      case PropertyNamesC(x)   => assertSupported(x)
+      case DependenciesC(_, sd) => sd.foreach(x => assertSupported(x._2))
+      case ItemsC(x)           => assertSupported(x)
+      case TupleItemsC(is, a)  => is.foreach(assertSupported); a.foreach(assertSupported)
+      case ContainsC(x)        => assertSupported(x)
+      case AllOfC(xs)          => xs.foreach(assertSupported)
+      case AnyOfC(xs)          => xs.foreach(assertSupported)
+      case OneOfC(xs)          => xs.foreach(assertSupported)
+      case NotC(x)             => assertSupported(x)
+      case CondC(i, t, e)      => assertSupported(i); t.foreach(assertSupported); e.foreach(assertSupported)
+      case TypeC(_, xs)        => xs.foreach(assertSupported)
+      case _                   =>
+    }
+    case _ =>
+  }
+}

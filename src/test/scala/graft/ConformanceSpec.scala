@@ -67,8 +67,19 @@ class ConformanceSpec extends SparkTestBase {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(data.toString))),
       StructType(Seq(StructField("j", StringType))))
-    val out = Graft.validateJsonColumn(df, "j", spec)
+    val out = Graft.validateJsonColumnCatalyst(df, "j", spec)
     out.select("pass").collect()(0).getBoolean(0)
+  }
+
+  /** Native single-pass path: the ValidateVariantExpr document walk. */
+  private def runCaseNative(schemaJson: JsonNode, data: JsonNode): (Boolean, Seq[(String, String)]) = {
+    val spec = SpecParser.parseNode(schemaJson)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(data.toString))),
+      StructType(Seq(StructField("j", StringType))))
+    val out = Graft.validateJsonColumn(df, "j", spec)
+    val r = out.select("pass", "violations").collect()(0)
+    (r.getBoolean(0), r.getSeq[Row](1).map(x => (x.getString(0), x.getString(1))))
   }
 
   private def runCase(schemaJson: JsonNode, data: JsonNode): Option[Boolean] = {
@@ -133,5 +144,38 @@ class ConformanceSpec extends SparkTestBase {
     failures.foreach(f => info(s"  FAIL $f"))
     failures shouldBe empty
     passed shouldBe total
+  }
+
+  test("conformance suite: native single-pass validator (no skips)") {
+    var total = 0; var passed = 0
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    forEachCase { (label, _, schema, data, want) =>
+      total += 1
+      val (got, _) = runCaseNative(schema, data)
+      if (got == want) passed += 1
+      else failures += s"$label: got $got want $want"
+    }
+    info(s"native conformance: $passed passed, ${failures.size} failed of $total")
+    failures.foreach(f => info(s"  FAIL $f"))
+    failures shouldBe empty
+    passed shouldBe total
+  }
+
+  test("native validator replicates the reference golden violation sequence") {
+    val schema = mapper.readTree(
+      """{"allOf": [
+           {"items": {"type": "integer"}, "additionalItems": false, "type": "array"},
+           {"items": {"type": "number"}, "additionalItems": false, "type": "array",
+            "uniqueItems": true}]}""")
+    val (pass, viols) = runCaseNative(schema, mapper.readTree("[1.5, 2.5, 3.5]"))
+    pass shouldBe false
+    viols shouldBe Seq(
+      ("/0", "Value type not permitted by 'type' constraint."),
+      ("",   "Failed to validate item #0 in array."),
+      ("/1", "Value type not permitted by 'type' constraint."),
+      ("",   "Failed to validate item #1 in array."),
+      ("/2", "Value type not permitted by 'type' constraint."),
+      ("",   "Failed to validate item #2 in array."),
+      ("",   "Failed to validate against child schema #0."))
   }
 }
