@@ -1,40 +1,63 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.MinHashExpr
+import graft.functions.{MinHashExpr, SimHashExpr, ValidateJsonExpr}
 
-/** SparkSessionExtensions hook — registers the engine's custom Catalyst
-  * functions for SQL use:
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * Two ways in:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build, or
+  *  - `GraftExtensions.register(spark)` on a live session.
   *
   * {{{
-  * spark.sql.extensions=graft.GraftExtensions
-  * SELECT minhash(norm_text, 8, 32) FROM docs
+  * SELECT minhash(norm_text, 8, 32),
+  *        simhash(norm_text),
+  *        validate_json(doc, '{"type":"object"}').pass
+  * FROM docs
   * }}}
-  *
-  * (The rest of the engine needs no extension points: it is plain
-  * DataFrame/Column planning — SURVEY.md §4 "custom Catalyst work actually
-  * needed".)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("minhash"),
+object GraftExtensions {
+
+  private def intArg(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other              => other.eval().asInstanceOf[Number].intValue()
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("minhash"),
       new ExpressionInfo(classOf[MinHashExpr].getName, "minhash"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "minhash(normText, k, numHashes)")
-        val k = args(1) match {
-          case Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Number].intValue()
+        MinHashExpr(args.head, intArg(args(1)), intArg(args(2)))
+      }),
+    (new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash(normText)")
+        SimHashExpr(args.head)
+      }),
+    (new FunctionIdentifier("validate_json"),
+      new ExpressionInfo(classOf[ValidateJsonExpr].getName, "validate_json"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "validate_json(jsonText, schemaJsonLiteral)")
+        val schemaJson = args(1) match {
+          case Literal(s, _) if s != null => s.toString
+          case other                      => other.eval().toString
         }
-        val n = args(2) match {
-          case Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Number].intValue()
-        }
-        MinHashExpr(args.head, k, n)
+        ValidateJsonExpr(args.head, graft.spec.SpecParser.parse(schemaJson))
       }))
-  }
+
+  /** Register on an existing session (tests, shells). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, id, info, builder)
+    }
 }

@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a builder in a live session's function registry (the same
+    * entries GraftExtensions injects at session build). */
+  def registerFunction(spark: SparkSession,
+                       id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(id, info, builder)
 }
