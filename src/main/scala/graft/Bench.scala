@@ -108,7 +108,7 @@ object Bench {
     // min-of-reps per level (this VM has minute-scale background noise).
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val pairsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-    val innerReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_INNER", "4").toInt
+    val innerReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_INNER", "3").toInt
 
     def pinnedLevel(cores: Int, path: String): (Long, Seq[Double]) = {
       val java = sys.props("java.home") + "/bin/java"
