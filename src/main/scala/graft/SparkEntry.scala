@@ -330,7 +330,8 @@ object SparkEntry {
          GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""",
 
     "q_token_counts" ->
-      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      """SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
          FROM documents""",
 
     "q_quality" ->

@@ -389,10 +389,19 @@ object Compiler {
         // LinearItemsConstraint (validation_visitor.hpp:531-621).
         val n = items.length
         // "Array contains more items than allowed by items constraint." fires
-        // FIRST when there is no additionalItems subschema (VV:556-562).
+        // FIRST when there is no additionalItems subschema AND there are item
+        // subschemas (VV:554-562).
         val overflowC: Compiled = additional match {
-          case None =>
+          case None if items.nonEmpty =>
             leaf(b(value.isNull || size(value) <= lit(n)), ptr, lit(Messages.tooManyItems), "items")
+          case _ => alwaysTrue
+        }
+        // "Cannot validate item #N or greater…" fires LAST for the uncovered
+        // tail (VV:609-614); N = number of item subschemas (static here).
+        val cannotValidateC: Compiled = additional match {
+          case None =>
+            leaf(b(value.isNull || size(value) <= lit(n)), ptr,
+              lit(Messages.cannotValidateItem(n)), "items")
           case Some(_) => alwaysTrue
         }
         val perItem = flatten(transform(value, (x, i) => {
@@ -426,7 +435,7 @@ object Compiler {
         val itemPass = forall(itemPassFlags, p => p)
         val inner = Compiled(b(value.isNull || itemPass),
                              when(value.isNull, emptyViols).otherwise(perItem))
-        combine(Seq(overflowC, inner))
+        combine(Seq(overflowC, inner, cannotValidateC))
       case _ => alwaysTrue
     }
 
@@ -858,6 +867,10 @@ object Compiler {
     case (JStringV(s), t) if isStringLike(t)          => Some(lit(s))
     case (JLongV(l), t) if isIntegral(t)              => Some(lit(l).cast(t))
     case (JLongV(l), DoubleType | FloatType)          => Some(lit(l.toDouble).cast(dt))
+    // Decimal columns: numbers compare as doubles (basic_adapter.hpp:515-516);
+    // the <=> against a double literal coerces the decimal side to double.
+    case (JLongV(l), _: DecimalType)                  => Some(lit(l.toDouble))
+    case (JDoubleV(d), _: DecimalType)                => Some(lit(d))
     case (JDoubleV(d), t) if isIntegral(t) && d == Math.floor(d) && !d.isInfinite =>
       Some(lit(d.toLong).cast(t)) // numbers compare as doubles (basic_adapter.hpp:515-516)
     case (JDoubleV(d), DoubleType | FloatType)        => Some(lit(d).cast(dt))

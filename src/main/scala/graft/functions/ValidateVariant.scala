@@ -490,9 +490,12 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
     case TupleItemsC(items, additional) =>
       if (!isArray(v)) true
       else {
+        // LinearItemsConstraint order (validation_visitor.hpp:531-621):
+        // tooManyItems first (only when there ARE item subschemas), then
+        // per-item errors, then cannotValidateItem for the uncovered tail.
         var ok = true
         val n = v.arraySize()
-        if (additional.isEmpty && n > items.length) {
+        if (additional.isEmpty && items.nonEmpty && n > items.length) {
           push(sink, path, Messages.tooManyItems, "items")
           ok = false
         }
@@ -510,9 +513,13 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
                 push(sink, path, Messages.additionalItemFail(i), "items")
                 ok = false
               }
-            case None => // handled by tooManyItems above
+            case None => // reported once below (VV:611)
           }
           i += 1
+        }
+        if (additional.isEmpty && n > items.length) {
+          push(sink, path, Messages.cannotValidateItem(items.length), "items")
+          ok = false
         }
         ok
       }
@@ -716,7 +723,7 @@ object VariantValidator {
     val vv =
       try org.apache.spark.sql.catalyst.expressions.variant.VariantExpressionEvalUtils
         .parseJson(s, false, false)
-      catch { case _: Throwable => null }
+      catch { case scala.util.control.NonFatal(_) => null } // fatal errors (OOM, task kill) propagate
     if (vv == null) parseFailRow
     else validator.validateRow(vv)
   }

@@ -12,7 +12,7 @@ object TextAnalysis {
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
-    when(text.isNull || text === "", lit(0))
+    when(text.isNull || trim(text) === "", lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish token count: counts GPT-2-style pre-tokenizer matches

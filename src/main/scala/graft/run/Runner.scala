@@ -42,7 +42,11 @@ object Runner {
     val withPart =
       if (df.columns.contains(partCol)) df
       else df.withColumn(partCol, pmod(hash(col(keyCols.head)), lit(64)))
-    val compiled = Compiler.compileRow(spec, withPart.schema)
+    // Compile against the schema AS GIVEN (pre part_id injection): the
+    // bookkeeping column must not become a property of the validated
+    // document (it would trip additionalProperties/maxProperties/
+    // propertyNames specs on every row).
+    val compiled = Compiler.compileRow(spec, df.schema)
 
     val flagged = withPart.withColumn("pass", compiled.pass)
 
@@ -52,11 +56,11 @@ object Runner {
     val violations = flagged
       .where(!col("pass"))
       .select(keyCols.map(col) :+ col(partCol) :+
-        posexplode(compiled.violations).as(Seq("constraint_seq", "v")): _*)
+        posexplode(compiled.violations).as(Seq("constraint_seq", "__graft_viol")): _*)
       .select(keyCols.map(col) :+ col(partCol) :+ col("constraint_seq") :+
-        col("v.json_pointer").as("json_pointer") :+
-        col("v.description").as("description") :+
-        col("v.kind").as("kind"): _*)
+        col("__graft_viol.json_pointer").as("json_pointer") :+
+        col("__graft_viol.description").as("description") :+
+        col("__graft_viol.kind").as("kind"): _*)
 
     val verdicts = flagged
       .groupBy(col(partCol))

@@ -62,6 +62,29 @@ class GoldenViolationsSpec extends SparkTestBase {
       ("",       "Failed to validate against additional properties schema."))
   }
 
+  test("tuple items overflow with additionalItems:false emits tooManyItems AND cannotValidateItem (VV:554-614)") {
+    // LinearItemsConstraint: no additionalItems subschema ⇒ both messages,
+    // in that order, and NO per-item validation for the uncovered tail.
+    val schema = """{"items": [{"type": "integer"}], "additionalItems": false}"""
+    val expected = Seq(
+      ("", "Array contains more items than allowed by items constraint."),
+      ("", "Cannot validate item #1 or greater using 'items' constraint or 'additionalItems' constraint."))
+    // Catalyst typed-array path
+    val df = Seq(Tuple1(Seq(1L, 2L, 3L))).toDF("doc")
+    viols(schema, df, Some("doc")) shouldBe expected
+    // native variant-walker path
+    val jdf = Seq("[1,2,3]").toDF("doc")
+    val out = Graft.validateJsonColumn(jdf, "doc", SpecParser.parse(schema))
+    out.select(col("violations")).collect()(0).getSeq[Row](0)
+      .map(r => (r.getString(0), r.getString(1))) shouldBe expected
+    // items:[] + additionalItems:false: cannotValidateItem(0) ONLY (VV:554 gate)
+    val schema0 = """{"items": [], "additionalItems": false}"""
+    val out0 = Graft.validateJsonColumn(jdf, "doc", SpecParser.parse(schema0))
+    out0.select(col("violations")).collect()(0).getSeq[Row](0)
+      .map(r => (r.getString(0), r.getString(1))) shouldBe Seq(
+      ("", "Cannot validate item #0 or greater using 'items' constraint or 'additionalItems' constraint."))
+  }
+
   test("JSON Pointer escaping: ~ and / in property names (validation_results.hpp:140-160)") {
     val schema = """{"properties": {"a/b": {"type": "integer"}, "c~d": {"type": "integer"}}}"""
     val st = StructType(Seq(StructField("a/b", StringType), StructField("c~d", StringType)))
