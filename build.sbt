@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through unprefixed: the bench/verify mains print
+// ONE machine-readable JSON line on stdout that downstream tooling parses;
+// sbt's default LoggedOutput would wrap it as "[info] {...}". Also drop the
+// trailing "[success] Total time" line so the JSON stays the last stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -818,10 +818,38 @@ object Compiler {
     sign * (oh * 60 + om)
   }
 
+  private def formatMessage(fmt: String): Option[String] = fmt match {
+    case "date"      => Some(Messages.badDate)
+    case "time"      => Some(Messages.badTime)
+    case "date-time" => Some(Messages.badDateTime)
+    case "ipv4"      => Some(Messages.badIpv4)
+    case _           => None // unknown formats pass (reference behavior)
+  }
+
+  /** Default format compilation: the native codegen'd
+    * [[graft.functions.FormatCheckExpr]] — one precompiled-regex pass per
+    * row instead of the 4-13 regexp_extract calls of the pure-Catalyst
+    * formulation (kept below as the cross-checking oracle). */
   private def compileFormat(fmt: String, value: Column, dt: DataType, ptr: Column,
                             opts: CompileOptions): Compiled = {
     // Non-strings pass (VV:405-408). A native timestamp column is by
     // construction a valid RFC3339 instant, so date-time/date/time pass.
+    if (dt == TimestampType || dt == DateType || dt == TimestampNTZType) return alwaysTrue
+    if (!isStringLike(dt)) return alwaysTrue
+    formatMessage(fmt) match {
+      case None => alwaysTrue
+      case Some(msg) =>
+        val ok = value.isNull ||
+          graft.functions.FormatCheckExpr.check(value, fmt, opts.strictDateTime)
+        leaf(b(ok), ptr, lit(msg), "format")
+    }
+  }
+
+  /** Pure-Catalyst regex formulation of `format` (the original compile
+    * target) — retained as an independent oracle for the native expression
+    * (CompilerSpec asserts row-for-row agreement). */
+  private[graft] def compileFormatCatalyst(fmt: String, value: Column, dt: DataType,
+                                           ptr: Column, opts: CompileOptions): Compiled = {
     if (dt == TimestampType || dt == DateType || dt == TimestampNTZType) return alwaysTrue
     if (!isStringLike(dt)) return alwaysTrue
     val s = value

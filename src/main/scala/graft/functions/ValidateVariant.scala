@@ -75,8 +75,7 @@ object ValidateVariantExpr {
   * deduplicates — no document probe is ever cloned. */
 case class ValidateJsonExpr(child: Expression, spec: SchemaSpec,
                             strictDateTime: Boolean = false)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("pass", BooleanType, nullable = false),
@@ -95,6 +94,25 @@ case class ValidateJsonExpr(child: Expression, spec: SchemaSpec,
   override def eval(input: InternalRow): Any =
     VariantValidator.validateJsonString(validator,
       child.eval(input).asInstanceOf[UTF8String])
+
+  // NULL child handled inside validateJsonString (NULL document passes), so
+  // this expression is never-null and stays inside whole-stage codegen —
+  // its getField extractions become ordinary common subexpressions.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("graftValidator", validator,
+      classOf[VariantValidator].getName)
+    val childGen = child.genCode(ctx)
+    val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |$jt ${ev.value} = graft.functions.VariantValidator.validateJsonString(
+         |  $ref, ${childGen.isNull} ? null : ${childGen.value});
+       """.stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ValidateJsonExpr =
     copy(child = newChild)
@@ -647,16 +665,22 @@ private object StringSchema {
   }
 }
 
-/** Format checks (VV:388-513 + helpers 2024-2080), JVM-side port. */
-private object Formats {
+/** Format checks (VV:388-513 + helpers 2024-2080), JVM-side port. All
+  * patterns precompiled once per JVM (the reference caches compiled regexes
+  * across calls, validator.hpp:96). */
+private[graft] object Formats {
   private val dateRe = java.util.regex.Pattern.compile(
     "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])$")
-  private def timeRe(strict: Boolean) = java.util.regex.Pattern.compile(
-    if (strict) "^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$"
-    else "^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])?|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$")
-  private def dtRe(strict: Boolean) = java.util.regex.Pattern.compile(
-    if (strict) "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])[Tt]([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$"
-    else "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])[Tt]([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])?|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$")
+  private val timeReStrict = java.util.regex.Pattern.compile(
+    "^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$")
+  private val timeReLax = java.util.regex.Pattern.compile(
+    "^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])?|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$")
+  private val dtReStrict = java.util.regex.Pattern.compile(
+    "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])[Tt]([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$")
+  private val dtReLax = java.util.regex.Pattern.compile(
+    "^([0-9]+)-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])[Tt]([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\\.[0-9]+)?(([Zz])?|([+\\-])([01][0-9]|2[0-3]):([0-5][0-9]))$")
+  private def timeRe(strict: Boolean) = if (strict) timeReStrict else timeReLax
+  private def dtRe(strict: Boolean) = if (strict) dtReStrict else dtReLax
   private val ipv4Re = java.util.regex.Pattern.compile(
     "^(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
 

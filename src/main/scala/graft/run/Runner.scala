@@ -72,6 +72,47 @@ object Runner {
     RowCheckOutput(flagged, violations, verdicts)
   }
 
+  /** Single-scan row-level output: one slim projection
+    * `(keyCols…, partCol, pass, violations)` with the violation array
+    * evaluated ONLY for failing rows (CaseWhen short-circuit keeps passing
+    * rows at fail-fast cost). At scale this is THE row pass: write it once
+    * (it carries no payload columns), then derive both the violation table
+    * (explode) and per-partition verdicts (aggregate) from the written
+    * intermediate without ever re-scanning or re-validating the source. */
+  def rowOutput(df: DataFrame, spec: SchemaSpec, keyCols: Seq[String],
+                partCol: String = "part_id",
+                opts: CompileOptions = CompileOptions()): DataFrame = {
+    val withPart =
+      if (df.columns.contains(partCol)) df
+      else df.withColumn(partCol, pmod(hash(col(keyCols.head)), lit(64)))
+    val compiled = Compiler.compileRow(spec, df.schema, opts)
+    val empty = array().cast(Compiler.violationArrayType)
+    withPart.select(keyCols.map(col) :+ col(partCol) :+
+      compiled.pass.as("pass") :+
+      when(compiled.pass, empty).otherwise(compiled.violations).as("violations"): _*)
+  }
+
+  /** Violation rows from a written/cached [[rowOutput]] frame. */
+  def violationsOf(rowOut: DataFrame, keyCols: Seq[String],
+                   partCol: String = "part_id"): DataFrame =
+    rowOut.where(!col("pass"))
+      .select(keyCols.map(col) :+ col(partCol) :+
+        posexplode(col("violations")).as(Seq("constraint_seq", "__graft_viol")): _*)
+      .select(keyCols.map(col) :+ col(partCol) :+ col("constraint_seq") :+
+        col("__graft_viol.json_pointer").as("json_pointer") :+
+        col("__graft_viol.description").as("description") :+
+        col("__graft_viol.kind").as("kind"): _*)
+
+  /** Per-partition verdicts (incl. violation counts) from a [[rowOutput]]
+    * frame — one hash aggregate, O(partitions) result rows. */
+  def verdictsOf(rowOut: DataFrame, partCol: String = "part_id"): DataFrame =
+    rowOut.groupBy(col(partCol))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("pass"), 0L).otherwise(1L)).as("fail_rows"),
+        sum(size(col("violations")).cast("long")).as("violation_count"))
+      .withColumn("pass", col("fail_rows") === 0)
+
   // -------------------------------------------------------------------------
   // Manifest ledger (Iceberg-snapshot stand-in; SURVEY.md §6 hard part 6)
   // -------------------------------------------------------------------------
@@ -109,10 +150,13 @@ object Runner {
     val manifest = new Manifest(outDir, runId)
     val remaining = resume(df, manifest, partCol)
     val t0 = System.nanoTime()
-    val out = rowChecks(remaining, spec, keyCols, partCol)
-    out.violations.write.mode("append").partitionBy(partCol)
+    // ONE scan of the source: the slim row output is persisted, and both
+    // sinks (violation rows, per-partition verdicts) derive from it.
+    val rowOut = rowOutput(remaining, spec, keyCols, partCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    violationsOf(rowOut, keyCols, partCol).write.mode("append").partitionBy(partCol)
       .parquet(s"$outDir/violations")
-    val verdicts = out.partitionVerdicts.cache()
+    val verdicts = verdictsOf(rowOut, partCol).cache()
     verdicts.write.mode("append").parquet(s"$outDir/verdicts")
     val doneIds = verdicts.select(col(partCol).cast("long")).collect().map(_.getLong(0)).toSeq
     manifest.markDone(doneIds)
@@ -127,6 +171,7 @@ object Runner {
       s""""part_ids":[${doneIds.sorted.mkString(",")}]}\n"""
     Files.write(Paths.get(outDir, s"metrics-$runId.jsonl"), metrics.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    rowOut.unpersist()
     verdicts
   }
 }

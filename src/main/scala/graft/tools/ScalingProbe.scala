@@ -32,11 +32,23 @@ object ScalingProbe {
       a
     }
     val mode = sys.env.getOrElse("GRAFT_PROBE_MODE", "full")
+    val keys = Seq("conv_id", "turn_idx")
+    val spec = Graft.parseSchema(TranscriptGen.transcriptSchemaJson)
+    val rowOutPath = s"/dev/shm/graft-spark/rowout-$cores"
     def pass(): Long = {
       val turns = spark.read.parquet(path)
-      val res = Graft.validate(turns, TranscriptGen.transcriptSchemaJson, Seq("conv_id", "turn_idx"))
-      val rows = step("verdicts")(res.partitionVerdicts.agg(sum("rows")).head().getLong(0))
-      step("violations")(res.violations.count())
+      // Row-level outputs from ONE scan of the source: the slim
+      // (keys, part_id, pass, violations) projection is written once;
+      // verdicts AND the violation table derive from the written
+      // intermediate (no payload columns, no re-validation).
+      step("rowpass") {
+        graft.run.Runner.rowOutput(turns, spec, keys)
+          .write.mode("overwrite").parquet(rowOutPath)
+      }
+      val rowOut = spark.read.parquet(rowOutPath)
+      val verdicts = graft.run.Runner.verdictsOf(rowOut)
+      val rows = step("verdicts")(verdicts.agg(sum("rows")).head().getLong(0))
+      step("violations")(graft.run.Runner.violationsOf(rowOut, keys).count())
       if (mode == "full") {
         step("uniqueness")(TableChecks.uniqueness(turns, Seq("conv_id", "turn_idx")).count())
         step("referential")(TableChecks.referentialStatic(turns, "tool", TranscriptGen.toolVocab).count())

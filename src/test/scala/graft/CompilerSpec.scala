@@ -104,6 +104,31 @@ class CompilerSpec extends SparkTestBase {
     run(ip, Seq("nope").toDF("s"))(0)._2.head shouldBe "String should be a valid IPv4 address"
   }
 
+  test("format: native FormatCheckExpr agrees with the pure-Catalyst regex formulation") {
+    import graft.compile.CompileOptions
+    val battery = Seq(
+      "2022-07-18", "2022-02-30", "2024-02-29", "2023-02-29", "0000-01-01", "2022-7-18",
+      "16:52:45Z", "23:59:60Z", "16:52:60Z", "16:52:45+02:00", "24:00:00Z", "23:59:60+00:00",
+      "17:59:60-06:00", "16:52:45", "16:52:45z", "16:52:45.123Z",
+      "2022-07-18T16:52:45Z", "2022-07-18 16:52:45Z", "2022-06-30T23:59:60Z",
+      "2022-06-30T17:59:60-06:00", "2022-06-30T12:00:60Z", "2022-07-18t16:52:45.5+23:59",
+      "192.168.0.1", "256.0.0.1", "1.2.3", "01.2.3.4", "", "garbage", null)
+    val df = battery.toDF("s")
+    for (fmt <- Seq("date", "time", "date-time", "ipv4"); strict <- Seq(false, true)) {
+      val opts = CompileOptions(strictDateTime = strict)
+      val catalyst = Compiler.compileFormatCatalyst(fmt, col("s"), StringType, lit(""), opts)
+      val both = df.select(
+        graft.functions.FormatCheckExpr.check(col("s"), fmt, strict).as("n"),
+        catalyst.pass.as("c")).collect().toSeq
+      val mismatches = both.zip(battery).filter { case (r, s) =>
+        val n = if (r.isNullAt(0)) null else r.getBoolean(0)
+        val c = if (r.isNullAt(1)) null else r.getBoolean(1)
+        s != null && n != c
+      }
+      withClue(s"fmt=$fmt strict=$strict: $mismatches") { mismatches shouldBe empty }
+    }
+  }
+
   test("array constraints: items, minItems, uniqueItems, contains") {
     val spec = specOf(
       """{"properties":{"a":{

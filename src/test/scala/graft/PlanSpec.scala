@@ -61,6 +61,24 @@ class PlanSpec extends SparkTestBase {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("dynamic JSON validation stays inside whole-stage codegen (ValidateJsonExpr doGenCode)") {
+    val q = SparkEntry.queries("q_json_validate")
+    val p = plan(q(spark, sf))
+    p should include("*(1)") // whole-stage codegen span covers the scan+validate stage
+    p should not include "Exchange"
+  }
+
+  test("single-scan row output: slim projection is shuffle-free, pruned, codegen'd") {
+    val spec = SpecParser.parse("""{"properties":{"l_quantity":{"maximum":25}}}""")
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = Runner.rowOutput(df, spec, Seq("l_orderkey"))
+    val p = plan(out)
+    p should not include "Exchange"
+    p should include("*(1)")
+    // only the key + referenced constraint column are read from the source
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>")
+  }
+
   test("transcript validation end-to-end plan: one shuffle for verdicts only") {
     val turns = TranscriptGen.turns(spark, 100, parts = 2, numParts = 4)
     val spec = SpecParser.parse(TranscriptGen.transcriptSchemaJson)
