@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.checks.TableChecks
@@ -17,6 +17,17 @@ object SparkEntry {
 
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Dynamic-JSON constraint query shape: validate a constructed JSON doc
+    * per row through the native validator, explode, keep selected kinds. */
+  private def jsonViolations(df: DataFrame, doc: Column, schemaJson: String,
+                             keyCol: String, kinds: Seq[String]): DataFrame = {
+    val out = Graft.validateJsonColumn(df.withColumn("__doc", doc), "__doc", schemaJson)
+    out.select(col(keyCol), explode(col("violations")).as("__v"))
+      .where(col("__v.kind").isin(kinds: _*))
+      .select(col(keyCol), col("__v.json_pointer").as("json_pointer"),
+        col("__v.description").as("description"))
+  }
 
   /** Flagship: full transcript validation (row spec + injected violations)
     * on a synthetic table — driver smoke-checks rows>0. */
@@ -197,8 +208,10 @@ object SparkEntry {
     }),
 
     "q_minhash_neardups" -> ((s, dir) => { implicit val sp = s
-      // MinHash-LSH near-dup candidates (no SQL oracle: rows-only check)
-      Dedup.minhashNearDups(t(dir, "documents"), "doc_id", "text",
+      // MinHash-LSH candidates + exact shingle-Jaccard verify: output is the
+      // exact near-dup pair set (banding recall-safe at this threshold:
+      // corpus pairs are J>=0.9 or J<0.2), so DuckDB can oracle it
+      Dedup.minhashNearDupsVerified(t(dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 8, jaccardThreshold = 0.5)
     }),
 
@@ -214,12 +227,156 @@ object SparkEntry {
     }),
 
     "q_transcript_validation" -> ((s, dir) => { implicit val sp = s
-      // full engine run over the synthetic transcript table (no SQL oracle:
-      // rows-only check; correctness asserted by golden tests in sbt test)
-      val turns = TranscriptGen.turns(s, numConvs = 2000, parts = 8, numParts = 16)
+      // full engine run over a transcript table DERIVED from the events
+      // parquet (conv = user, turn order = event order, deterministic
+      // injected violations) — every derivation is SQL-expressible, so
+      // DuckDB can compute the expected violation rows exactly
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val base = t(dir, "events").select(
+        format_string("c%010d", col("user_id")).as("conv_id"),
+        (row_number().over(w) - 1).cast("long").as("turn_idx"),
+        when(pmod(col("event_id"), lit(501)) === 0, "narrator")
+          .when(col("event_type") === "purchase", "tool")
+          .when(col("event_type").isin("click", "view"), "user")
+          .otherwise("assistant").as("role"),
+        when(pmod(col("event_id"), lit(499)) === 0, "")
+          .otherwise(concat(lit("msg "), col("event_id"))).as("text"),
+        col("event_id"), col("ts"))
+      val turns = base.withColumn("tool",
+          when(col("role") === "tool",
+            when(pmod(col("event_id"), lit(503)) === 0, "tool_zz").otherwise("tool_07"))
+            .otherwise(lit(null).cast("string")))
+        .drop("event_id")
       Graft.validate(turns, TranscriptGen.transcriptSchemaJson,
         Seq("conv_id", "turn_idx")).violations
-        .select("conv_id", "turn_idx", "json_pointer", "description", "kind")
+        .where(col("kind").isin("enum", "minLength", "pattern"))
+        .select("conv_id", "turn_idx", "json_pointer", "description")
+    }),
+
+    // --- per-constraint dynamic-JSON queries (§2.1-2.4 operators that have
+    // --- no typed-column driver query; each routes through the native
+    // --- validator over constructed docs with SQL-derivable conditions) ---
+
+    "q_type_violations" -> ((s, dir) => { implicit val sp = s
+      // exercises the named-type check incl. the exact-integer-double rule
+      // (7.0 counts as integer, validation_visitor.hpp:30-48)
+      val doc = concat(lit("""{"v":"""),
+        when(pmod(col("event_id"), lit(4)) === 0, lit("\"x\""))
+          .when(pmod(col("event_id"), lit(4)) === 1, lit("7"))
+          .when(pmod(col("event_id"), lit(4)) === 2, lit("7.0"))
+          .otherwise(lit("7.5")), lit("}"))
+      jsonViolations(t(dir, "events"), doc,
+        """{"properties":{"v":{"type":"integer"}}}""", "event_id", Seq("type"))
+    }),
+
+    "q_props_count" -> ((s, dir) => { implicit val sp = s
+      val doc = when(pmod(col("event_id"), lit(3)) === 0, lit("""{"a":1}"""))
+        .when(pmod(col("event_id"), lit(3)) === 1, lit("""{"a":1,"b":2}"""))
+        .otherwise(lit("""{"a":1,"b":2,"c":3,"d":4}"""))
+      jsonViolations(t(dir, "events"), doc,
+        """{"minProperties":2,"maxProperties":3}""", "event_id",
+        Seq("minProperties", "maxProperties"))
+    }),
+
+    "q_propertynames" -> ((s, dir) => { implicit val sp = s
+      val doc = when(pmod(col("event_id"), lit(2)) === 0, lit("""{"ok":1}"""))
+        .otherwise(lit("""{"toolong":1}"""))
+      jsonViolations(t(dir, "events"), doc,
+        """{"propertyNames":{"maxLength":2}}""", "event_id", Seq("propertyNames"))
+    }),
+
+    "q_items_tuple" -> ((s, dir) => { implicit val sp = s
+      // tuple items + additionalItems:false: overflow emits tooManyItems AND
+      // cannotValidateItem (VV:554-614); index-i mismatch emits the
+      // corresponding-item wrapper at /i
+      val doc = when(pmod(col("event_id"), lit(3)) === 0, lit("""[1,"a"]"""))
+        .when(pmod(col("event_id"), lit(3)) === 1, lit("""[1,"a",true]"""))
+        .otherwise(lit("""["x","a"]"""))
+      jsonViolations(t(dir, "events"), doc,
+        """{"items":[{"type":"integer"},{"type":"string"}],"additionalItems":false}""",
+        "event_id", Seq("items"))
+    }),
+
+    "q_items_array" -> ((s, dir) => { implicit val sp = s
+      // singular items over a typed array column (per-element subschema +
+      // wrapper at the parent path, VV:1267-1312)
+      Graft.violations(t(dir, "embeddings"),
+        """{"properties":{"embedding":{"items":{"minimum":-0.3}}}}""",
+        Seq("vec_id"), kinds = Seq("items"))
+    }),
+
+    "q_minmax_items" -> ((s, dir) => { implicit val sp = s
+      val df = t(dir, "documents").withColumn("toks", split(col("text"), " "))
+      Graft.violations(df,
+        """{"properties":{"toks":{"minItems":20,"maxItems":80}}}""",
+        Seq("doc_id"), kinds = Seq("minItems", "maxItems"))
+    }),
+
+    "q_contains" -> ((s, dir) => { implicit val sp = s
+      val df = t(dir, "documents").withColumn("toks", split(col("text"), " "))
+      Graft.violations(df,
+        """{"properties":{"toks":{"contains":{"const":"the"}}}}""",
+        Seq("doc_id"), kinds = Seq("contains"))
+    }),
+
+    "q_uniqueitems_row" -> ((s, dir) => { implicit val sp = s
+      // in-row O(n²) pairwise uniqueness (VV:1362-1399) over the first 12
+      // tokens; one violation row per offending (i,j) pair
+      val df = t(dir, "documents")
+        .withColumn("toks12", slice(split(col("text"), " "), 1, 12))
+      Graft.violations(df,
+        """{"properties":{"toks12":{"uniqueItems":true}}}""",
+        Seq("doc_id"), kinds = Seq("uniqueItems"))
+    }),
+
+    "q_multipleof_int" -> ((s, dir) => { implicit val sp = s
+      // integer divisor over a double column: C++-truncating-cast semantics
+      // (VV:934-984)
+      Graft.violations(t(dir, "lineitem"),
+        """{"properties":{"l_quantity":{"multipleOf":5}}}""",
+        Seq("l_orderkey", "l_linenumber"), kinds = Seq("multipleOf"))
+    }),
+
+    "q_multipleof_double" -> ((s, dir) => { implicit val sp = s
+      // double divisor: relative-epsilon tolerance (VV:898-925)
+      Graft.violations(t(dir, "lineitem"),
+        """{"properties":{"l_quantity":{"multipleOf":2.5}}}""",
+        Seq("l_orderkey", "l_linenumber"), kinds = Seq("multipleOf"))
+    }),
+
+    "q_allof" -> ((s, dir) => { implicit val sp = s
+      Graft.violations(t(dir, "lineitem"),
+        """{"properties":{"l_quantity":{"allOf":[{"minimum":5},{"maximum":45}]}}}""",
+        Seq("l_orderkey", "l_linenumber"), kinds = Seq("allOf"))
+    }),
+
+    "q_anyof" -> ((s, dir) => { implicit val sp = s
+      Graft.violations(t(dir, "orders"),
+        """{"properties":{"o_orderpriority":{"anyOf":[{"const":"1-URGENT"},{"const":"2-HIGH"}]}}}""",
+        Seq("o_orderkey"), kinds = Seq("anyOf"))
+    }),
+
+    "q_oneof" -> ((s, dir) => { implicit val sp = s
+      // oneOf fails on >1 match (VV:1047-1051): quantities in [20,30]
+      // satisfy both children
+      Graft.violations(t(dir, "lineitem"),
+        """{"properties":{"l_quantity":{"oneOf":[{"minimum":20},{"maximum":30}]}}}""",
+        Seq("l_orderkey", "l_linenumber"), kinds = Seq("oneOf"))
+    }),
+
+    "q_not" -> ((s, dir) => { implicit val sp = s
+      Graft.violations(t(dir, "part"),
+        """{"properties":{"p_type":{"not":{"pattern":"PROMO"}}}}""",
+        Seq("p_partkey"), kinds = Seq("not"))
+    }),
+
+    "q_false_schema" -> ((s, dir) => { implicit val sp = s
+      // boolean false schema: alwaysInvalid with no error of its own
+      // (VV:107-109) — the enclosing properties wrapper reports
+      Graft.violations(t(dir, "nation"),
+        """{"properties":{"n_name":false}}""",
+        Seq("n_nationkey"), kinds = Seq("properties"))
     })
   )
 
@@ -347,6 +504,153 @@ object SparkEntry {
       """SELECT vec_id FROM (
            SELECT vec_id, list_cosine_similarity(embedding,
                   (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS c
-           FROM embeddings ORDER BY c DESC, vec_id LIMIT 10)"""
+           FROM embeddings ORDER BY c DESC, vec_id LIMIT 10)""",
+
+    "q_langid" ->
+      """WITH c AS (SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|von|mit|den|für|nicht)\b')) AS de,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS en,
+           len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS es,
+           len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|est|dans|que|une)\b')) AS fr,
+           len(regexp_extract_all(lower(text), '\b(de|que|e|do|da|em|um|para|com|não)\b')) AS pt
+         FROM documents)
+         SELECT doc_id, CASE WHEN greatest(de,en,es,fr,pt) <= 0 THEN 'und'
+           WHEN pt = greatest(de,en,es,fr,pt) THEN 'pt'
+           WHEN fr = greatest(de,en,es,fr,pt) THEN 'fr'
+           WHEN es = greatest(de,en,es,fr,pt) THEN 'es'
+           WHEN en = greatest(de,en,es,fr,pt) THEN 'en'
+           ELSE 'de' END AS pred_lang
+         FROM c""",
+
+    "q_minhash_neardups" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(norm)-6, 2)),
+                 i -> substr(norm, i::INT, 8))) AS sh FROM n)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5""",
+
+    "q_transcript_validation" ->
+      """WITH turns AS (
+           SELECT printf('c%010d', user_id) AS conv_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS turn_idx,
+                  CASE WHEN event_id % 501 = 0 THEN 'narrator'
+                       WHEN event_type = 'purchase' THEN 'tool'
+                       WHEN event_type IN ('click','view') THEN 'user'
+                       ELSE 'assistant' END AS role,
+                  CASE WHEN event_id % 499 = 0 THEN '' ELSE 'msg ' || event_id END AS text,
+                  event_id
+           FROM events)
+         SELECT conv_id, turn_idx, '/role' AS json_pointer,
+                'Failed to match against any enum values.' AS description
+         FROM turns WHERE role = 'narrator'
+         UNION ALL
+         SELECT conv_id, turn_idx, '/text',
+                'String should be no fewer than 1 characters in length.'
+         FROM turns WHERE text = ''
+         UNION ALL
+         SELECT conv_id, turn_idx, '/tool',
+                'Failed to match regex specified by ''pattern'' constraint.'
+         FROM turns WHERE role = 'tool' AND event_id % 503 = 0""",
+
+    "q_type_violations" ->
+      """SELECT event_id, '/v' AS json_pointer,
+                'Value type not permitted by ''type'' constraint.' AS description
+         FROM events WHERE event_id % 4 IN (0, 3)""",
+
+    "q_props_count" ->
+      """SELECT event_id, '' AS json_pointer,
+                'Object should have no fewer than 2 properties.' AS description
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT event_id, '', 'Object should have no more than 3 properties.'
+         FROM events WHERE event_id % 3 = 2""",
+
+    "q_propertynames" ->
+      """SELECT event_id, '' AS json_pointer,
+                'Failed to validate against ''propertyNames'' constraint.' AS description
+         FROM events WHERE event_id % 2 = 1""",
+
+    "q_items_tuple" ->
+      """SELECT event_id, '' AS json_pointer,
+                'Array contains more items than allowed by items constraint.' AS description
+         FROM events WHERE event_id % 3 = 1
+         UNION ALL
+         SELECT event_id, '',
+                'Cannot validate item #2 or greater using ''items'' constraint or ''additionalItems'' constraint.'
+         FROM events WHERE event_id % 3 = 1
+         UNION ALL
+         SELECT event_id, '/0',
+                'Failed to validate item #0 against corresponding item schema.'
+         FROM events WHERE event_id % 3 = 2""",
+
+    "q_items_array" ->
+      """SELECT vec_id, '/embedding' AS json_pointer,
+                'Failed to validate item #' || (i - 1) || ' in array.' AS description
+         FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+               FROM embeddings)
+         WHERE NOT (x >= -0.3)""",
+
+    "q_minmax_items" ->
+      """SELECT doc_id, '/toks' AS json_pointer,
+                'Array should contain no fewer than 20 elements.' AS description
+         FROM documents WHERE len(string_split(text, ' ')) < 20
+         UNION ALL
+         SELECT doc_id, '/toks', 'Array should contain no more than 80 elements.'
+         FROM documents WHERE len(string_split(text, ' ')) > 80""",
+
+    "q_contains" ->
+      """SELECT doc_id, '/toks' AS json_pointer,
+                'Failed to any values against subschema in ''contains'' constraint.' AS description
+         FROM documents WHERE NOT list_contains(string_split(text, ' '), 'the')""",
+
+    "q_uniqueitems_row" ->
+      """WITH t AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, 12) AS l FROM documents),
+         e AS (SELECT doc_id, unnest(l) AS x, generate_subscripts(l, 1) AS i FROM t)
+         SELECT a.doc_id, '/toks12' AS json_pointer,
+                'Elements at indexes #' || (a.i - 1) || ' and #' || (b.i - 1) ||
+                ' violate uniqueness constraint.' AS description
+         FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i > a.i AND a.x = b.x""",
+
+    "q_multipleof_int" ->
+      """SELECT l_orderkey, l_linenumber, '/l_quantity' AS json_pointer,
+                'Value should be a multiple of 5' AS description
+         FROM lineitem
+         WHERE NOT (CAST(l_quantity AS BIGINT) = 0 OR CAST(l_quantity AS BIGINT) % 5 = 0)""",
+
+    "q_multipleof_double" ->
+      """SELECT l_orderkey, l_linenumber, '/l_quantity' AS json_pointer,
+                'Value should be a multiple of 2.500000' AS description
+         FROM lineitem
+         WHERE NOT (l_quantity = 0 OR CAST(l_quantity AS BIGINT) % 5 = 0)""",
+
+    "q_allof" ->
+      """SELECT l_orderkey, l_linenumber, '/l_quantity' AS json_pointer,
+                'Failed to validate against child schema #0.' AS description
+         FROM lineitem WHERE NOT (l_quantity >= 5)
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, '/l_quantity',
+                'Failed to validate against child schema #1.'
+         FROM lineitem WHERE NOT (l_quantity <= 45)""",
+
+    "q_anyof" ->
+      """SELECT o_orderkey, '/o_orderpriority' AS json_pointer,
+                'Failed to validate against any schemas allowed by anyOf constraint.' AS description
+         FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')""",
+
+    "q_oneof" ->
+      """SELECT l_orderkey, l_linenumber, '/l_quantity' AS json_pointer,
+                'Failed to validate against exactly one child schema.' AS description
+         FROM lineitem WHERE l_quantity >= 20 AND l_quantity <= 30""",
+
+    "q_not" ->
+      """SELECT p_partkey, '/p_type' AS json_pointer,
+                'Target should not validate against schema specified in ''not'' constraint.' AS description
+         FROM part WHERE regexp_matches(p_type, 'PROMO')""",
+
+    "q_false_schema" ->
+      """SELECT n_nationkey, '' AS json_pointer,
+                'Failed to validate against schema associated with property name ''n_name''.' AS description
+         FROM nation WHERE n_name IS NOT NULL"""
   )
 }

@@ -107,6 +107,29 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** MinHash-LSH candidates verified with EXACT shingle-set Jaccard: the
+    * output is precisely the pairs with true Jaccard >= `jaccardThreshold`
+    * among band-colliding candidates (estimate used only as a cheap pruning
+    * filter at half the threshold). With banding tuned for recall at the
+    * threshold this equals the exact near-dup pair set — independently
+    * checkable in SQL — while doing O(candidates) verification work
+    * instead of all pairs. */
+  def minhashNearDupsVerified(df: DataFrame, idCol: String, textCol: String,
+                              numHashes: Int = 32, bands: Int = 8,
+                              jaccardThreshold: Double = 0.5,
+                              shingleK: Int = 8,
+                              maxBucketSize: Int = 256): DataFrame = {
+    val cands = minhashNearDups(df, idCol, textCol, numHashes, bands,
+      jaccardThreshold = jaccardThreshold / 2, shingleK, maxBucketSize)
+    val texts = df.select(col(idCol), col(textCol))
+    cands.select(col("id_a"), col("id_b"))
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_tb")), "id_b")
+      .where(ngramJaccard(col("_ta"), col("_tb"), shingleK) >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Drop over-full LSH buckets before the self-join. A band hash shared by
     * thousands of rows carries almost no locality signal but costs O(n²) in
     * the bucket join — production LSH dedup skips super-frequent band
