@@ -63,8 +63,10 @@ object Graft {
     * the native [[graft.functions.ValidateJsonExpr]] (the reference's
     * ValidationVisitor shape, vectorized by the scan). NULL documents pass
     * (absent); malformed JSON fails with a parse violation. */
-  def validateJsonColumn(df: DataFrame, jsonCol: String, spec: SchemaSpec): DataFrame = {
-    val res = graft.functions.ValidateJsonExpr.validate(col(jsonCol), spec)
+  def validateJsonColumn(df: DataFrame, jsonCol: String, spec: SchemaSpec,
+                         opts: CompileOptions = CompileOptions()): DataFrame = {
+    val res = graft.functions.ValidateJsonExpr.validate(col(jsonCol), spec,
+      opts.strictDateTime, opts.strictTypes)
     df.withColumn("__graft_res", res)
       .withColumn("pass", col("__graft_res.pass"))
       .withColumn("violations", col("__graft_res.violations"))

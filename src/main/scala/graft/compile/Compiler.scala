@@ -104,7 +104,10 @@ object Compiler {
     * document, columns are its properties. Shuffle-free: one projection. */
   def compileRow(spec: SchemaSpec, schema: StructType,
                  opts: CompileOptions = CompileOptions()): Compiled = {
-    val rowStruct = struct(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // Backtick-quote names: col("a.b") would parse as nested-field access,
+    // breaking columns whose names contain dots (e.g. IPv4-shaped keys).
+    val rowStruct = struct(schema.fieldNames.toIndexedSeq
+      .map(n => col("`" + n.replace("`", "``") + "`")): _*)
     // Catalyst's SimplifyExtractValueOps collapses GetStructField(CreateStruct)
     // back to the raw column references, so this costs nothing at runtime.
     compile(spec, rowStruct, schema, lit(""), opts)
@@ -164,8 +167,10 @@ object Compiler {
       val dynOk: Column =
         if (staticOk || opts.strictTypes) strictDyn
         else {
-          // Weak typing (kWeakTypes): maybe* conversions,
-          // basic_adapter.hpp:762-880 / ValidateNamedTypes VV:1650-1697.
+          // Weak typing (kWeakTypes) affects ONLY bool/integer/null/number —
+          // string, array and object stay strict even in weak mode
+          // (ValidateNamedTypes, VV:1654-1681: kString/kArray/kObject have
+          // no maybe* branch).
           val weak: Seq[Column] = dt match {
             case t if isStringLike(t) =>
               types.toSeq.flatMap {
@@ -175,13 +180,7 @@ object Compiler {
                 case JsonType.JNull    => Some(value === "")
                 case _                 => None
               }
-            case t if isNumeric(t) || t == BooleanType =>
-              // numbers/bools are maybeString (asString renders them)
-              if (types.contains(JsonType.JString)) Seq(lit(true))
-              else if (isNumeric(dt) && types.contains(JsonType.JInteger)) Seq(intLikeDouble)
-              else Nil
-            case _: ArrayType if types.contains(JsonType.JObject) => Seq(size(value) === 0)
-            case MapType(_, _, _) if types.contains(JsonType.JArray) => Seq(size(value) === 0)
+            case t if isNumeric(t) && types.contains(JsonType.JInteger) => Seq(intLikeDouble)
             case _ => Nil
           }
           weak.foldLeft(strictDyn)(_ || _)
@@ -224,11 +223,22 @@ object Compiler {
       }
 
     case MultipleOfIntC(d) =>
-      if (!isNumeric(dt) && !(isStringLike(dt) && !opts.strictTypes)) alwaysTrue
+      // The reference's multipleOf visitors apply maybe-conversions
+      // REGARDLESS of strictness (VV:934-984 has no m_strictTypes gate):
+      // integer-parseable strings get the integer check, double-parseable
+      // strings the truncating-double check, everything else passes.
+      if (!isNumeric(dt) && !isStringLike(dt)) alwaysTrue
       else if (isStringLike(dt)) {
-        // weak mode: string parseable as integer -> integer check; else pass
-        val i = value.try_cast(LongType)
-        val ok = value.isNull || i.isNull || i === 0 || i % lit(d) === 0
+        val iL = value.try_cast(LongType)
+        val dv = value.try_cast(DoubleType)
+        val outOfRange = dv < lit(Long.MinValue.toDouble) || dv > lit(Long.MaxValue.toDouble)
+        val rem = dv - bround(dv / lit(d.toDouble)) * lit(d.toDouble)
+        val fromD = when(outOfRange, abs(rem) <= lit(2.220446049250313e-16))
+          .otherwise(dv.cast(LongType) === 0 || dv.cast(LongType) % lit(d) === 0)
+        val ok = value.isNull ||
+          when(iL.isNotNull, iL === 0 || iL % lit(d) === 0)
+            .when(dv.isNotNull, fromD)
+            .otherwise(lit(true))
         leaf(b(ok), ptr, lit(Messages.multipleOfInt(d)), "multipleOf")
       } else {
         val ok: Column =
@@ -248,7 +258,12 @@ object Compiler {
       }
 
     case MultipleOfDoubleC(d) =>
-      val target = numericTarget(value, dt, opts)
+      // maybe-conversions regardless of strictness (VV:863-925): numeric
+      // strings are checked; unparseable strings pass (try_cast → NULL).
+      val target =
+        if (isNumeric(dt)) Some(value.cast(DoubleType))
+        else if (isStringLike(dt)) Some(value.try_cast(DoubleType))
+        else None
       if (target.isEmpty) alwaysTrue
       else if (d == 0.0) leaf(b(value.isNull || target.get.isNull || target.get === 0.0), ptr,
                               lit(Messages.multipleOfDouble(d)), "multipleOf")
@@ -545,6 +560,22 @@ object Compiler {
     def asS   = v.try_cast("string")
     def asArr = v.try_cast("array<variant>")
     def asMap = v.try_cast("map<string,variant>")
+    val weak  = !opts.strictTypes
+
+    /** Numeric view for bounds/multipleOf: numbers always; in weak mode
+      * also double-parseable strings (maybeDouble). NULL = not applicable. */
+    def numV: Column =
+      if (weak) when(vNum, asD).when(vStr, asS.try_cast("double")) else when(vNum, asD)
+    /** String view for length/pattern: strings always; in weak mode the
+      * asString renderings (std::to_string semantics) of bools/numbers and
+      * "" for empty containers (basic_adapter.hpp:467-507). */
+    def strV: Column =
+      if (!weak) when(vStr, asS)
+      else when(vStr, asS)
+        .when(vBool, when(v.try_cast("boolean"), "true").otherwise("false"))
+        .when(vLong, v.try_cast("bigint").cast(StringType))
+        .when(vFrac, format_string("%.6f", asD))
+        .when((vArr && size(asArr) === 0) || (vObj && size(asMap) === 0), lit(""))
 
     /** Apply `inner` only when `applicable`; other types pass (the
       * reference's type-applicability rule). NULL variant = absent. */
@@ -565,14 +596,18 @@ object Compiler {
 
     c match {
       case TypeC(types, schemas) =>
+        // weak mode widens only bool/integer/null/number (VV:1654-1681)
         val named: Seq[Column] = types.toSeq.map {
           case JsonType.JAny     => lit(true)
           case JsonType.JString  => vStr
-          case JsonType.JBoolean => vBool
+          case JsonType.JBoolean => vBool ||
+            (lit(weak) && vStr && asS.isin("true", "false"))
           case JsonType.JInteger => vLong || (vFrac && asD === floor(asD) &&
-            asD >= lit(Long.MinValue.toDouble) && asD <= lit(Long.MaxValue.toDouble))
-          case JsonType.JNumber  => vNum
-          case JsonType.JNull    => vNull
+            asD >= lit(Long.MinValue.toDouble) && asD <= lit(Long.MaxValue.toDouble)) ||
+            (lit(weak) && vStr && asS.try_cast(LongType).isNotNull)
+          case JsonType.JNumber  => vNum ||
+            (lit(weak) && vStr && asS.try_cast(DoubleType).isNotNull)
+          case JsonType.JNull    => vNull || (lit(weak) && vStr && asS === "")
           case JsonType.JArray   => vArr
           case JsonType.JObject  => vObj
         }
@@ -588,43 +623,59 @@ object Compiler {
         leaf(b(v.isNull || constEq(jv)), ptr, lit(Messages.constNoMatch), "const")
 
       case MinimumC(m, excl) =>
-        val cmp = if (excl) asD > lit(m) else asD >= lit(m)
-        leaf(b(v.isNull || !vNum || cmp), ptr,
+        val nv = numV
+        val cmp = if (excl) nv > lit(m) else nv >= lit(m)
+        leaf(b(v.isNull || nv.isNull || cmp), ptr,
           lit(if (excl) Messages.minimumExcl(m) else Messages.minimumIncl(m)), "minimum")
 
       case MaximumC(m, excl) =>
-        val cmp = if (excl) asD < lit(m) else asD <= lit(m)
-        leaf(b(v.isNull || !vNum || cmp), ptr,
+        val nv = numV
+        val cmp = if (excl) nv < lit(m) else nv <= lit(m)
+        leaf(b(v.isNull || nv.isNull || cmp), ptr,
           lit(if (excl) Messages.maximumExcl(m) else Messages.maximumIncl(m)), "maximum")
 
       case MultipleOfIntC(d) =>
+        // maybe-conversions regardless of strictness (VV:934-984): numeric
+        // strings are checked through the same integer/double dispatch.
         val i = v.try_cast("bigint")
         val intOk = i === 0 || i % lit(d) === 0
-        val fracOutOfRange = asD < lit(Long.MinValue.toDouble) || asD > lit(Long.MaxValue.toDouble)
-        val rem = asD - bround(asD / lit(d.toDouble)) * lit(d.toDouble)
-        val fracOk = when(fracOutOfRange, abs(rem) <= lit(2.220446049250313e-16))
-          .otherwise(asD.try_cast("bigint") === 0 || asD.try_cast("bigint") % lit(d) === 0)
-        leaf(b(v.isNull || when(vLong, intOk).when(vFrac, fracOk).otherwise(lit(true))),
+        def fracOkOf(dv: Column): Column = {
+          val outOfRange = dv < lit(Long.MinValue.toDouble) || dv > lit(Long.MaxValue.toDouble)
+          val rem = dv - bround(dv / lit(d.toDouble)) * lit(d.toDouble)
+          when(outOfRange, abs(rem) <= lit(2.220446049250313e-16))
+            .otherwise(dv.try_cast("bigint") === 0 || dv.try_cast("bigint") % lit(d) === 0)
+        }
+        val sL = asS.try_cast(LongType)
+        val sD = asS.try_cast(DoubleType)
+        val strOk = when(sL.isNotNull, sL === 0 || sL % lit(d) === 0)
+          .when(sD.isNotNull, fracOkOf(sD))
+          .otherwise(lit(true))
+        leaf(b(v.isNull || when(vLong, intOk).when(vFrac, fracOkOf(asD))
+            .when(vStr, strOk).otherwise(lit(true))),
           ptr, lit(Messages.multipleOfInt(d)), "multipleOf")
 
       case MultipleOfDoubleC(d) =>
-        if (d == 0.0) leaf(b(v.isNull || !vNum || asD === 0.0), ptr,
+        val dv = when(vNum, asD).when(vStr, asS.try_cast(DoubleType))
+        if (d == 0.0) leaf(b(v.isNull || dv.isNull || dv === 0.0), ptr,
           lit(Messages.multipleOfDouble(d)), "multipleOf")
         else {
-          val q = asD / lit(d)
+          val q = dv / lit(d)
           val finite = !isnan(q) && abs(q) <= lit(Double.MaxValue)
           val diff = abs(q - round(q, 0))
           val tol = greatest(abs(q), lit(1.0)) * lit(2.220446049250313e-16)
-          leaf(b(v.isNull || !vNum || asD === 0.0 || (finite && diff <= tol)), ptr,
+          leaf(b(v.isNull || dv.isNull || dv === 0.0 || (finite && diff <= tol)), ptr,
             lit(Messages.multipleOfDouble(d)), "multipleOf")
         }
 
       case PatternC(p) =>
-        leaf(b(v.isNull || !vStr || asS.rlike(p)), ptr, lit(Messages.patternNoMatch), "pattern")
+        val sv = strV
+        leaf(b(v.isNull || sv.isNull || sv.rlike(p)), ptr, lit(Messages.patternNoMatch), "pattern")
       case MinLengthC(n) =>
-        leaf(b(v.isNull || !vStr || length(asS) >= lit(n)), ptr, lit(Messages.minLength(n)), "minLength")
+        val sv = strV
+        leaf(b(v.isNull || sv.isNull || length(sv) >= lit(n)), ptr, lit(Messages.minLength(n)), "minLength")
       case MaxLengthC(n) =>
-        leaf(b(v.isNull || !vStr || length(asS) <= lit(n)), ptr, lit(Messages.maxLength(n)), "maxLength")
+        val sv = strV
+        leaf(b(v.isNull || sv.isNull || length(sv) <= lit(n)), ptr, lit(Messages.maxLength(n)), "maxLength")
       case FormatC(fmt) =>
         guarded(vStr, compileFormat(fmt, asS, StringType, ptr, opts))
 

@@ -29,7 +29,8 @@ import graft.spec._
   * (ConformanceSpec runs both paths over the full suite).
   */
 case class ValidateVariantExpr(child: Expression, spec: SchemaSpec,
-                               strictDateTime: Boolean = false)
+                               strictDateTime: Boolean = false,
+                               strictTypes: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
@@ -42,14 +43,14 @@ case class ValidateVariantExpr(child: Expression, spec: SchemaSpec,
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"validate_variant requires a variant input, got ${child.dataType}")
 
-  @transient private lazy val validator = new VariantValidator(spec, strictDateTime)
+  @transient private lazy val validator = new VariantValidator(spec, strictDateTime, strictTypes)
 
   override def nullSafeEval(input: Any): Any =
     validator.validateRow(input.asInstanceOf[VariantVal])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftValidator",
-      new VariantValidator(spec, strictDateTime), classOf[VariantValidator].getName)
+      new VariantValidator(spec, strictDateTime, strictTypes), classOf[VariantValidator].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = $ref.validateRow($c);")
   }
@@ -61,10 +62,11 @@ case class ValidateVariantExpr(child: Expression, spec: SchemaSpec,
 object ValidateVariantExpr {
   /** Column API: `struct(pass, violations)` for a variant column. */
   def validate(variant: Column, spec: SchemaSpec,
-               strictDateTime: Boolean = false): Column =
+               strictDateTime: Boolean = false,
+               strictTypes: Boolean = true): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       ValidateVariantExpr(org.apache.spark.sql.GraftSqlBridge.expression(variant),
-        spec, strictDateTime))
+        spec, strictDateTime, strictTypes))
 }
 
 /** String-input form: parses the JSON inside the expression (one parse +
@@ -74,7 +76,8 @@ object ValidateVariantExpr {
   * ordinary top-level common subexpressions, which whole-stage codegen
   * deduplicates — no document probe is ever cloned. */
 case class ValidateJsonExpr(child: Expression, spec: SchemaSpec,
-                            strictDateTime: Boolean = false)
+                            strictDateTime: Boolean = false,
+                            strictTypes: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
@@ -89,7 +92,7 @@ case class ValidateJsonExpr(child: Expression, spec: SchemaSpec,
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"validate_json requires a string input, got ${child.dataType}")
 
-  @transient private lazy val validator = new VariantValidator(spec, strictDateTime)
+  @transient private lazy val validator = new VariantValidator(spec, strictDateTime, strictTypes)
 
   override def eval(input: InternalRow): Any =
     VariantValidator.validateJsonString(validator,
@@ -120,16 +123,19 @@ case class ValidateJsonExpr(child: Expression, spec: SchemaSpec,
 
 object ValidateJsonExpr {
   def validate(jsonText: Column, spec: SchemaSpec,
-               strictDateTime: Boolean = false): Column =
+               strictDateTime: Boolean = false,
+               strictTypes: Boolean = true): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       ValidateJsonExpr(org.apache.spark.sql.GraftSqlBridge.expression(jsonText),
-        spec, strictDateTime))
+        spec, strictDateTime, strictTypes))
 }
 
 /** Serializable single-pass evaluator over the variant binary — the
-  * `ValidationVisitor` port. Strict-types mode (the JSON document is real
-  * JSON; weak mode is a typed-column concern). */
-final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
+  * `ValidationVisitor` port. `strictTypes=false` enables the reference's
+  * kWeakTypes mode: per-constraint maybe/as conversions
+  * (basic_adapter.hpp:335-547, 762-880). */
+final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
+                             strictTypes: Boolean = true)
     extends Serializable {
 
   import VariantUtil.Type._
@@ -185,6 +191,113 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
   }
   private def codePoints(s: String): Int = s.codePointCount(0, s.length)
   private def escSeg(s: String) = Messages.escapePointerSegment(s)
+
+  // --- kWeakTypes maybe/as conversions (basic_adapter.hpp:335-547,762-880)
+
+  /** Full-string double parse (internal/double_parser.hpp analog; no
+    * whitespace, no Java 'd'/'f' suffixes). */
+  private def parseD(s: String): Option[Double] =
+    if (s.isEmpty || !s.forall(c => (c >= '0' && c <= '9') || "+-.eE".indexOf(c) >= 0)) None
+    else try Some(java.lang.Double.parseDouble(s)) catch { case _: NumberFormatException => None }
+  /** Full-string int64 parse (istringstream >> int64 analog). */
+  private def parseL(s: String): Option[Long] =
+    try Some(java.lang.Long.parseLong(s)) catch { case _: NumberFormatException => None }
+
+  private def maybeString(v: Variant): Boolean =
+    isString(v) || isBool(v) || isNumber(v) ||
+      (isObject(v) && v.objectSize() == 0) || (isArray(v) && v.arraySize() == 0)
+  private def maybeBool(v: Variant): Boolean =
+    isBool(v) || (isString(v) && { val s = v.getString; s == "true" || s == "false" })
+  private def maybeDouble(v: Variant): Boolean =
+    isNumber(v) || (isString(v) && parseD(v.getString).isDefined)
+  private def maybeInteger(v: Variant): Boolean =
+    isIntegerLike(v) || (isString(v) && parseL(v.getString).isDefined)
+  private def maybeNull(v: Variant): Boolean =
+    isNullT(v) || (isString(v) && v.getString.isEmpty)
+  private def maybeArray(v: Variant): Boolean =
+    isArray(v) || (isObject(v) && v.objectSize() == 0)
+  private def maybeObject(v: Variant): Boolean =
+    isObject(v) || (isArray(v) && v.arraySize() == 0)
+
+  private def asDoubleW(v: Variant): Double =
+    if (isNumber(v)) asDouble(v) else parseD(v.getString).get
+  private def asIntegerW(v: Variant): Long =
+    if (isLong(v)) v.getLong
+    else if (isNumber(v)) asDouble(v).toLong
+    else parseL(v.getString).get
+  /** asString (basic_adapter.hpp:467-507): std::to_string rendering —
+    * doubles get 6 fixed decimals. */
+  private def asStringW(v: Variant): String = v.getType match {
+    case STRING  => v.getString
+    case BOOLEAN => if (v.getBoolean) "true" else "false"
+    case LONG    => v.getLong.toString
+    case DOUBLE | FLOAT | DECIMAL => Messages.cppDouble(asDouble(v))
+    case _       => "" // empty array/object (guarded by maybeString)
+  }
+
+  /** Type-applicability guards (the `(m_strictTypes && !isX) || !maybeX`
+    * pattern): true = constraint does NOT apply (passes silently). */
+  private def skipNumeric(v: Variant): Boolean =
+    (strictTypes && !isNumber(v)) || !maybeDouble(v)
+  private def skipString(v: Variant): Boolean =
+    (strictTypes && !isString(v)) || !maybeString(v)
+  private def skipObject(v: Variant): Boolean =
+    (strictTypes && !isObject(v)) || !maybeObject(v)
+  private def skipArray(v: Variant): Boolean =
+    (strictTypes && !isArray(v)) || !maybeArray(v)
+
+  // object/array views that tolerate the weak-mode empty-container aliases
+  private def objSizeW(v: Variant): Int = if (isObject(v)) v.objectSize() else 0
+  private def fieldByKeyW(v: Variant, k: String): Variant =
+    if (isObject(v)) v.getFieldByKey(k) else null
+  private def arrSizeW(v: Variant): Int = if (isArray(v)) v.arraySize() else 0
+
+  /** Weak deep equality (equalTo with strict=false,
+    * basic_adapter.hpp:509-547). */
+  private def weakEq(v: Variant, jv: JsonValue): Boolean = {
+    def jvIsNullish = jv == JNullV || jv == JStringV("")
+    def jvBool: Option[Boolean] = jv match {
+      case JBoolV(b)         => Some(b)
+      case JStringV("true")  => Some(true)
+      case JStringV("false") => Some(false)
+      case _                 => None
+    }
+    def jvDouble: Option[Double] = jv match {
+      case JLongV(l)   => Some(l.toDouble)
+      case JDoubleV(d) => Some(d)
+      case JStringV(s) => parseD(s)
+      case _           => None
+    }
+    def jvString: Option[String] = jv match {
+      case JStringV(s)                  => Some(s)
+      case JBoolV(b)                    => Some(if (b) "true" else "false")
+      case JLongV(l)                    => Some(l.toString)
+      case JDoubleV(d)                  => Some(Messages.cppDouble(d))
+      case JArrayV(xs) if xs.isEmpty    => Some("")
+      case JObjectV(fs) if fs.isEmpty   => Some("")
+      case _                            => None
+    }
+    if (isNullT(v) || maybeNull(v)) jvIsNullish
+    else if (isBool(v) || maybeBool(v))
+      jvBool.contains(if (isBool(v)) v.getBoolean else v.getString == "true")
+    else if (maybeDouble(v)) jvDouble.contains(asDoubleW(v))
+    else if (maybeInteger(v)) jvDouble.contains(asIntegerW(v).toDouble)
+    else if (isString(v) || maybeString(v)) jvString.contains(asStringW(v))
+    else if (isArray(v)) jv match {
+      case JArrayV(xs) => v.arraySize() == xs.length &&
+        xs.indices.forall(i => weakEq(v.getElementAtIndex(i), xs(i)))
+      case JObjectV(fs) if fs.isEmpty => v.arraySize() == 0
+      case _ => false
+    }
+    else if (isObject(v)) jv match {
+      case JObjectV(fs) => v.objectSize() == fs.size && fs.forall { case (k, x) =>
+        val f = v.getFieldByKey(k); f != null && weakEq(f, x)
+      }
+      case JArrayV(xs) if xs.isEmpty => v.objectSize() == 0
+      case _ => false
+    }
+    else false
+  }
 
   /** Deep equality (basic_adapter.hpp:509-547, strict): numbers as doubles,
     * arrays ordered, objects key-unordered. */
@@ -248,13 +361,15 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
   private def visit(c: Constraint, v: Variant, path: String, sink: Option[Sink]): Boolean = c match {
 
     case TypeC(types, schemas) =>
+      // Weak mode affects only bool/integer/null/number; string, array and
+      // object stay strict even under kWeakTypes (VV:1654-1681).
       val named = types.exists {
         case JsonType.JAny     => true
         case JsonType.JString  => isString(v)
-        case JsonType.JBoolean => isBool(v)
-        case JsonType.JInteger => isIntegerLike(v)
-        case JsonType.JNumber  => isNumber(v)
-        case JsonType.JNull    => isNullT(v)
+        case JsonType.JBoolean => isBool(v) || (!strictTypes && maybeBool(v))
+        case JsonType.JInteger => isIntegerLike(v) || (!strictTypes && maybeInteger(v))
+        case JsonType.JNumber  => isNumber(v) || (!strictTypes && maybeDouble(v))
+        case JsonType.JNull    => isNullT(v) || (!strictTypes && maybeNull(v))
         case JsonType.JArray   => isArray(v)
         case JsonType.JObject  => isObject(v)
       }
@@ -263,19 +378,20 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       ok
 
     case EnumC(values) =>
-      val ok = values.exists(eqJson(v, _))
+      val ok =
+        if (strictTypes) values.exists(eqJson(v, _)) else values.exists(weakEq(v, _))
       if (!ok) push(sink, path, Messages.enumNoMatch, "enum")
       ok
 
     case ConstC(jv) =>
-      val ok = eqJson(v, jv)
+      val ok = if (strictTypes) eqJson(v, jv) else weakEq(v, jv)
       if (!ok) push(sink, path, Messages.constNoMatch, "const")
       ok
 
     case MinimumC(m, excl) =>
-      if (!isNumber(v)) true
+      if (skipNumeric(v)) true
       else {
-        val d = asDouble(v)
+        val d = asDoubleW(v)
         val ok = if (excl) d > m else d >= m
         if (!ok) push(sink, path,
           if (excl) Messages.minimumExcl(m) else Messages.minimumIncl(m), "minimum")
@@ -283,9 +399,9 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       }
 
     case MaximumC(m, excl) =>
-      if (!isNumber(v)) true
+      if (skipNumeric(v)) true
       else {
-        val d = asDouble(v)
+        val d = asDoubleW(v)
         val ok = if (excl) d < m else d <= m
         if (!ok) push(sink, path,
           if (excl) Messages.maximumExcl(m) else Messages.maximumIncl(m), "maximum")
@@ -293,14 +409,16 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       }
 
     case MultipleOfIntC(div) =>
-      // VV:934-984
-      if (isLong(v)) {
-        val i = v.getLong
+      // VV:934-984 — maybe-conversions apply regardless of strictness
+      // (the reference's multipleOf visitors have no m_strictTypes gate),
+      // so numeric STRINGS are checked; non-numeric values pass.
+      if (maybeInteger(v)) {
+        val i = asIntegerW(v)
         val ok = i == 0 || i % div == 0
         if (!ok) push(sink, path, Messages.multipleOfInt(div), "multipleOf")
         ok
-      } else if (isNumber(v)) {
-        val d = asDouble(v)
+      } else if (maybeDouble(v)) {
+        val d = asDoubleW(v)
         val ok =
           if (d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble)
             Math.abs(Math.IEEEremainder(d, div.toDouble)) <= Math.ulp(1.0)
@@ -310,46 +428,50 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       } else true
 
     case MultipleOfDoubleC(div) =>
-      // VV:898-925 tolerance port
-      if (!isNumber(v)) true
-      else {
-        val d = asDouble(v)
-        val ok =
-          if (d == 0) true
-          else if (div == 0) false
-          else {
-            val q = d / div
-            if (q.isNaN || q.isInfinite) false
+      // VV:863-925 tolerance port; maybeDouble first, then maybeInteger
+      val dOpt =
+        if (maybeDouble(v)) Some(asDoubleW(v))
+        else if (maybeInteger(v)) Some(asIntegerW(v).toDouble)
+        else None
+      dOpt match {
+        case None => true
+        case Some(d) =>
+          val ok =
+            if (d == 0) true
+            else if (div == 0) false
             else {
-              val diff = Math.abs(q - Math.round(q).toDouble)
-              val tol = Math.max(Math.abs(q), 1.0) * 2.220446049250313e-16
-              diff <= tol
+              val q = d / div
+              if (q.isNaN || q.isInfinite) false
+              else {
+                val diff = Math.abs(q - Math.round(q).toDouble)
+                val tol = Math.max(Math.abs(q), 1.0) * 2.220446049250313e-16
+                diff <= tol
+              }
             }
-          }
-        if (!ok) push(sink, path, Messages.multipleOfDouble(div), "multipleOf")
-        ok
+          if (!ok) push(sink, path, Messages.multipleOfDouble(div), "multipleOf")
+          ok
       }
 
     case PatternC(p) =>
-      if (!isString(v)) true
+      if (skipString(v)) true
       else {
-        val ok = pattern(p).matcher(v.getString).find()
+        val ok = pattern(p).matcher(asStringW(v)).find()
         if (!ok) push(sink, path, Messages.patternNoMatch, "pattern")
         ok
       }
 
     case MinLengthC(n) =>
-      if (!isString(v)) true
+      if (skipString(v)) true
       else {
-        val ok = codePoints(v.getString) >= n
+        val ok = codePoints(asStringW(v)) >= n
         if (!ok) push(sink, path, Messages.minLength(n), "minLength")
         ok
       }
 
     case MaxLengthC(n) =>
-      if (!isString(v)) true
+      if (skipString(v)) true
       else {
-        val ok = codePoints(v.getString) <= n
+        val ok = codePoints(asStringW(v)) <= n
         if (!ok) push(sink, path, Messages.maxLength(n), "maxLength")
         ok
       }
@@ -361,11 +483,11 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       }
 
     case RequiredC(props) =>
-      if (!isObject(v)) true
+      if (skipObject(v)) true
       else {
         var ok = true
         props.foreach { p =>
-          if (v.getFieldByKey(p) == null) {
+          if (fieldByKeyW(v, p) == null) {
             push(sink, path, Messages.missingRequired(p), "required")
             ok = false
           }
@@ -374,12 +496,12 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       }
 
     case PropertiesC(props, patProps, additional) =>
-      if (!isObject(v)) true
+      if (skipObject(v)) true
       else {
         var ok = true
         val matched = mutable.Set[String]()
         props.foreach { case (name, s) =>
-          val f = v.getFieldByKey(name)
+          val f = fieldByKeyW(v, name)
           if (f != null) {
             matched += name
             if (!validateSchema(s, f, s"$path/${escSeg(name)}", sink)) {
@@ -391,7 +513,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
         patProps.foreach { case (pat, s) =>
           val re = pattern(pat)
           var i = 0
-          while (i < v.objectSize()) {
+          while (i < objSizeW(v)) {
             val f = v.getFieldAtIndex(i)
             if (re.matcher(f.key).find()) {
               matched += f.key
@@ -407,7 +529,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
           case Some(TrueSchema) => // allow
           case Some(s) =>
             var i = 0
-            while (i < v.objectSize()) {
+            while (i < objSizeW(v)) {
               val f = v.getFieldAtIndex(i)
               if (!matched.contains(f.key)) {
                 if (!validateSchema(s, f.value, s"$path/${escSeg(f.key)}", sink)) {
@@ -435,28 +557,33 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       }
 
     case MinPropertiesC(n) =>
-      if (!isObject(v)) true
+      if (skipObject(v)) true
       else {
-        val ok = v.objectSize() >= n
+        val ok = objSizeW(v) >= n
         if (!ok) push(sink, path, Messages.minProperties(n), "minProperties")
         ok
       }
     case MaxPropertiesC(n) =>
-      if (!isObject(v)) true
+      if (skipObject(v)) true
       else {
-        val ok = v.objectSize() <= n
+        val ok = objSizeW(v) <= n
         if (!ok) push(sink, path, Messages.maxProperties(n), "maxProperties")
         ok
       }
 
     case PropertyNamesC(s) =>
-      if (!isObject(v)) true
+      // Each key is evaluated as a string VALUE against the FULL subschema
+      // (combinators, not, format, …) by wrapping it as a variant — the
+      // reference routes names through a complete ValidationVisitor over a
+      // StdStringAdapter with a null results sink (VV:1213-1230), so child
+      // errors are suppressed; one wrapper violation per failing key.
+      if (skipObject(v)) true
       else {
         var ok = true
         var i = 0
-        while (i < v.objectSize()) {
+        while (i < objSizeW(v)) {
           val key = v.getFieldAtIndex(i).key
-          if (!StringSchema.validates(s, key, this)) {
+          if (!validateSchema(s, VariantValidator.stringVariant(key), path, None)) {
             push(sink, path, s"Failed to validate against 'propertyNames' constraint.", "propertyNames")
             ok = false
           }
@@ -466,13 +593,13 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       }
 
     case DependenciesC(propDeps, schemaDeps) =>
-      if (!isObject(v)) true
+      if (skipObject(v)) true
       else {
         var ok = true
         propDeps.foreach { case (p, deps) =>
-          if (v.getFieldByKey(p) != null) {
+          if (fieldByKeyW(v, p) != null) {
             deps.foreach { q =>
-              if (v.getFieldByKey(q) == null) {
+              if (fieldByKeyW(v, q) == null) {
                 push(sink, path, Messages.missingDependency(q), "dependencies")
                 ok = false
               }
@@ -480,7 +607,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
           }
         }
         schemaDeps.foreach { case (p, s) =>
-          if (v.getFieldByKey(p) != null) {
+          if (fieldByKeyW(v, p) != null) {
             if (!validateSchema(s, v, path, sink)) {
               push(sink, path, Messages.dependentSchemaFail, "dependencies")
               ok = false
@@ -491,11 +618,11 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       }
 
     case ItemsC(s) =>
-      if (!isArray(v)) true
+      if (skipArray(v)) true
       else {
         var ok = true
         var i = 0
-        while (i < v.arraySize()) {
+        while (i < arrSizeW(v)) {
           if (!validateSchema(s, v.getElementAtIndex(i), s"$path/$i", sink)) {
             push(sink, path, Messages.itemFail(i), "items")
             ok = false
@@ -506,13 +633,13 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       }
 
     case TupleItemsC(items, additional) =>
-      if (!isArray(v)) true
+      if (skipArray(v)) true
       else {
         // LinearItemsConstraint order (validation_visitor.hpp:531-621):
         // tooManyItems first (only when there ARE item subschemas), then
         // per-item errors, then cannotValidateItem for the uncovered tail.
         var ok = true
-        val n = v.arraySize()
+        val n = arrSizeW(v)
         if (additional.isEmpty && items.nonEmpty && n > items.length) {
           push(sink, path, Messages.tooManyItems, "items")
           ok = false
@@ -543,28 +670,28 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       }
 
     case MinItemsC(n) =>
-      if (!isArray(v)) true
+      if (skipArray(v)) true
       else {
-        val ok = v.arraySize() >= n
+        val ok = arrSizeW(v) >= n
         if (!ok) push(sink, path, Messages.minItems(n), "minItems")
         ok
       }
     case MaxItemsC(n) =>
-      if (!isArray(v)) true
+      if (skipArray(v)) true
       else {
-        val ok = v.arraySize() <= n
+        val ok = arrSizeW(v) <= n
         if (!ok) push(sink, path, Messages.maxItems(n), "maxItems")
         ok
       }
 
     case UniqueItemsC =>
-      if (!isArray(v)) true
+      if (skipArray(v)) true
       else {
         var ok = true
         var i = 0
-        while (i < v.arraySize()) {
+        while (i < arrSizeW(v)) {
           var j = i + 1
-          while (j < v.arraySize()) {
+          while (j < arrSizeW(v)) {
             if (deepEq(v.getElementAtIndex(i), v.getElementAtIndex(j))) {
               push(sink, path, Messages.uniqueViolation(i, j), "uniqueItems")
               ok = false
@@ -577,11 +704,11 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
       }
 
     case ContainsC(s) =>
-      if (!isArray(v)) true
+      if (skipArray(v)) true
       else {
         var found = false
         var i = 0
-        while (i < v.arraySize() && !found) {
+        while (i < arrSizeW(v) && !found) {
           if (validateSchema(s, v.getElementAtIndex(i), path, None)) found = true
           i += 1
         }
@@ -642,27 +769,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean)
   }
 
   private[functions] def validateStringValue(s: SchemaSpec, str: String): Boolean =
-    StringSchema.validates(s, str, this)
-
-  private[functions] def patternFind(p: String, s: String): Boolean =
-    pattern(p).matcher(s).find()
-}
-
-/** String-value sub-evaluation for propertyNames (StdStringAdapter analog). */
-private object StringSchema {
-  def validates(s: SchemaSpec, str: String, owner: VariantValidator): Boolean = s match {
-    case TrueSchema  => true
-    case FalseSchema => false
-    case ConstraintSchema(cs, _, _) => cs.forall {
-      case TypeC(types, _) => types.exists(t => t == JsonType.JString || t == JsonType.JAny)
-      case MinLengthC(n)   => str.codePointCount(0, str.length) >= n
-      case MaxLengthC(n)   => str.codePointCount(0, str.length) <= n
-      case PatternC(p)     => owner.patternFind(p, str)
-      case EnumC(vs)       => vs.contains(JStringV(str))
-      case ConstC(jv)      => jv == JStringV(str)
-      case _               => true // non-string constraints pass for strings
-    }
-  }
+    validateSchema(s, VariantValidator.stringVariant(str), "", None)
 }
 
 /** Format checks (VV:388-513 + helpers 2024-2080), JVM-side port. All
@@ -731,6 +838,14 @@ private[graft] object Formats {
 }
 
 object VariantValidator {
+
+  /** Wrap a bare string as a variant value (StdStringAdapter analog) so
+    * propertyNames subschemas get the full walker. */
+  private[functions] def stringVariant(s: String): Variant = {
+    val b = new org.apache.spark.types.variant.VariantBuilder(false)
+    b.appendString(s)
+    b.result()
+  }
 
   private val passRow: InternalRow =
     new GenericInternalRow(Array[Any](true, new GenericArrayData(Array.empty[Any])))

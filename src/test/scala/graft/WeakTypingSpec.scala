@@ -7,7 +7,9 @@ import graft.compile.{CompileOptions, Compiler}
 import graft.spec.SpecParser
 
 /** Weak-typing mode (valijson kWeakTypes, `validator.hpp:22-26`): cast-
-  * permissive checks per `basic_adapter.hpp:335-547` maybe/as rules. */
+  * permissive checks per `basic_adapter.hpp:335-547` maybe/as rules —
+  * exercised through BOTH the typed-column compiler and the native
+  * variant walker (`Graft.validateJsonColumn` with strictTypes=false). */
 class WeakTypingSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -19,35 +21,65 @@ class WeakTypingSpec extends SparkTestBase {
     df.select(coalesce(c.pass, lit(true))).collect().toSeq.map(_.getBoolean(0))
   }
 
+  /** Same cases through the native walker: docs are JSON texts. */
+  private def passesNative(schema: String, docs: Seq[String]): Seq[Boolean] = {
+    val df = docs.toDF("doc")
+    Graft.validateJsonColumn(df, "doc", Graft.parseSchema(schema), weak)
+      .select("pass").collect().toSeq.map(_.getBoolean(0))
+  }
+
   test("type: numeric strings satisfy integer/number in weak mode") {
     val df = Seq("12", "12.5", "x").toDF("doc")
     passes("""{"type":"integer"}""", df) shouldBe Seq(true, false, false)
     passes("""{"type":"number"}""", df) shouldBe Seq(true, true, false)
+    val docs = Seq("\"12\"", "\"12.5\"", "\"x\"")
+    passesNative("""{"type":"integer"}""", docs) shouldBe Seq(true, false, false)
+    passesNative("""{"type":"number"}""", docs) shouldBe Seq(true, true, false)
   }
 
   test("type: boolean-ish and null-ish strings") {
     val df = Seq("true", "false", "TRUE", "").toDF("doc")
     passes("""{"type":"boolean"}""", df) shouldBe Seq(true, true, false, false)
     passes("""{"type":"null"}""", df) shouldBe Seq(false, false, false, true)
+    val docs = Seq("\"true\"", "\"false\"", "\"TRUE\"", "\"\"")
+    passesNative("""{"type":"boolean"}""", docs) shouldBe Seq(true, true, false, false)
+    passesNative("""{"type":"null"}""", docs) shouldBe Seq(false, false, false, true)
   }
 
-  test("type: numbers and booleans are maybeString") {
-    passes("""{"type":"string"}""", Seq(1L, 2L).toDF("doc")) shouldBe Seq(true, true)
-    passes("""{"type":"string"}""", Seq(true).toDF("doc")) shouldBe Seq(true)
-    // strict mode still rejects
-    val c = Compiler.compile(SpecParser.parse("""{"type":"string"}"""), col("doc"),
-      org.apache.spark.sql.types.LongType, lit(""))
-    Seq(1L).toDF("doc").select(c.pass).head().getBoolean(0) shouldBe false
+  test("type: string/array/object stay STRICT even in weak mode (VV:1654-1681)") {
+    // the reference's ValidateNamedTypes has no maybe* branch for
+    // kString/kArray/kObject — numbers are NOT type:string in weak mode
+    passes("""{"type":"string"}""", Seq(1L, 2L).toDF("doc")) shouldBe Seq(false, false)
+    passes("""{"type":"string"}""", Seq(true).toDF("doc")) shouldBe Seq(false)
+    passesNative("""{"type":"string"}""", Seq("1", "true", "[]")) shouldBe
+      Seq(false, false, false)
+    passesNative("""{"type":"object"}""", Seq("[]")) shouldBe Seq(false)
+    passesNative("""{"type":"array"}""", Seq("{}")) shouldBe Seq(false)
   }
 
   test("numeric bounds apply to parseable strings; unparseable pass") {
     val df = Seq("5", "50", "abc", "7.5").toDF("doc")
     passes("""{"minimum":0,"maximum":10}""", df) shouldBe Seq(true, false, true, true)
+    passesNative("""{"minimum":0,"maximum":10}""",
+      Seq("\"5\"", "\"50\"", "\"abc\"", "\"7.5\"")) shouldBe Seq(true, false, true, true)
+  }
+
+  test("multipleOf applies maybe-conversions even in STRICT mode (VV:934-984 has no gate)") {
+    // typed string column, strict options
+    val c = Compiler.compile(SpecParser.parse("""{"multipleOf":3}"""), col("doc"),
+      org.apache.spark.sql.types.StringType, lit(""))
+    Seq("9", "10", "x", "7.5").toDF("doc").select(coalesce(c.pass, lit(true)))
+      .collect().toSeq.map(_.getBoolean(0)) shouldBe Seq(true, false, true, false)
+    // native walker, strict
+    Graft.validateJsonColumn(Seq("\"9\"", "\"10\"", "\"x\"").toDF("doc"), "doc",
+      Graft.parseSchema("""{"multipleOf":3}"""))
+      .select("pass").collect().toSeq.map(_.getBoolean(0)) shouldBe Seq(true, false, true)
   }
 
   test("multipleOf on strings in weak mode") {
     passes("""{"multipleOf":3}""", Seq("9", "10", "x").toDF("doc")) shouldBe Seq(true, false, true)
     passes("""{"multipleOf":1.5}""", Seq("4.5", "35").toDF("doc")) shouldBe Seq(true, false)
+    passesNative("""{"multipleOf":1.5}""", Seq("\"4.5\"", "\"35\"")) shouldBe Seq(true, false)
   }
 
   test("length/pattern on numbers via asString (std::to_string semantics)") {
@@ -57,12 +89,30 @@ class WeakTypingSpec extends SparkTestBase {
     passes("""{"minLength":8,"maxLength":8}""", Seq(1.5).toDF("doc")) shouldBe Seq(true)
     passes("""{"pattern":"^true$"}""", Seq(true).toDF("doc")) shouldBe Seq(true)
     passes("""{"pattern":"^12"}""", Seq(1234L).toDF("doc")) shouldBe Seq(true)
+    passesNative("""{"minLength":4}""", Seq("1234")) shouldBe Seq(true)
+    passesNative("""{"minLength":5}""", Seq("1234")) shouldBe Seq(false)
+    passesNative("""{"minLength":8,"maxLength":8}""", Seq("1.5")) shouldBe Seq(true)
+    passesNative("""{"pattern":"^true$"}""", Seq("true")) shouldBe Seq(true)
   }
 
-  test("empty array is maybeObject; empty map is maybeArray") {
-    val adf = Seq(Seq.empty[Long], Seq(1L)).toDF("doc")
-    passes("""{"type":"object"}""", adf) shouldBe Seq(true, false)
-    val mdf = Seq(Map.empty[String, Long], Map("a" -> 1L)).toDF("doc")
-    passes("""{"type":"array"}""", mdf) shouldBe Seq(true, false)
+  test("weak container aliases apply to object/array CONSTRAINTS (not type)") {
+    // empty array is maybeObject: required/minProperties see 0 properties
+    passesNative("""{"required":["a"]}""", Seq("[]", "[1]")) shouldBe Seq(false, true)
+    passesNative("""{"minProperties":1}""", Seq("[]", "{\"a\":1}")) shouldBe Seq(false, true)
+    // empty object is maybeArray: minItems sees 0 elements
+    passesNative("""{"minItems":1}""", Seq("{}", "[1]")) shouldBe Seq(false, true)
+  }
+
+  test("weak enum/const equality (equalTo strict=false, basic_adapter.hpp:509-547)") {
+    passesNative("""{"const":5}""", Seq("\"5\"", "5", "\"5.5\"")) shouldBe Seq(true, true, false)
+    passesNative("""{"const":"true"}""", Seq("true", "\"true\"", "false")) shouldBe
+      Seq(true, true, false)
+    passesNative("""{"enum":[null]}""", Seq("\"\"", "null", "\"x\"")) shouldBe
+      Seq(true, true, false)
+    passesNative("""{"const":"7"}""", Seq("7", "8")) shouldBe Seq(true, false)
+    // strict mode rejects all cross-type matches
+    Graft.validateJsonColumn(Seq("\"5\"").toDF("doc"), "doc",
+      Graft.parseSchema("""{"const":5}"""))
+      .select("pass").collect()(0).getBoolean(0) shouldBe false
   }
 }
