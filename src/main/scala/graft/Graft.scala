@@ -23,6 +23,13 @@ object Graft {
     * `SchemaParser::populateSchema`, schema_parser.hpp:108-134). */
   def parseSchema(json: String): SchemaSpec = SpecParser.parse(json)
 
+  /** Parse with external documents for URI `$ref`s — the offline analog of
+    * the reference's fetchDoc callback + document cache
+    * (schema_parser.hpp:106-124, 143-158): keys are absolute URIs, values
+    * the referenced JSON schema text. */
+  def parseSchema(json: String, externalDocs: Map[String, String]): SchemaSpec =
+    SpecParser.parse(json, externalDocs)
+
   final case class RowValidation(flagged: DataFrame, violations: DataFrame,
                                  partitionVerdicts: DataFrame)
 

@@ -116,6 +116,13 @@ object Compiler {
   /** Compile a spec against a single typed value. */
   def compile(spec: SchemaSpec, value: Column, dt: DataType, ptr: Column,
               opts: CompileOptions = CompileOptions()): Compiled = spec match {
+    case r: RefSchema =>
+      // A RefSchema appears only on a $ref cycle (SpecParser knot-tying);
+      // an expression tree is finite, so the Catalyst paths cannot express
+      // it — the native walker (Graft.validateJsonColumn) can.
+      throw new IllegalArgumentException(
+        s"cyclic $$ref (${r.key}) cannot compile to a finite Catalyst expression tree; " +
+          "use the native dynamic path (Graft.validateJsonColumn) for recursive schemas")
     case TrueSchema  => alwaysTrue
     case FalseSchema =>
       // Boolean-false schema: alwaysInvalid with NO error of its own

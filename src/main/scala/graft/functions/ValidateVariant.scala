@@ -350,6 +350,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
 
   private def validateSchema(s: SchemaSpec, v: Variant, path: String,
                              sink: Option[Sink]): Boolean = s match {
+    case r: RefSchema => validateSchema(r.target, v, path, sink) // cycle: finite doc ⇒ terminates
     case TrueSchema  => true
     case FalseSchema => false // no error of its own (VV:107-109)
     case ConstraintSchema(cs, _, _) =>
@@ -867,26 +868,35 @@ object VariantValidator {
     else validator.validateRow(vv)
   }
 
-  def assertSupported(s: SchemaSpec): Unit = s match {
-    case ConstraintSchema(cs, _, _) => cs.foreach {
-      case cc: CustomC => throw new UnsupportedOperationException(
-        s"CustomC(${cc.name}) not supported in the variant validator")
-      case PropertiesC(p, pp, a) =>
-        p.foreach(x => assertSupported(x._2)); pp.foreach(x => assertSupported(x._2))
-        a.foreach(assertSupported)
-      case PropertyNamesC(x)   => assertSupported(x)
-      case DependenciesC(_, sd) => sd.foreach(x => assertSupported(x._2))
-      case ItemsC(x)           => assertSupported(x)
-      case TupleItemsC(is, a)  => is.foreach(assertSupported); a.foreach(assertSupported)
-      case ContainsC(x)        => assertSupported(x)
-      case AllOfC(xs)          => xs.foreach(assertSupported)
-      case AnyOfC(xs)          => xs.foreach(assertSupported)
-      case OneOfC(xs)          => xs.foreach(assertSupported)
-      case NotC(x)             => assertSupported(x)
-      case CondC(i, t, e)      => assertSupported(i); t.foreach(assertSupported); e.foreach(assertSupported)
-      case TypeC(_, xs)        => xs.foreach(assertSupported)
-      case _                   =>
+  def assertSupported(s: SchemaSpec): Unit = {
+    // identity-visited set: the spec graph may be cyclic (RefSchema knots)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SchemaSpec, java.lang.Boolean]())
+    def walk(s: SchemaSpec): Unit = {
+      if (!seen.add(s)) return
+      s match {
+        case r: RefSchema => walk(r.target)
+        case ConstraintSchema(cs, _, _) => cs.foreach {
+          case cc: CustomC => throw new UnsupportedOperationException(
+            s"CustomC(${cc.name}) not supported in the variant validator")
+          case PropertiesC(p, pp, a) =>
+            p.foreach(x => walk(x._2)); pp.foreach(x => walk(x._2)); a.foreach(walk)
+          case PropertyNamesC(x)    => walk(x)
+          case DependenciesC(_, sd) => sd.foreach(x => walk(x._2))
+          case ItemsC(x)            => walk(x)
+          case TupleItemsC(is, a)   => is.foreach(walk); a.foreach(walk)
+          case ContainsC(x)         => walk(x)
+          case AllOfC(xs)           => xs.foreach(walk)
+          case AnyOfC(xs)           => xs.foreach(walk)
+          case OneOfC(xs)           => xs.foreach(walk)
+          case NotC(x)              => walk(x)
+          case CondC(i, t, e)       => walk(i); t.foreach(walk); e.foreach(walk)
+          case TypeC(_, xs)         => xs.foreach(walk)
+          case _                    =>
+        }
+        case _ =>
+      }
     }
-    case _ =>
+    walk(s)
   }
 }

@@ -24,6 +24,23 @@ sealed trait SchemaSpec {
 /** Boolean schema `true` / empty schema — always valid. */
 case object TrueSchema extends SchemaSpec
 
+/** Lazy reference node emitted ONLY for cyclic `$ref` targets — the analog
+  * of the reference's registry memoization that makes cycles terminate
+  * (`schema_parser.hpp:486-531`): the target is knot-tied after the
+  * referenced subschema finishes parsing, producing a finite cyclic object
+  * graph. The native walker follows it at evaluation time (documents are
+  * finite, so evaluation terminates); the Catalyst compiler rejects it with
+  * a clear error (a cycle cannot unroll into a finite expression tree). */
+final class RefSchema(val key: String) extends SchemaSpec with Serializable {
+  @volatile private[spec] var boundTarget: SchemaSpec = null
+  def target: SchemaSpec = {
+    val t = boundTarget
+    require(t != null, s"unresolved $$ref: $key")
+    t
+  }
+  override def toString: String = s"RefSchema($key)"
+}
+
 /** Boolean schema `false` — alwaysInvalid (valijson `subschema.hpp:189-192`,
   * parse at `schema_parser.hpp:785-804`). */
 case object FalseSchema extends SchemaSpec

@@ -11,65 +11,190 @@ import scala.jdk.CollectionConverters._
   * (SP:785-804), then keyword dispatch with `type` deliberately first
   * (SP:825-831) and the remaining keywords in the reference's insertion
   * order (SP:833-1149) — that order fixes violation-row ordering.
-  * In-document `$ref` (JSON Pointer `#/...`) is resolved with memoization by
-  * node path, the analog of `makeOrReuseSchema`'s registry reuse
-  * (SP:486-531). Cycles are detected and rejected: a cyclic spec cannot be
-  * unrolled into a finite Catalyst expression tree (SURVEY.md §7 hard part
-  * 3); transcript specs are acyclic.
+  *
+  * `$ref` resolution (`resolveThenPopulateSchema`, SP:1195-1308):
+  *  - in-document JSON Pointer refs (`#/...`), memoized by target location
+  *    (the registry reuse of `makeOrReuseSchema`, SP:486-531);
+  *  - `$id`-registered scopes: every loaded document is scanned for `$id`
+  *    (and draft-3/4 `id`) declarations, each registered under its
+  *    scope-resolved absolute URI (`findSchemaById`, SP:311-417), so
+  *    `{"$ref": "http://x/sub.json"}` resolves without a fetch when a
+  *    subschema declares that id;
+  *  - external refs resolved from a caller-supplied `externalDocs`
+  *    URI → JSON map — the offline analog of the reference's `fetchDoc`
+  *    callback + document cache (SP:106-124, 143-158, 1267-1292);
+  *  - relative URIs resolved against the current `$id` scope
+  *    (`internal/uri.hpp:31-52` semantics via `java.net.URI.resolve`).
+  *
+  * Cyclic refs are supported: re-entering a location that is still being
+  * built yields a [[RefSchema]] placeholder whose target is knot-tied after
+  * the build completes (registry memoization makes cycles terminate in the
+  * reference). The Catalyst compiler rejects RefSchema with a clear error;
+  * the native walker follows it.
   */
 object SpecParser {
 
   private val mapper = new ObjectMapper()
 
-  def parse(json: String): SchemaSpec = parseNode(mapper.readTree(json))
+  def parse(json: String): SchemaSpec = parse(json, Map.empty[String, String])
 
-  def parseNode(root: JsonNode): SchemaSpec = {
-    val memo = mutable.Map[String, SchemaSpec]()
-    val inProgress = mutable.Set[String]()
+  /** Parse with external documents available for URI `$ref`s (offline
+    * fetchDoc analog). Keys are absolute URIs, values JSON schema text. */
+  def parse(json: String, externalDocs: Map[String, String]): SchemaSpec =
+    parseNode(mapper.readTree(json), externalDocs)
 
-    def resolvePointer(ptr: String): JsonNode = {
+  def parseNode(root: JsonNode): SchemaSpec = parseNode(root, Map.empty[String, String])
+
+  def parseNode(root: JsonNode, externalDocs: Map[String, String]): SchemaSpec =
+    new Parser(root, externalDocs).rootSpec()
+
+  /** Freeze a JSON constant (FrozenValue analog,
+    * `internal/frozen_value.hpp:22-49`). */
+  def jsonValue(n: JsonNode): JsonValue =
+    if (n.isNull) JNullV
+    else if (n.isBoolean) JBoolV(n.asBoolean())
+    else if (n.isIntegralNumber) JLongV(n.asLong())
+    else if (n.isNumber) JDoubleV(n.asDouble())
+    else if (n.isTextual) JStringV(n.asText())
+    else if (n.isArray) JArrayV(n.elements().asScala.map(jsonValue).toVector)
+    else JObjectV(n.properties().asScala.map(e => e.getKey -> jsonValue(e.getValue)).toMap)
+
+  // -------------------------------------------------------------------------
+
+  private final class Parser(rootNode: JsonNode, externalDocs: Map[String, String]) {
+
+    /** Loaded documents: docKey ("" = root, else absolute URI) → root node. */
+    private val docs = mutable.Map[String, JsonNode]()
+    /** `$id` registry: absolute id URI → (docKey, node, scope). */
+    private val idIndex = mutable.Map[String, (String, JsonNode, String)]()
+    /** Subschema registry, keyed by (docKey, node path). */
+    private val memo = mutable.Map[(String, String), SchemaSpec]()
+    private val building = mutable.Set[(String, String)]()
+    private val placeholders = mutable.Map[(String, String), RefSchema]()
+
+    private def idOf(n: JsonNode): Option[String] =
+      (Option(n.get("$id")) orElse Option(n.get("id"))).filter(_.isTextual).map(_.asText())
+
+    /** Absolute-URI test (scheme: prefix, incl. urn:) — uri.hpp:31-48. */
+    private def isAbsolute(u: String): Boolean =
+      u.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+
+    private def resolveUri(scope: String, uri: String): String =
+      if (isAbsolute(uri) || scope.isEmpty) uri
+      else try new java.net.URI(scope).resolve(uri).toString
+      catch { case _: Exception => uri }
+
+    private def loadDoc(uri: String): JsonNode = docs.getOrElseUpdate(uri, {
+      val text = externalDocs.getOrElse(uri,
+        throw new IllegalArgumentException(
+          s"external $$ref not resolvable offline: '$uri' — supply it via the externalDocs map " +
+            "(the offline analog of the reference's fetchDoc callback, schema_parser.hpp:106-124)"))
+      val node = mapper.readTree(text)
+      scanIds(uri, node, idOf(node).map(resolveUri(uri, _)).getOrElse(uri))
+      node
+    })
+
+    /** Register every `$id` declaration under its scope-resolved URI
+      * (findSchemaById analog, SP:311-417). */
+    private def scanIds(docKey: String, node: JsonNode, scope: String): Unit = {
+      if (node.isObject) {
+        val newScope = idOf(node).map(resolveUri(scope, _)).getOrElse(scope)
+        if (idOf(node).isDefined) idIndex.getOrElseUpdate(newScope, (docKey, node, newScope))
+        node.properties().asScala.foreach(e => scanIds(docKey, e.getValue, newScope))
+      } else if (node.isArray) {
+        node.elements().asScala.foreach(scanIds(docKey, _, scope))
+      }
+    }
+
+    private def resolvePointer(docKey: String, root: JsonNode, ptr: String): JsonNode = {
       var node = root
-      val segs = ptr.split("/").drop(1) // leading ""
-      segs.foreach { raw =>
+      if (ptr.nonEmpty) ptr.split("/").drop(1).foreach { raw =>
         val seg = raw.replace("~1", "/").replace("~0", "~")
-        node =
-          if (node.isArray) node.get(seg.toInt)
-          else node.get(seg)
+        node = if (node != null && node.isArray) node.get(seg.toInt)
+               else if (node != null) node.get(seg) else null
         if (node == null)
-          throw new IllegalArgumentException(s"unresolvable JSON Pointer in $$ref: #$ptr")
+          throw new IllegalArgumentException(s"unresolvable JSON Pointer in $$ref: $docKey#$ptr")
       }
       node
     }
 
-    def schemaAt(node: JsonNode, path: String): SchemaSpec = {
-      // $ref: resolve in-document pointer, memoize by target path
-      if (node.isObject && node.has("$ref")) {
-        val ref = node.get("$ref").asText()
-        if (!ref.startsWith("#"))
-          throw new IllegalArgumentException(s"external $$ref not supported offline: $ref")
-        val targetPath = ref.stripPrefix("#")
-        memo.get(targetPath) match {
-          case Some(s) => s
-          case None =>
-            if (inProgress.contains(targetPath))
-              throw new IllegalArgumentException(
-                s"cyclic $$ref at $targetPath: cycles cannot compile to finite Catalyst plans")
-            inProgress += targetPath
-            val s = build(resolvePointer(targetPath), targetPath)
-            inProgress -= targetPath
-            memo(targetPath) = s
-            s
-        }
-      } else build(node, path)
+    def rootSpec(): SchemaSpec = {
+      docs("") = rootNode
+      val rootScope = idOf(rootNode).getOrElse("")
+      scanIds("", rootNode, rootScope)
+      schemaFor("", rootNode, "", rootScope)
     }
 
-    def build(node: JsonNode, path: String): SchemaSpec = {
+    /** makeOrReuseSchema analog: memoize by (docKey, path); re-entry while
+      * building = cycle → RefSchema placeholder, knot-tied on completion. */
+    private def schemaFor(docKey: String, node: JsonNode, path: String, scope: String): SchemaSpec = {
+      val key = (docKey, path)
+      memo.get(key) match {
+        case Some(s) => s
+        case None if building(key) =>
+          placeholders.getOrElseUpdate(key, new RefSchema(s"$docKey#$path"))
+        case None =>
+          building += key
+          val s =
+            try build(docKey, node, path, scope)
+            finally building -= key
+          memo(key) = s
+          placeholders.get(key).foreach(_.boundTarget = s)
+          s
+      }
+    }
+
+    /** Resolve a `$ref` string to its target (resolveThenPopulateSchema,
+      * SP:1195-1308): URI part against the current scope; `$id` registry
+      * first, then document cache / externalDocs; JSON Pointer within. */
+    private def refTarget(ref: String, docKey: String, scope: String): SchemaSpec = {
+      val hashIdx = ref.indexOf('#')
+      val (uriPart, frag) =
+        if (hashIdx < 0) (ref, "") else (ref.substring(0, hashIdx), ref.substring(hashIdx + 1))
+
+      if (uriPart.isEmpty) {
+        if (frag.isEmpty || frag.startsWith("/")) {
+          // same-document pointer
+          val target = resolvePointer(docKey, docs(docKey), frag)
+          schemaFor(docKey, target, frag, scope)
+        } else {
+          // plain-name fragment: $id anchor resolved against the scope
+          val abs = resolveUri(scope, "#" + frag)
+          idIndex.get(abs) match {
+            case Some((dk, node, sc)) => schemaFor(dk, node, s"id:$abs", sc)
+            case None => throw new IllegalArgumentException(s"unresolvable $$ref anchor: #$frag")
+          }
+        }
+      } else {
+        val abs = resolveUri(scope, uriPart)
+        idIndex.get(abs) match {
+          case Some((dk, node, sc)) =>
+            val target = resolvePointer(dk, node, frag)
+            schemaFor(dk, target, s"id:$abs$frag", sc)
+          case None =>
+            val doc = loadDoc(abs)
+            val docScope = idOf(doc).map(resolveUri(abs, _)).getOrElse(abs)
+            val target = resolvePointer(abs, doc, frag)
+            schemaFor(abs, target, frag, docScope)
+        }
+      }
+    }
+
+    private def build(docKey: String, node: JsonNode, path: String, outerScope: String): SchemaSpec = {
       if (node.isBoolean) return if (node.asBoolean()) TrueSchema else FalseSchema
       if (!node.isObject)
-        throw new IllegalArgumentException(s"schema at $path must be an object or boolean")
+        throw new IllegalArgumentException(s"schema at $docKey#$path must be an object or boolean")
+
+      // $ref: resolve and reuse the target ($ref siblings ignored, draft-7)
+      if (node.has("$ref"))
+        return refTarget(node.get("$ref").asText(), docKey, outerScope)
+
+      // $id establishes a new resolution scope for nested refs (SP:809-823)
+      val scope = idOf(node).map(resolveUri(outerScope, _)).getOrElse(outerScope)
+
       val cs = mutable.ArrayBuffer[Constraint]()
       def sub(name: String): Option[JsonNode] = Option(node.get(name))
-      def childSchema(n: JsonNode, p: String): SchemaSpec = schemaAt(n, p)
+      def childSchema(n: JsonNode, p: String): SchemaSpec = schemaFor(docKey, n, p, scope)
 
       // type — first (SP:825-831)
       sub("type").foreach { t =>
@@ -213,22 +338,8 @@ object SpecParser {
       sub("uniqueItems").foreach { u => if (u.asBoolean()) cs += UniqueItemsC }
 
       ConstraintSchema(cs.toVector,
-        id = sub("$id").orElse(sub("id")).map(_.asText()),
+        id = idOf(node),
         title = sub("title").map(_.asText()))
     }
-
-    val res = schemaAt(root, "")
-    res
   }
-
-  /** Freeze a JSON constant (FrozenValue analog,
-    * `internal/frozen_value.hpp:22-49`). */
-  def jsonValue(n: JsonNode): JsonValue =
-    if (n.isNull) JNullV
-    else if (n.isBoolean) JBoolV(n.asBoolean())
-    else if (n.isIntegralNumber) JLongV(n.asLong())
-    else if (n.isNumber) JDoubleV(n.asDouble())
-    else if (n.isTextual) JStringV(n.asText())
-    else if (n.isArray) JArrayV(n.elements().asScala.map(jsonValue).toVector)
-    else JObjectV(n.properties().asScala.map(e => e.getKey -> jsonValue(e.getValue)).toMap)
 }

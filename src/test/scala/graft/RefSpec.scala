@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.spec.SpecParser
+
+/** `$ref` machinery: cyclic refs (registry memoization,
+  * `schema_parser.hpp:486-531`), `$id` scope registration
+  * (`findSchemaById`, SP:311-417), and external-document resolution via the
+  * caller-supplied map (offline `fetchDoc` analog, SP:106-124, 1267-1292). */
+class RefSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def nativePass(spec: graft.spec.SchemaSpec, docs: Seq[String]): Seq[Boolean] =
+    Graft.validateJsonColumn(docs.toDF("doc"), "doc", spec)
+      .select("pass").collect().toSeq.map(_.getBoolean(0))
+
+  test("cyclic $ref: recursive linked-list schema validates on the native path") {
+    val spec = SpecParser.parse(
+      """{"type": "object",
+          "properties": {
+            "value": {"type": "integer"},
+            "next": {"$ref": "#"}},
+          "required": ["value"]}""")
+    nativePass(spec, Seq(
+      """{"value": 1}""",
+      """{"value": 1, "next": {"value": 2, "next": {"value": 3}}}""",
+      """{"value": 1, "next": {"value": "bad"}}""",
+      """{"value": 1, "next": {"next": {"value": 2}}}""" // inner missing value
+    )) shouldBe Seq(true, true, false, false)
+  }
+
+  test("cyclic $ref through definitions (mutual recursion) terminates") {
+    val spec = SpecParser.parse(
+      """{"$ref": "#/definitions/node",
+          "definitions": {
+            "node": {"type": "object",
+                     "properties": {"children": {"type": "array",
+                       "items": {"$ref": "#/definitions/node"}}}}}}""")
+    nativePass(spec, Seq(
+      """{"children": [{"children": []}, {}]}""",
+      """{"children": [{"children": "nope"}]}"""
+    )) shouldBe Seq(true, false)
+  }
+
+  test("cyclic $ref rejected by the Catalyst compiler with a clear message") {
+    val spec = SpecParser.parse(
+      """{"properties": {"next": {"$ref": "#"}}}""")
+    val e = intercept[IllegalArgumentException] {
+      Graft.validateJsonColumnCatalyst(Seq("{}").toDF("doc"), "doc", spec).collect()
+    }
+    e.getMessage should include("cyclic")
+    e.getMessage should include("validateJsonColumn")
+  }
+
+  test("external $ref resolved from the caller-supplied document map") {
+    val external = Map(
+      "http://example.com/item.json" ->
+        """{"type": "object", "required": ["name"],
+            "properties": {"name": {"type": "string", "minLength": 2}}}""")
+    val spec = SpecParser.parse(
+      """{"type": "array", "items": {"$ref": "http://example.com/item.json"}}""",
+      external)
+    nativePass(spec, Seq(
+      """[{"name": "ok"}]""",
+      """[{"name": "x"}]""",
+      """[{}]""")) shouldBe Seq(true, false, false)
+  }
+
+  test("external $ref missing from the map fails with a helpful error") {
+    val e = intercept[IllegalArgumentException] {
+      SpecParser.parse("""{"$ref": "http://example.com/missing.json"}""")
+    }
+    e.getMessage should include("externalDocs")
+    e.getMessage should include("http://example.com/missing.json")
+  }
+
+  test("relative $ref resolves against the root $id scope") {
+    val external = Map(
+      "http://example.com/schemas/part.json" -> """{"type": "integer", "minimum": 0}""")
+    val spec = SpecParser.parse(
+      """{"$id": "http://example.com/schemas/root.json",
+          "properties": {"p": {"$ref": "part.json"}}}""", external)
+    nativePass(spec, Seq("""{"p": 3}""", """{"p": -1}""", """{"p": "s"}""")) shouldBe
+      Seq(true, false, false)
+  }
+
+  test("$id-registered subschema resolves without a fetch (findSchemaById analog)") {
+    val spec = SpecParser.parse(
+      """{"$id": "http://x.test/root.json",
+          "definitions": {
+            "aint": {"$id": "http://x.test/a.json", "type": "integer"}},
+          "properties": {"v": {"$ref": "http://x.test/a.json"}}}""")
+    nativePass(spec, Seq("""{"v": 1}""", """{"v": "s"}""")) shouldBe Seq(true, false)
+  }
+
+  test("pointer into an external document + nested $id scope") {
+    val external = Map(
+      "http://y.test/defs.json" ->
+        """{"definitions": {"tiny": {"type": "string", "maxLength": 3}}}""")
+    val spec = SpecParser.parse(
+      """{"properties": {"s": {"$ref": "http://y.test/defs.json#/definitions/tiny"}}}""",
+      external)
+    nativePass(spec, Seq("""{"s": "ab"}""", """{"s": "abcd"}""")) shouldBe Seq(true, false)
+  }
+
+  test("DAG reuse (non-cyclic shared $ref) still compiles on the Catalyst paths") {
+    val spec = SpecParser.parse(
+      """{"definitions": {"pos": {"minimum": 0}},
+          "properties": {"x": {"$ref": "#/definitions/pos"},
+                         "y": {"$ref": "#/definitions/pos"}}}""")
+    val df = Seq((1L, 2L), (1L, -2L)).toDF("x", "y")
+    val c = graft.compile.Compiler.compileRow(spec, df.schema)
+    df.select(c.pass).collect().toSeq.map(_.getBoolean(0)) shouldBe Seq(true, false)
+  }
+}
