@@ -52,28 +52,47 @@ object StreamingValidator {
 
   /** Per-conversation running checks with explicit state: duplicate /
     * out-of-order turn_idx and non-monotone ts, flagged as events arrive.
-    * State is O(1) per conversation (no turn buffering) so the state store
-    * stays small even for the skewed long conversations. */
-  def conversationAnomalies(turns: Dataset[TurnEvent]): Dataset[ConvAnomaly] = {
+    * State is O(1) per conversation (no turn buffering) AND bounded in
+    * conversation count: an event-time timeout tied to the watermark evicts
+    * conversations idle for `idleGap` — without it the state store grows
+    * with every conversation ever seen and OOMs at pipeline scale.
+    *
+    * @param watermark how late events may arrive (watermark delay on `ts`)
+    * @param idleGapMs conversation state is dropped once the event-time
+    *                  watermark passes lastTs + idleGapMs
+    */
+  def conversationAnomalies(turns: Dataset[TurnEvent],
+                            watermark: String = "10 minutes",
+                            idleGapMs: Long = 30L * 60 * 1000): Dataset[ConvAnomaly] = {
     import turns.sparkSession.implicits._
-    turns.groupByKey(_.conv_id)
+    turns.withWatermark("ts", watermark)
+      .groupByKey(_.conv_id)
       .flatMapGroupsWithState[ConvState, ConvAnomaly](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (convId, events, state: GroupState[ConvState]) =>
-          var s = state.getOption.getOrElse(ConvState(-1, 0L, Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer[ConvAnomaly]()
-          events.toSeq.sortBy(e => (e.turn_idx, e.ts.getTime)).foreach { e =>
-            if (e.turn_idx <= s.maxTurnIdx)
-              out += ConvAnomaly(convId, e.turn_idx, "duplicate_or_regressed_turn_idx")
-            else if (e.turn_idx != s.maxTurnIdx + 1 && s.seen > 0)
-              out += ConvAnomaly(convId, e.turn_idx, "gap_in_turn_idx")
-            if (e.ts.getTime < s.lastTs)
-              out += ConvAnomaly(convId, e.turn_idx, "non_monotone_ts")
-            s = ConvState(math.max(s.maxTurnIdx, e.turn_idx), s.seen + 1,
-              math.max(s.lastTs, e.ts.getTime))
+          if (state.hasTimedOut) {
+            // conversation idle past the watermark: evict its state
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(ConvState(-1, 0L, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer[ConvAnomaly]()
+            events.toSeq.sortBy(e => (e.turn_idx, e.ts.getTime)).foreach { e =>
+              if (e.turn_idx <= s.maxTurnIdx)
+                out += ConvAnomaly(convId, e.turn_idx, "duplicate_or_regressed_turn_idx")
+              else if (e.turn_idx != s.maxTurnIdx + 1 && s.seen > 0)
+                out += ConvAnomaly(convId, e.turn_idx, "gap_in_turn_idx")
+              if (e.ts.getTime < s.lastTs)
+                out += ConvAnomaly(convId, e.turn_idx, "non_monotone_ts")
+              s = ConvState(math.max(s.maxTurnIdx, e.turn_idx), s.seen + 1,
+                math.max(s.lastTs, e.ts.getTime))
+            }
+            state.update(s)
+            // timeout must be beyond the current watermark
+            state.setTimeoutTimestamp(
+              math.max(s.lastTs + idleGapMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(s)
-          out.iterator
       }
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -78,5 +80,32 @@ class StreamingSpec extends SparkTestBase {
     got should contain(ConvAnomaly("c1", 3, "gap_in_turn_idx"))
     got should contain(ConvAnomaly("c1", 3, "non_monotone_ts"))
     got.exists(_.conv_id == "c2") shouldBe false
+  }
+
+  test("conversation state is EVICTED once the watermark passes the idle gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TurnEvent]
+    // tight bounds so the test can advance the watermark quickly:
+    // watermark delay 1s, idle gap 60s
+    val out = StreamingValidator.conversationAnomalies(input.toDS(),
+      watermark = "1 second", idleGapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sv_evict").outputMode("append").start()
+    val t0 = 1600000000000L
+    input.addData(
+      TurnEvent("c1", 0, new Timestamp(t0)),
+      TurnEvent("c2", 0, new Timestamp(t0)))
+    q.processAllAvailable()
+    def stateRows: Long = q.lastProgress.stateOperators.toSeq
+      .map(_.numRowsTotal).sum
+    stateRows shouldBe 2 // both conversations held
+    // an event far in the future pushes the watermark past c1/c2's timeout
+    input.addData(TurnEvent("c3", 0, new Timestamp(t0 + 10 * 60 * 1000)))
+    q.processAllAvailable()
+    // one more batch so the timeout fires and eviction is reflected
+    input.addData(TurnEvent("c3", 1, new Timestamp(t0 + 10 * 60 * 1000 + 1000)))
+    q.processAllAvailable()
+    val after = stateRows
+    q.stop()
+    after shouldBe 1 // only c3 survives; c1/c2 evicted
   }
 }
