@@ -60,6 +60,23 @@ object Graft {
   def passColumn(df: DataFrame, schemaJson: String): Column =
     Compiler.compileRow(parseSchema(schemaJson), df.schema).pass
 
+  /** Legacy v1.0 context rendering of a violation `json_pointer` column
+    * (`validation_results.hpp:167-186`): `array("<root>", "[\"prop\"]",
+    * "[0]", …)`. Numeric segments render as array indexes — see
+    * [[graft.compile.Messages.legacyContext]] for the one pointer-encoding
+    * ambiguity (purely-numeric object keys). */
+  def legacyContext(jsonPointer: Column): Column = {
+    val segs = org.apache.spark.sql.functions.transform(
+      slice(split(jsonPointer, "/", -1), 2, 100000),
+      raw => {
+        // unescape ~1 before ~0 (validation_results.hpp:140-160 inverse)
+        val seg = regexp_replace(regexp_replace(raw, "~1", "/"), "~0", "~")
+        when(seg.rlike("^[0-9]+$"), concat(lit("["), seg, lit("]")))
+          .otherwise(concat(lit("[\""), seg, lit("\"]")))
+      })
+    concat(array(lit("<root>")), segs)
+  }
+
   final case class JsonValidation(flagged: DataFrame)
 
   /** Validate a column of arbitrary JSON documents — the fully-dynamic
@@ -73,7 +90,7 @@ object Graft {
   def validateJsonColumn(df: DataFrame, jsonCol: String, spec: SchemaSpec,
                          opts: CompileOptions = CompileOptions()): DataFrame = {
     val res = graft.functions.ValidateJsonExpr.validate(col(jsonCol), spec,
-      opts.strictDateTime, opts.strictTypes)
+      opts.strictDateTime, opts.strictTypes, opts.regexEngine)
     df.withColumn("__graft_res", res)
       .withColumn("pass", col("__graft_res.pass"))
       .withColumn("violations", col("__graft_res.violations"))

@@ -25,7 +25,9 @@ final case class Compiled(pass: Column, violations: Column)
   * `validation_visitor.hpp` m_strictDateTime). Strong typing is the natural
   * mode for typed Spark columns; weak mode is reserved (round-2). */
 final case class CompileOptions(strictTypes: Boolean = true,
-                                strictDateTime: Boolean = false)
+                                strictDateTime: Boolean = false,
+                                regexEngine: graft.functions.RegexEngine =
+                                  graft.functions.JavaRegexEngine)
 
 /** ConstraintSpec → Catalyst compiler.
   *
@@ -290,7 +292,8 @@ object Compiler {
     case PatternC(p) =>
       stringTarget(value, dt, opts) match {
         case None    => alwaysTrue
-        case Some(s) => leaf(b(value.isNull || s.rlike(p)), ptr, lit(Messages.patternNoMatch), "pattern")
+        case Some(s) => leaf(b(value.isNull || regexSearch(s, p, opts)), ptr,
+          lit(Messages.patternNoMatch), "pattern")
       }
 
     case MinLengthC(n) =>
@@ -676,7 +679,8 @@ object Compiler {
 
       case PatternC(p) =>
         val sv = strV
-        leaf(b(v.isNull || sv.isNull || sv.rlike(p)), ptr, lit(Messages.patternNoMatch), "pattern")
+        leaf(b(v.isNull || sv.isNull || regexSearch(sv, p, opts)), ptr,
+          lit(Messages.patternNoMatch), "pattern")
       case MinLengthC(n) =>
         val sv = strV
         leaf(b(v.isNull || sv.isNull || length(sv) >= lit(n)), ptr, lit(Messages.minLength(n)), "minLength")
@@ -713,6 +717,15 @@ object Compiler {
     if (isNumeric(dt)) Some(value.cast(DoubleType))
     else if (!opts.strictTypes && isStringLike(dt)) Some(value.try_cast(DoubleType))
     else None
+
+  /** Unanchored regex search: the codegen'd built-in `rlike` for the
+    * default JDK engine, or a [[graft.functions.RegexSearchExpr]] wrapping
+    * the configured engine (e.g. the linear-time Thompson NFA) otherwise. */
+  private def regexSearch(s: Column, pat: String, opts: CompileOptions): Column =
+    if (opts.regexEngine eq graft.functions.JavaRegexEngine) s.rlike(pat)
+    else org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.RegexSearchExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(s), pat, opts.regexEngine))
 
   /** The string view of a value for length/pattern checks. Weak mode
     * renders bools as true/false and numbers via C++ std::to_string
@@ -792,14 +805,14 @@ object Compiler {
       }
       val patChecks = pc.patternProperties.map { case (pat, s) =>
         val ok = value.isNull || forall(map_entries(value), e =>
-          !b(e.getField("key").rlike(pat)) ||
+          !b(regexSearch(e.getField("key"), pat, opts)) ||
             b(compile(s, e.getField("value"), vdt, ptr, opts).pass))
         leaf(b(ok), ptr, lit(Messages.patternPropertySchemaFail(pat)), "patternProperties")
       }
       val namedKeys = pc.properties.map(_._1)
       def isLeftover(k: Column): Column = {
         val notNamed = if (namedKeys.isEmpty) lit(true) else !k.isin(namedKeys: _*)
-        val notPattern = pc.patternProperties.map { case (pat, _) => !b(k.rlike(pat)) }
+        val notPattern = pc.patternProperties.map { case (pat, _) => !b(regexSearch(k, pat, opts)) }
           .foldLeft(lit(true))(_ && _)
         notNamed && notPattern
       }

@@ -73,4 +73,21 @@ object Messages {
     * `~` → `~0`, `/` → `~1`. */
   def escapePointerSegment(s: String): String =
     s.replace("~", "~0").replace("/", "~1")
+
+  /** Legacy v1.0 context rendering (`validation_results.hpp:167-186`):
+    * `<root>` then `["name"]` per object segment / `[N]` per array segment.
+    * Derived from the JSON pointer, so purely-numeric OBJECT keys render as
+    * array segments (`[0]` instead of `["0"]`) — the one ambiguity of the
+    * pointer encoding; byte-exact everywhere else, asserted against the
+    * reference's own golden expectations
+    * (`tests/test_validation_errors.cpp:59-108`). */
+  def legacyContext(jsonPointer: String): Vector[String] = {
+    val segs =
+      if (jsonPointer.isEmpty) Vector.empty
+      else jsonPointer.split("/", -1).toVector.drop(1)
+        .map(_.replace("~1", "/").replace("~0", "~"))
+    "<root>" +: segs.map { s =>
+      if (s.nonEmpty && s.forall(c => c >= '0' && c <= '9')) s"[$s]" else "[\"" + s + "\"]"
+    }
+  }
 }

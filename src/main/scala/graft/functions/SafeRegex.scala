@@ -1,0 +1,315 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** Pluggable regex engine — the reference templates its Validator on a
+  * RegexEngine type parameter precisely because backtracking engines
+  * (std::regex there, java.util.regex here) explode on adversarial
+  * patterns (`validator.hpp:100-116`, reference `README.md:140-170`). At
+  * 100 TB one pathological `pattern` keyword in a schema stalls executors
+  * for hours; [[ThompsonRegexEngine]] is linear-time by construction.
+  *
+  * Semantics: unanchored *search* (the `pattern` constraint rule,
+  * `validation_visitor.hpp:1064-1085`).
+  */
+trait RegexEngine extends Serializable {
+  def search(pattern: String, input: String): Boolean
+}
+
+/** Default engine: JDK regex (full dialect, backtracking), with a
+  * compiled-pattern cache per JVM (validator.hpp:96 analog). */
+object JavaRegexEngine extends RegexEngine {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  override def search(pattern: String, input: String): Boolean =
+    cache.computeIfAbsent(pattern, java.util.regex.Pattern.compile(_))
+      .matcher(input).find()
+}
+
+/** Thompson-NFA engine: O(|pattern| x |input|) worst case — immune to the
+  * catastrophic backtracking of `(a+)+b`-style patterns. Supports the
+  * schema-pattern subset: literals, `.`, character classes (ranges,
+  * negation), escapes (\d \D \w \W \s \S and escaped punctuation), anchors
+  * `^` `$`, alternation, (non-capturing) groups, quantifiers `* + ?`
+  * and `{m}` `{m,}` `{m,n}`. Unsupported constructs (backreferences,
+  * lookaround, inline flags) throw at compile time so callers can fall
+  * back to [[JavaRegexEngine]] explicitly. */
+object ThompsonRegexEngine extends RegexEngine {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, ThompsonRegex]()
+  override def search(pattern: String, input: String): Boolean =
+    cache.computeIfAbsent(pattern, new ThompsonRegex(_)).search(input)
+}
+
+final class ThompsonRegex(pattern: String) extends Serializable {
+
+  // ---- AST -----------------------------------------------------------------
+  private sealed trait Node
+  private case class Chr(f: Char => Boolean) extends Node
+  private case class Cat(a: Node, b: Node) extends Node
+  private case class Alt(a: Node, b: Node) extends Node
+  private case class Star(a: Node) extends Node
+  private case class Plus(a: Node) extends Node
+  private case class Opt(a: Node) extends Node
+  private case object Start extends Node
+  private case object End extends Node
+  private case object Empty extends Node
+
+  private def fail(msg: String): Nothing =
+    throw new java.util.regex.PatternSyntaxException(msg, pattern, -1)
+
+  // ---- recursive-descent parser ---------------------------------------------
+  private var pos = 0
+  private def peek: Char = pattern.charAt(pos)
+  private def more: Boolean = pos < pattern.length
+
+  private def parseAlt(): Node = {
+    var n = parseCat()
+    while (more && peek == '|') { pos += 1; n = Alt(n, parseCat()) }
+    n
+  }
+  private def parseCat(): Node = {
+    var n: Node = Empty
+    while (more && peek != '|' && peek != ')') {
+      val r = parseRep()
+      n = if (n == Empty) r else Cat(n, r)
+    }
+    n
+  }
+  private def parseRep(): Node = {
+    var a = parseAtom()
+    var cont = true
+    while (more && cont) peek match {
+      case '*' => pos += 1; a = Star(a)
+      case '+' => pos += 1; a = Plus(a)
+      case '?' => pos += 1; a = Opt(a)
+      case '{' =>
+        val close = pattern.indexOf('}', pos)
+        if (close < 0) fail("unclosed {")
+        val body = pattern.substring(pos + 1, close)
+        val parts = body.split(",", -1)
+        if (!parts.forall(p => p.isEmpty || p.forall(_.isDigit)) || parts.head.isEmpty)
+          fail(s"bad repetition {$body}")
+        val min = parts(0).toInt
+        val max: Option[Int] =
+          if (parts.length == 1) Some(min)
+          else if (parts(1).isEmpty) None else Some(parts(1).toInt)
+        if (min > 512 || max.exists(_ > 512)) fail("repetition bound too large (>512)")
+        if (max.exists(_ < min)) fail(s"bad repetition {$body}")
+        pos = close + 1
+        val base = a
+        var n: Node = Empty
+        for (_ <- 0 until min) n = if (n == Empty) base else Cat(n, base)
+        max match {
+          case None => n = if (n == Empty) Star(base) else Cat(n, Star(base))
+          case Some(mx) =>
+            for (_ <- min until mx) n = if (n == Empty) Opt(base) else Cat(n, Opt(base))
+        }
+        a = n
+      case _ => cont = false
+    }
+    a
+  }
+  private def parseAtom(): Node = {
+    if (!more) return Empty
+    peek match {
+      case '(' =>
+        pos += 1
+        if (more && peek == '?') {
+          // only non-capturing groups of the (?:...) form are supported
+          if (pos + 1 < pattern.length && pattern.charAt(pos + 1) == ':') pos += 2
+          else fail("lookaround / inline flags not supported")
+        }
+        val n = parseAlt()
+        if (!more || peek != ')') fail("unclosed (")
+        pos += 1
+        n
+      case '[' => parseClass()
+      case '.' => pos += 1 // JDK '.': any char except line terminators
+        Chr(ch => ch != '\n' && ch != '\r' && ch != '' && ch != ' ' && ch != ' ')
+      case '^' => pos += 1; Start
+      case '$' => pos += 1; End
+      case '\\' => pos += 1; Chr(parseEscape())
+      case ')' | '|' => Empty
+      case '*' | '+' | '?' => fail(s"dangling quantifier at $pos")
+      case c => pos += 1; Chr(_ == c)
+    }
+  }
+  private def parseEscape(): Char => Boolean = {
+    if (!more) fail("trailing backslash")
+    val c = peek; pos += 1
+    c match {
+      case 'd' => _.isDigit
+      case 'D' => !_.isDigit
+      case 'w' => ch => ch.isLetterOrDigit || ch == '_'
+      case 'W' => ch => !(ch.isLetterOrDigit || ch == '_')
+      case 's' => _.isWhitespace
+      case 'S' => !_.isWhitespace
+      case 'n' => _ == '\n'
+      case 'r' => _ == '\r'
+      case 't' => _ == '\t'
+      case 'f' => _ == '\f'
+      case 'b' | 'B' => fail("word boundaries not supported") // zero-width
+      case x if !x.isLetterOrDigit => (_: Char) == x // escaped punctuation
+      case x => fail(s"unsupported escape \\$x")
+    }
+  }
+  private def parseClass(): Node = {
+    pos += 1 // '['
+    val negate = more && peek == '^'
+    if (negate) pos += 1
+    val preds = mutable.ArrayBuffer[Char => Boolean]()
+    var first = true
+    while (more && (peek != ']' || first)) {
+      first = false
+      val lo: Either[Char => Boolean, Char] =
+        if (peek == '\\') { pos += 1; Left(parseEscape()) }
+        else { val c = peek; pos += 1; Right(c) }
+      lo match {
+        case Left(f) => preds += f
+        case Right(c) =>
+          if (more && peek == '-' && pos + 1 < pattern.length && pattern.charAt(pos + 1) != ']') {
+            pos += 1
+            val hi = if (peek == '\\') { pos += 1; fail("range to escape") }
+                     else { val h = peek; pos += 1; h }
+            preds += (ch => ch >= c && ch <= hi)
+          } else preds += (_ == c)
+      }
+    }
+    if (!more) fail("unclosed [")
+    pos += 1 // ']'
+    val ps = preds.toIndexedSeq
+    val f: Char => Boolean = ch => ps.exists(_(ch))
+    Chr(if (negate) ch => !f(ch) else f)
+  }
+
+  // ---- compile to a Pike-VM program ------------------------------------------
+  private sealed trait Inst
+  private case class IChar(f: Char => Boolean) extends Inst
+  private case class ISplit(a: Int, b: Int) extends Inst
+  private case class IJmp(t: Int) extends Inst
+  private case object IStart extends Inst
+  private case object IEnd extends Inst
+  private case object IMatch extends Inst
+
+  private val prog: IndexedSeq[Inst] = {
+    val ast = parseAlt()
+    if (more) fail(s"unexpected '${peek}' at $pos")
+    val buf = mutable.ArrayBuffer[Inst]()
+    def emit(n: Node): Unit = n match {
+      case Empty => ()
+      case Chr(f) => buf += IChar(f)
+      case Start => buf += IStart
+      case End => buf += IEnd
+      case Cat(a, b) => emit(a); emit(b)
+      case Alt(a, b) =>
+        val sp = buf.length; buf += null
+        val pa = buf.length; emit(a)
+        val jm = buf.length; buf += null
+        val pb = buf.length; emit(b)
+        buf(sp) = ISplit(pa, pb); buf(jm) = IJmp(buf.length)
+      case Star(a) =>
+        val sp = buf.length; buf += null
+        val pa = buf.length; emit(a)
+        buf += IJmp(sp)
+        buf(sp) = ISplit(pa, buf.length)
+      case Plus(a) =>
+        val pa = buf.length; emit(a)
+        val sp = buf.length; buf += null
+        buf(sp) = ISplit(pa, buf.length)
+      case Opt(a) =>
+        val sp = buf.length; buf += null
+        val pa = buf.length; emit(a)
+        buf(sp) = ISplit(pa, buf.length)
+    }
+    emit(ast)
+    buf += IMatch
+    if (buf.length > 20000) fail("compiled program too large")
+    buf.toIndexedSeq
+  }
+
+  // ---- simulation (thread lists with generation marking) ----------------------
+  def search(input: String): Boolean = {
+    val n = prog.length
+    val mark = new Array[Int](n)
+    java.util.Arrays.fill(mark, -1)
+    var cur = new Array[Int](n); var curLen = 0
+    var nxt = new Array[Int](n); var nxtLen = 0
+    var matched = false
+    val len = input.length
+
+    def add(list: Array[Int], lenRef: Int, pc: Int, at: Int, gen: Int): Int = {
+      var l = lenRef
+      val stack = mutable.ArrayBuffer[Int](pc)
+      while (stack.nonEmpty) {
+        val p = stack.remove(stack.length - 1)
+        if (mark(p) != gen) {
+          mark(p) = gen
+          prog(p) match {
+            case ISplit(a, b) => stack += a; stack += b
+            case IJmp(t)      => stack += t
+            case IStart       => if (at == 0) stack += (p + 1)
+            case IEnd         => if (at == len) stack += (p + 1)
+            case IMatch       => matched = true
+            case _: IChar     => list(l) = p; l += 1
+          }
+        }
+      }
+      l
+    }
+
+    var at = 0
+    var gen = 0
+    curLen = add(cur, 0, 0, 0, gen)
+    while (at < len && !matched) {
+      val c = input.charAt(at)
+      gen += 1
+      nxtLen = 0
+      var i = 0
+      while (i < curLen) {
+        prog(cur(i)) match {
+          case IChar(f) if f(c) => nxtLen = add(nxt, nxtLen, cur(i) + 1, at + 1, gen)
+          case _ => ()
+        }
+        i += 1
+      }
+      // unanchored search: re-inject the start state at the next position
+      if (!matched) nxtLen = add(nxt, nxtLen, 0, at + 1, gen)
+      val t = cur; cur = nxt; nxt = t
+      curLen = nxtLen
+      at += 1
+    }
+    matched
+  }
+}
+
+/** Catalyst expression for a non-default regex engine (when the engine is
+  * [[JavaRegexEngine]] the compiler uses the codegen'd built-in `rlike`
+  * instead). */
+case class RegexSearchExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                           pattern: String, engine: RegexEngine)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"regex_search requires a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    engine.search(pattern, input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val engRef = ctx.addReferenceObj("graftRegexEngine", engine, classOf[RegexEngine].getName)
+    val patRef = ctx.addReferenceObj("graftRegexPattern", pattern, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $engRef.search($patRef, $c.toString());")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): RegexSearchExpr =
+    copy(child = newChild)
+}

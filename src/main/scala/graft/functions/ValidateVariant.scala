@@ -30,7 +30,8 @@ import graft.spec._
   */
 case class ValidateVariantExpr(child: Expression, spec: SchemaSpec,
                                strictDateTime: Boolean = false,
-                               strictTypes: Boolean = true)
+                               strictTypes: Boolean = true,
+                               regexEngine: RegexEngine = JavaRegexEngine)
     extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
@@ -43,14 +44,16 @@ case class ValidateVariantExpr(child: Expression, spec: SchemaSpec,
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"validate_variant requires a variant input, got ${child.dataType}")
 
-  @transient private lazy val validator = new VariantValidator(spec, strictDateTime, strictTypes)
+  @transient private lazy val validator =
+    new VariantValidator(spec, strictDateTime, strictTypes, regexEngine)
 
   override def nullSafeEval(input: Any): Any =
     validator.validateRow(input.asInstanceOf[VariantVal])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftValidator",
-      new VariantValidator(spec, strictDateTime, strictTypes), classOf[VariantValidator].getName)
+      new VariantValidator(spec, strictDateTime, strictTypes, regexEngine),
+      classOf[VariantValidator].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = $ref.validateRow($c);")
   }
@@ -77,7 +80,8 @@ object ValidateVariantExpr {
   * deduplicates — no document probe is ever cloned. */
 case class ValidateJsonExpr(child: Expression, spec: SchemaSpec,
                             strictDateTime: Boolean = false,
-                            strictTypes: Boolean = true)
+                            strictTypes: Boolean = true,
+                            regexEngine: RegexEngine = JavaRegexEngine)
     extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
@@ -92,7 +96,8 @@ case class ValidateJsonExpr(child: Expression, spec: SchemaSpec,
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"validate_json requires a string input, got ${child.dataType}")
 
-  @transient private lazy val validator = new VariantValidator(spec, strictDateTime, strictTypes)
+  @transient private lazy val validator =
+    new VariantValidator(spec, strictDateTime, strictTypes, regexEngine)
 
   override def eval(input: InternalRow): Any =
     VariantValidator.validateJsonString(validator,
@@ -124,10 +129,11 @@ case class ValidateJsonExpr(child: Expression, spec: SchemaSpec,
 object ValidateJsonExpr {
   def validate(jsonText: Column, spec: SchemaSpec,
                strictDateTime: Boolean = false,
-               strictTypes: Boolean = true): Column =
+               strictTypes: Boolean = true,
+               regexEngine: RegexEngine = JavaRegexEngine): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       ValidateJsonExpr(org.apache.spark.sql.GraftSqlBridge.expression(jsonText),
-        spec, strictDateTime, strictTypes))
+        spec, strictDateTime, strictTypes, regexEngine))
 }
 
 /** Serializable single-pass evaluator over the variant binary — the
@@ -135,16 +141,17 @@ object ValidateJsonExpr {
   * kWeakTypes mode: per-constraint maybe/as conversions
   * (basic_adapter.hpp:335-547, 762-880). */
 final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
-                             strictTypes: Boolean = true)
+                             strictTypes: Boolean = true,
+                             regexEngine: RegexEngine = JavaRegexEngine)
     extends Serializable {
 
   import VariantUtil.Type._
 
   VariantValidator.assertSupported(spec)
 
-  // regex cache: compiled once per executor (validator.hpp:96 analog)
-  @transient private lazy val regexCache = mutable.Map[String, java.util.regex.Pattern]()
-  private def pattern(p: String) = regexCache.getOrElseUpdate(p, java.util.regex.Pattern.compile(p))
+  // regex evaluation goes through the pluggable engine (validator.hpp:18,
+  // 100-116 analog); each engine keeps its own per-JVM compiled cache
+  private def regexFind(p: String, s: String): Boolean = regexEngine.search(p, s)
 
   private type Sink = mutable.ArrayBuffer[(String, String, String)]
 
@@ -456,7 +463,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
     case PatternC(p) =>
       if (skipString(v)) true
       else {
-        val ok = pattern(p).matcher(asStringW(v)).find()
+        val ok = regexFind(p, asStringW(v))
         if (!ok) push(sink, path, Messages.patternNoMatch, "pattern")
         ok
       }
@@ -512,11 +519,10 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
           }
         }
         patProps.foreach { case (pat, s) =>
-          val re = pattern(pat)
           var i = 0
           while (i < objSizeW(v)) {
             val f = v.getFieldAtIndex(i)
-            if (re.matcher(f.key).find()) {
+            if (regexFind(pat, f.key)) {
               matched += f.key
               if (!validateSchema(s, f.value, s"$path/${escSeg(f.key)}", sink)) {
                 push(sink, path, Messages.patternPropertySchemaFail(pat), "patternProperties")

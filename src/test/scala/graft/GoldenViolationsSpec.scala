@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.compile.Compiler
+import graft.compile.{Compiler, Messages}
 import graft.spec.SpecParser
 
 /** Byte-exact replication of the reference's golden error-output tests
@@ -83,6 +83,22 @@ class GoldenViolationsSpec extends SparkTestBase {
     out0.select(col("violations")).collect()(0).getSeq[Row](0)
       .map(r => (r.getString(0), r.getString(1))) shouldBe Seq(
       ("", "Cannot validate item #0 or greater using 'items' constraint or 'additionalItems' constraint."))
+  }
+
+  test("legacy context rendering matches the reference goldens (test_validation_errors.cpp:59-108)") {
+    // AllOf fixture: pointers /0, "", /1, "", /2, "", "" →
+    // contexts (<root>,[0]), (<root>), (<root>,[1]), …
+    Messages.legacyContext("/0") shouldBe Vector("<root>", "[0]")
+    Messages.legacyContext("") shouldBe Vector("<root>")
+    Messages.legacyContext("/abc") shouldBe Vector("<root>", "[\"abc\"]")
+    Messages.legacyContext("/my_object/1/some_property") shouldBe
+      Vector("<root>", "[\"my_object\"]", "[1]", "[\"some_property\"]")
+    Messages.legacyContext("/a~1b/c~0d") shouldBe Vector("<root>", "[\"a/b\"]", "[\"c~d\"]")
+    // Column form agrees with the driver-side renderer
+    val ptrs = Seq("/0", "", "/abc", "/my_object/1/some_property", "/a~1b/c~0d")
+    val got = ptrs.toDF("p").select(Graft.legacyContext(col("p"))).collect()
+      .map(_.getSeq[String](0).toVector)
+    got shouldBe ptrs.map(Messages.legacyContext).toArray
   }
 
   test("JSON Pointer escaping: ~ and / in property names (validation_results.hpp:140-160)") {
