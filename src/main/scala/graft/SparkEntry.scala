@@ -226,6 +226,19 @@ object SparkEntry {
         .select("vec_id")
     }),
 
+    "q_ann_ivf" -> ((s, dir) => { implicit val sp = s
+      // IVF coarse-quantizer path (the 100 TB ANN shape): assign every
+      // vector to its nearest centroid, scan only the query's nprobe cells.
+      // Centroids are 8 deterministic data vectors so the oracle can
+      // recompute assignment + probe set exactly.
+      val emb = t(dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).toSeq).toSeq
+      val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", cents, q, 10, nprobe = 2)
+        .select("vec_id")
+    }),
+
     "q_transcript_validation" -> ((s, dir) => { implicit val sp = s
       // full engine run over a transcript table DERIVED from the events
       // parquet (conv = user, turn order = event order, deterministic
@@ -505,6 +518,22 @@ object SparkEntry {
            SELECT vec_id, list_cosine_similarity(embedding,
                   (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS c
            FROM embeddings ORDER BY c DESC, vec_id LIMIT 10)""",
+
+    "q_ann_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cell, embedding AS c FROM embeddings WHERE vec_id < 8),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         assigned AS (
+           SELECT e.vec_id, e.embedding,
+                  (SELECT c.cell FROM cents c
+                   ORDER BY list_distance(e.embedding, c.c), c.cell LIMIT 1) AS cell
+           FROM embeddings e),
+         probe AS (SELECT c.cell FROM cents c
+                   ORDER BY list_distance((SELECT qv FROM q), c.c), c.cell LIMIT 2)
+         SELECT vec_id FROM (
+           SELECT a.vec_id,
+                  list_cosine_similarity(a.embedding, (SELECT qv FROM q)) AS cos
+           FROM assigned a WHERE a.cell IN (SELECT cell FROM probe)
+           ORDER BY cos DESC, a.vec_id LIMIT 10)""",
 
     "q_langid" ->
       """WITH c AS (SELECT doc_id,

@@ -94,9 +94,12 @@ object Similarity {
     * nprobe cells. Centroid fitting is out of scope (any k-means output
     * plugs in); assignment + pruned search are the Spark-side machinery. */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]]): DataFrame = {
+    // squared distance in DOUBLE precision end-to-end (float elementwise
+    // math would diverge from any external recomputation on near-ties)
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       struct(
-        aggregate(zip_with(col(vecCol), typedLit(c), (x, y) => (x - y) * (x - y)),
+        aggregate(zip_with(col(vecCol), typedLit(c),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
           lit(0.0d), (acc, v) => acc + v).as("dist"),
         lit(i).as("cell"))
     }
@@ -107,7 +110,7 @@ object Similarity {
               centroids: Seq[Seq[Float]], query: Seq[Float], k: Int,
               nprobe: Int = 2): DataFrame = {
     val qd = centroids.zipWithIndex.map { case (c, i) =>
-      (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble, i)
+      (c.zip(query).map { case (a, b) => (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum, i)
     }.sortBy(_._1).take(nprobe).map(_._2)
     ivfAssign(df, vecCol, centroids)
       .where(col("ivf_cell").isin(qd: _*))
