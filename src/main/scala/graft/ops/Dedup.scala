@@ -121,11 +121,19 @@ object Dedup {
                               maxBucketSize: Int = 256): DataFrame = {
     val cands = minhashNearDups(df, idCol, textCol, numHashes, bands,
       jaccardThreshold = jaccardThreshold / 2, shingleK, maxBucketSize)
-    val texts = df.select(col(idCol), col(textCol))
+    // pre-shingle each join side ONCE per document (computing shingles
+    // inside the pair predicate would redo the O(len) work per pair), with
+    // the normalization STAGED into its own projection — an inline
+    // normalizeText captured in the per-shingle lambda re-normalizes per
+    // element, turning O(len) into O(len²) per doc
+    val sh = TextAnalysis.withShingles(
+        df.select(col(idCol), col(textCol)), textCol, shingleK, "_shRaw")
+      .select(col(idCol), array_distinct(col("_shRaw")).as("_sh"))
     cands.select(col("id_a"), col("id_b"))
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_ta")), "id_a")
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_tb")), "id_b")
-      .where(ngramJaccard(col("_ta"), col("_tb"), shingleK) >= jaccardThreshold)
+      .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sa")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_sb")), "id_b")
+      .where(size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+        size(array_union(col("_sa"), col("_sb"))).cast("double") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
