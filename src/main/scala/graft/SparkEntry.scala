@@ -384,6 +384,27 @@ object SparkEntry {
         Seq("p_partkey"), kinds = Seq("not"))
     }),
 
+    "q_multimodal" -> ((s, dir) => { implicit val sp = s
+      // multimodal-column plumbing over metadata derived from events:
+      // resize plan + frame-sampling lattice (the payload DECODE itself is
+      // the declared stub — ops/Multimodal.DecodeStub); both transforms are
+      // SQL-derivable so the plumbing gets a real oracle
+      import graft.ops.Multimodal
+      val assets = t(dir, "events").select(
+        col("event_id").as("asset_id"),
+        when(pmod(col("event_id"), lit(3)) === 0, "video").otherwise("image").as("kind"),
+        (pmod(col("event_id"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("event_id"), lit(48)) + 16).cast("int").as("height"),
+        (pmod(col("event_id"), lit(16)) + 1).cast("int").as("n_frames"),
+        lit(null).cast("binary").as("bytes"))
+      val resized = Multimodal.resizePlan(assets, maxSide = 48)
+      val frames = Multimodal.sampleFrames(assets, everyN = 4)
+        .groupBy(col("asset_id")).agg(count(lit(1)).as("n_sampled"))
+      resized.join(frames, Seq("asset_id"), "left")
+        .select(col("asset_id"), col("target_width"), col("target_height"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+    }),
+
     "q_false_schema" -> ((s, dir) => { implicit val sp = s
       // boolean false schema: alwaysInvalid with no error of its own
       // (VV:107-109) — the enclosing properties wrapper reports
@@ -676,6 +697,18 @@ object SparkEntry {
       """SELECT p_partkey, '/p_type' AS json_pointer,
                 'Target should not validate against schema specified in ''not'' constraint.' AS description
          FROM part WHERE regexp_matches(p_type, 'PROMO')""",
+
+    "q_multimodal" ->
+      """SELECT event_id AS asset_id,
+                CAST(ceil(w * least(1.0, 48.0 / greatest(w, h))) AS INT) AS target_width,
+                CAST(ceil(h * least(1.0, 48.0 / greatest(w, h))) AS INT) AS target_height,
+                CASE WHEN event_id % 3 = 0 THEN CAST(ceil((nf) / 4.0) AS BIGINT)
+                     ELSE 0 END AS n_sampled
+         FROM (SELECT event_id,
+                      event_id % 64 + 16 AS w,
+                      event_id % 48 + 16 AS h,
+                      event_id % 16 + 1 AS nf
+               FROM events)""",
 
     "q_false_schema" ->
       """SELECT n_nationkey, '' AS json_pointer,

@@ -138,8 +138,17 @@ object SpecParser {
           val s =
             try build(docKey, node, path, scope)
             finally building -= key
+          // A pure $ref cycle with NO schema content resolves to its own
+          // placeholder (e.g. foo→bar→baz→foo, or a root "$ref":"#"):
+          // the reference's parser throws on these too
+          // (tests/test_json_pointer.cpp CircularReferences / issue #200).
+          placeholders.get(key) match {
+            case Some(ph) if ph eq s =>
+              throw new IllegalArgumentException(
+                s"circular $$ref with no schema content at '$docKey#$path'")
+            case other => other.foreach(_.boundTarget = s)
+          }
           memo(key) = s
-          placeholders.get(key).foreach(_.boundTarget = s)
           s
       }
     }

@@ -104,6 +104,24 @@ class RefSpec extends SparkTestBase {
     nativePass(spec, Seq("""{"s": "ab"}""", """{"s": "abcd"}""")) shouldBe Seq(true, false)
   }
 
+  test("pure $ref cycles with no schema content are rejected at parse (reference fixture)") {
+    // tests/data/schemas/circular_reference.schema.json — populateSchema
+    // throws in the reference (test_json_pointer.cpp CircularReferences)
+    val e = intercept[IllegalArgumentException] {
+      SpecParser.parse(
+        """{"properties": {
+             "foo": {"$ref": "#/properties/bar"},
+             "bar": {"$ref": "#/properties/baz"},
+             "baz": {"$ref": "#/properties/foo"}}}""")
+    }
+    e.getMessage should include("circular")
+    // root self-reference (reference issue #200 currently crashes there;
+    // we reject cleanly)
+    intercept[IllegalArgumentException] {
+      SpecParser.parse("""{"$ref": "#"}""")
+    }.getMessage should include("circular")
+  }
+
   test("DAG reuse (non-cyclic shared $ref) still compiles on the Catalyst paths") {
     val spec = SpecParser.parse(
       """{"definitions": {"pos": {"minimum": 0}},
