@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashExpr, SimHashExpr, ValidateJsonExpr}
+import graft.functions.{FormatCheckExpr, MinHashExpr, RegexSearchExpr,
+  SimHashExpr, ThompsonRegexEngine, ValidateJsonExpr}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -53,6 +54,29 @@ object GraftExtensions {
           case other                      => other.eval().toString
         }
         ValidateJsonExpr(args.head, graft.spec.SpecParser.parse(schemaJson))
+      }),
+    (new FunctionIdentifier("format_check"),
+      new ExpressionInfo(classOf[FormatCheckExpr].getName, "format_check"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2 && args.length <= 3,
+          "format_check(text, formatLiteral[, strictDateTime])")
+        val fmt = args(1) match {
+          case Literal(s, _) if s != null => s.toString
+          case other                      => other.eval().toString
+        }
+        val strict = args.length == 3 && args(2).eval() == true
+        FormatCheckExpr(args.head, fmt, strict)
+      }),
+    (new FunctionIdentifier("regex_search_safe"),
+      new ExpressionInfo(classOf[RegexSearchExpr].getName, "regex_search_safe"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "regex_search_safe(text, patternLiteral)")
+        val pat = args(1) match {
+          case Literal(s, _) if s != null => s.toString
+          case other                      => other.eval().toString
+        }
+        // linear-time Thompson NFA: safe against catastrophic backtracking
+        RegexSearchExpr(args.head, pat, ThompsonRegexEngine)
       }))
 
   /** Register on an existing session (tests, shells). */

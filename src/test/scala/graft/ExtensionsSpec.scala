@@ -22,4 +22,18 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
     res.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1)) should contain(
       "Expected number less than or equal to 50.000000")
   }
+
+  test("format_check and regex_search_safe work from SQL") {
+    val spark = SparkTestBase.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT format_check('2024-02-29', 'date') AS leap_ok,
+                format_check('2023-02-29', 'date') AS nonleap,
+                format_check('2000-01-01T00:00:00', 'date-time') AS permissive,
+                format_check('2000-01-01T00:00:00', 'date-time', true) AS strict,
+                regex_search_safe('tool_07', '^tool_[0-9]{2}$') AS re_ok,
+                regex_search_safe('tool_7', '^tool_[0-9]{2}$') AS re_bad""").collect()(0)
+    (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+      r.getBoolean(4), r.getBoolean(5)) shouldBe ((true, false, true, false, true, false))
+  }
 }

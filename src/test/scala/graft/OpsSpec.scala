@@ -26,6 +26,25 @@ class OpsSpec extends SparkTestBase {
     total should be > 0L
   }
 
+  test("langId accuracy fixture: each supported language identified on representative text") {
+    // (the driver corpus's `lang` column is independent of its word-salad
+    // text, so accuracy is asserted on real per-language sentences instead)
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat and the dog went to the market for it is warm with sun"),
+      ("es", "el perro y los gatos del barrio que están en las calles por la tarde"),
+      ("fr", "le chat est dans les rues des voisins et une belle journée dans la ville"),
+      ("de", "der hund und die katze das ist von dem haus mit den nachbarn für nicht viel"),
+      ("pt", "um dia para a praia com não muito sol e do mar da cidade em que moro"),
+      ("und", "zzz qqq xxx lorem"))
+    val got = samples.toDF("expected", "text")
+      .select(col("expected"), TextAnalysis.langId(col("text")).as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (want, pred) =>
+      withClue(s"expected $want got $pred") { pred shouldBe want }
+    }
+  }
+
   test("quality score lands in [0,1]") {
     val q = TextAnalysis.qualityScore(docs, "text")
       .agg(min("quality_score"), max("quality_score")).head()
