@@ -66,10 +66,11 @@ object ValidateVariantExpr {
   /** Column API: `struct(pass, violations)` for a variant column. */
   def validate(variant: Column, spec: SchemaSpec,
                strictDateTime: Boolean = false,
-               strictTypes: Boolean = true): Column =
+               strictTypes: Boolean = true,
+               regexEngine: RegexEngine = JavaRegexEngine): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       ValidateVariantExpr(org.apache.spark.sql.GraftSqlBridge.expression(variant),
-        spec, strictDateTime, strictTypes))
+        spec, strictDateTime, strictTypes, regexEngine))
 }
 
 /** String-input form: parses the JSON inside the expression (one parse +

@@ -79,6 +79,31 @@ class PlanSpec extends SparkTestBase {
     p should include("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>")
   }
 
+  test("new constraint queries stay shuffle-free and codegen'd") {
+    for (q <- Seq("q_type_violations", "q_items_tuple", "q_propertynames",
+                  "q_multipleof_int", "q_allof", "q_uniqueitems_row")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      withClue(q) {
+        p should not include "Exchange"
+        p should include("*(1)")
+      }
+    }
+  }
+
+  test("IVF top-k prunes by cell and avoids a global sort") {
+    val p = plan(SparkEntry.queries("q_ann_ivf")(spark, sf))
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange rangepartitioning"
+    // the optimizer collapses the ivf_cell column into the pruning filter
+    p should include(".cell IN (")
+  }
+
+  test("multimodal plumbing query: no cartesian product, bounded shuffles") {
+    val p = plan(SparkEntry.queries("q_multimodal")(spark, sf))
+    p should not include "CartesianProduct"
+    p.sliding("Exchange".length).count(_ == "Exchange") should be <= 4
+  }
+
   test("transcript validation end-to-end plan: one shuffle for verdicts only") {
     val turns = TranscriptGen.turns(spark, 100, parts = 2, numParts = 4)
     val spec = SpecParser.parse(TranscriptGen.transcriptSchemaJson)

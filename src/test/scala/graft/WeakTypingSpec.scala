@@ -28,6 +28,14 @@ class WeakTypingSpec extends SparkTestBase {
       .select("pass").collect().toSeq.map(_.getBoolean(0))
   }
 
+  /** And through the pure-Catalyst variant path (weak subset: type, bounds,
+    * multipleOf, length/pattern). */
+  private def passesVariant(schema: String, docs: Seq[String]): Seq[Boolean] = {
+    val df = docs.toDF("doc")
+    Graft.validateJsonColumnCatalyst(df, "doc", Graft.parseSchema(schema), weak)
+      .select("pass").collect().toSeq.map(_.getBoolean(0))
+  }
+
   test("type: numeric strings satisfy integer/number in weak mode") {
     val df = Seq("12", "12.5", "x").toDF("doc")
     passes("""{"type":"integer"}""", df) shouldBe Seq(true, false, false)
@@ -93,6 +101,25 @@ class WeakTypingSpec extends SparkTestBase {
     passesNative("""{"minLength":5}""", Seq("1234")) shouldBe Seq(false)
     passesNative("""{"minLength":8,"maxLength":8}""", Seq("1.5")) shouldBe Seq(true)
     passesNative("""{"pattern":"^true$"}""", Seq("true")) shouldBe Seq(true)
+  }
+
+  test("variant-path weak mode agrees with the native walker (type/bounds/multipleOf/length/pattern)") {
+    val cases: Seq[(String, Seq[String])] = Seq(
+      ("""{"type":"integer"}""", Seq("\"12\"", "\"12.5\"", "\"x\"", "12", "12.5")),
+      ("""{"type":"number"}""", Seq("\"12.5\"", "\"x\"", "true")),
+      ("""{"type":"boolean"}""", Seq("\"true\"", "\"TRUE\"", "false")),
+      ("""{"type":"null"}""", Seq("\"\"", "\"x\"", "null")),
+      ("""{"minimum":0,"maximum":10}""", Seq("\"5\"", "\"50\"", "\"abc\"", "5", "50")),
+      ("""{"multipleOf":3}""", Seq("\"9\"", "\"10\"", "\"x\"", "9", "10")),
+      ("""{"minLength":4}""", Seq("1234", "123", "\"abcd\"", "true")),
+      ("""{"pattern":"^12"}""", Seq("1234", "34", "\"129\"")))
+    for ((schema, docs) <- cases) {
+      val native = passesNative(schema, docs)
+      val variant = passesVariant(schema, docs)
+      withClue(s"$schema over $docs: native=$native variant=$variant") {
+        variant shouldBe native
+      }
+    }
   }
 
   test("weak container aliases apply to object/array CONSTRAINTS (not type)") {
