@@ -384,6 +384,30 @@ object SparkEntry {
         Seq("p_partkey"), kinds = Seq("not"))
     }),
 
+    "q_dependencies" -> ((s, dir) => { implicit val sp = s
+      // property dependencies (the reference's cross-field mechanism,
+      // CC:247-345): presence of "b" requires "c"
+      val doc = when(pmod(col("event_id"), lit(2)) === 0, lit("""{"a":1}"""))
+        .otherwise(lit("""{"a":1,"b":2}"""))
+      jsonViolations(t(dir, "events"), doc,
+        """{"dependencies":{"b":["c"]}}""", "event_id", Seq("dependencies"))
+    }),
+
+    "q_format_ipv4" -> ((s, dir) => { implicit val sp = s
+      val df = t(dir, "events").withColumn("ip",
+        format_string("%d.0.0.1", pmod(col("event_id"), lit(300))))
+      Graft.violations(df, """{"properties":{"ip":{"format":"ipv4"}}}""",
+        Seq("event_id", "ip"), kinds = Seq("format"))
+    }),
+
+    "q_format_time" -> ((s, dir) => { implicit val sp = s
+      // hours 24..29 are invalid; :60 leap second only at 23:59 UTC
+      val df = t(dir, "events").withColumn("tm",
+        format_string("%02d:30:00Z", pmod(col("event_id"), lit(30))))
+      Graft.violations(df, """{"properties":{"tm":{"format":"time"}}}""",
+        Seq("event_id", "tm"), kinds = Seq("format"))
+    }),
+
     "q_multimodal" -> ((s, dir) => { implicit val sp = s
       // multimodal-column plumbing over metadata derived from events:
       // resize plan + frame-sampling lattice (the payload DECODE itself is
@@ -697,6 +721,23 @@ object SparkEntry {
       """SELECT p_partkey, '/p_type' AS json_pointer,
                 'Target should not validate against schema specified in ''not'' constraint.' AS description
          FROM part WHERE regexp_matches(p_type, 'PROMO')""",
+
+    "q_dependencies" ->
+      """SELECT event_id, '' AS json_pointer,
+                'Missing dependency ''c''.' AS description
+         FROM events WHERE event_id % 2 = 1""",
+
+    "q_format_ipv4" ->
+      """SELECT event_id, (event_id % 300) || '.0.0.1' AS ip,
+                '/ip' AS json_pointer,
+                'String should be a valid IPv4 address' AS description
+         FROM events WHERE event_id % 300 > 255""",
+
+    "q_format_time" ->
+      """SELECT event_id, printf('%02d:30:00Z', event_id % 30) AS tm,
+                '/tm' AS json_pointer,
+                'String should be a valid time' AS description
+         FROM events WHERE event_id % 30 >= 24""",
 
     "q_multimodal" ->
       """SELECT event_id AS asset_id,
