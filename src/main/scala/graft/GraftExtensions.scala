@@ -64,7 +64,14 @@ object GraftExtensions {
           case Literal(s, _) if s != null => s.toString
           case other                      => other.eval().toString
         }
-        val strict = args.length == 3 && args(2).eval() == true
+        val strict = args.length == 3 && {
+          require(args(2).foldable, "format_check: strictDateTime must be a literal")
+          args(2).eval() match {
+            case b: java.lang.Boolean => b.booleanValue()
+            case s if s != null       => s.toString.equalsIgnoreCase("true")
+            case _                    => false
+          }
+        }
         FormatCheckExpr(args.head, fmt, strict)
       }),
     (new FunctionIdentifier("regex_search_safe"),

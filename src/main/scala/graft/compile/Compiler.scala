@@ -183,8 +183,8 @@ object Compiler {
           val weak: Seq[Column] = dt match {
             case t if isStringLike(t) =>
               types.toSeq.flatMap {
-                case JsonType.JInteger => Some(value.try_cast(LongType).isNotNull)
-                case JsonType.JNumber  => Some(value.try_cast(DoubleType).isNotNull)
+                case JsonType.JInteger => Some(weakLong(value).isNotNull)
+                case JsonType.JNumber  => Some(weakDouble(value).isNotNull)
                 case JsonType.JBoolean => Some(value.isin("true", "false"))
                 case JsonType.JNull    => Some(value === "")
                 case _                 => None
@@ -238,8 +238,8 @@ object Compiler {
       // strings the truncating-double check, everything else passes.
       if (!isNumeric(dt) && !isStringLike(dt)) alwaysTrue
       else if (isStringLike(dt)) {
-        val iL = value.try_cast(LongType)
-        val dv = value.try_cast(DoubleType)
+        val iL = weakLong(value)
+        val dv = weakDouble(value)
         val outOfRange = dv < lit(Long.MinValue.toDouble) || dv > lit(Long.MaxValue.toDouble)
         val rem = dv - bround(dv / lit(d.toDouble)) * lit(d.toDouble)
         val fromD = when(outOfRange, abs(rem) <= lit(2.220446049250313e-16))
@@ -271,7 +271,7 @@ object Compiler {
       // strings are checked; unparseable strings pass (try_cast → NULL).
       val target =
         if (isNumeric(dt)) Some(value.cast(DoubleType))
-        else if (isStringLike(dt)) Some(value.try_cast(DoubleType))
+        else if (isStringLike(dt)) Some(weakDouble(value))
         else None
       if (target.isEmpty) alwaysTrue
       else if (d == 0.0) leaf(b(value.isNull || target.get.isNull || target.get === 0.0), ptr,
@@ -575,7 +575,7 @@ object Compiler {
     /** Numeric view for bounds/multipleOf: numbers always; in weak mode
       * also double-parseable strings (maybeDouble). NULL = not applicable. */
     def numV: Column =
-      if (weak) when(vNum, asD).when(vStr, asS.try_cast("double")) else when(vNum, asD)
+      if (weak) when(vNum, asD).when(vStr, weakDouble(asS)) else when(vNum, asD)
     /** String view for length/pattern: strings always; in weak mode the
       * asString renderings (std::to_string semantics) of bools/numbers and
       * "" for empty containers (basic_adapter.hpp:467-507). */
@@ -614,9 +614,9 @@ object Compiler {
             (lit(weak) && vStr && asS.isin("true", "false"))
           case JsonType.JInteger => vLong || (vFrac && asD === floor(asD) &&
             asD >= lit(Long.MinValue.toDouble) && asD <= lit(Long.MaxValue.toDouble)) ||
-            (lit(weak) && vStr && asS.try_cast(LongType).isNotNull)
+            (lit(weak) && vStr && weakLong(asS).isNotNull)
           case JsonType.JNumber  => vNum ||
-            (lit(weak) && vStr && asS.try_cast(DoubleType).isNotNull)
+            (lit(weak) && vStr && weakDouble(asS).isNotNull)
           case JsonType.JNull    => vNull || (lit(weak) && vStr && asS === "")
           case JsonType.JArray   => vArr
           case JsonType.JObject  => vObj
@@ -655,8 +655,8 @@ object Compiler {
           when(outOfRange, abs(rem) <= lit(2.220446049250313e-16))
             .otherwise(dv.try_cast("bigint") === 0 || dv.try_cast("bigint") % lit(d) === 0)
         }
-        val sL = asS.try_cast(LongType)
-        val sD = asS.try_cast(DoubleType)
+        val sL = weakLong(asS)
+        val sD = weakDouble(asS)
         val strOk = when(sL.isNotNull, sL === 0 || sL % lit(d) === 0)
           .when(sD.isNotNull, fracOkOf(sD))
           .otherwise(lit(true))
@@ -665,7 +665,7 @@ object Compiler {
           ptr, lit(Messages.multipleOfInt(d)), "multipleOf")
 
       case MultipleOfDoubleC(d) =>
-        val dv = when(vNum, asD).when(vStr, asS.try_cast(DoubleType))
+        val dv = when(vNum, asD).when(vStr, weakDouble(asS))
         if (d == 0.0) leaf(b(v.isNull || dv.isNull || dv === 0.0), ptr,
           lit(Messages.multipleOfDouble(d)), "multipleOf")
         else {
@@ -715,8 +715,14 @@ object Compiler {
     * validation_visitor.hpp:632,749). */
   private def numericTarget(value: Column, dt: DataType, opts: CompileOptions): Option[Column] =
     if (isNumeric(dt)) Some(value.cast(DoubleType))
-    else if (!opts.strictTypes && isStringLike(dt)) Some(value.try_cast(DoubleType))
+    else if (!opts.strictTypes && isStringLike(dt)) Some(weakDouble(value))
     else None
+
+  // weak-mode numeric-string parses, identical across ALL paths (see
+  // graft.functions.WeakNum — try_cast would trim whitespace / accept
+  // Infinity & NaN and diverge from the native walker)
+  private def weakDouble(s: Column): Column = graft.functions.WeakNum2Col.double(s)
+  private def weakLong(s: Column): Column = graft.functions.WeakNum2Col.long(s)
 
   /** Unanchored regex search: the codegen'd built-in `rlike` for the
     * default JDK engine, or a [[graft.functions.RegexSearchExpr]] wrapping

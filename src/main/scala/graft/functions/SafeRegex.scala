@@ -79,10 +79,22 @@ final class ThompsonRegex(pattern: String) extends Serializable {
   private def parseRep(): Node = {
     var a = parseAtom()
     var cont = true
+    var quantified = false
+    def post(): Unit = {
+      // after a quantifier: '?' (reluctant) is a no-op for existence-of-match
+      // search; '+' (possessive) changes match semantics vs the JDK and a
+      // second greedy quantifier is JDK-invalid — both must fail loudly
+      if (more && peek == '?') pos += 1
+      else if (more && (peek == '+' || peek == '*'))
+        fail("possessive / stacked quantifiers not supported")
+      quantified = true
+    }
     while (more && cont) peek match {
-      case '*' => pos += 1; a = Star(a)
-      case '+' => pos += 1; a = Plus(a)
-      case '?' => pos += 1; a = Opt(a)
+      case '*' if quantified => fail("stacked quantifiers not supported")
+      case '+' if quantified => fail("possessive / stacked quantifiers not supported")
+      case '*' => pos += 1; a = Star(a); post()
+      case '+' => pos += 1; a = Plus(a); post()
+      case '?' => pos += 1; a = Opt(a); post()
       case '{' =>
         val close = pattern.indexOf('}', pos)
         if (close < 0) fail("unclosed {")
@@ -97,6 +109,7 @@ final class ThompsonRegex(pattern: String) extends Serializable {
         if (min > 512 || max.exists(_ > 512)) fail("repetition bound too large (>512)")
         if (max.exists(_ < min)) fail(s"bad repetition {$body}")
         pos = close + 1
+        if (quantified) fail("stacked quantifiers not supported")
         val base = a
         var n: Node = Empty
         for (_ <- 0 until min) n = if (n == Empty) base else Cat(n, base)
@@ -106,6 +119,7 @@ final class ThompsonRegex(pattern: String) extends Serializable {
             for (_ <- min until mx) n = if (n == Empty) Opt(base) else Cat(n, Opt(base))
         }
         a = n
+        post()
       case _ => cont = false
     }
     a
@@ -238,18 +252,22 @@ final class ThompsonRegex(pattern: String) extends Serializable {
     var matched = false
     val len = input.length
 
+    // reusable closure stack: splits can push 2 per state, bounded by 2n
+    val stack = new Array[Int](2 * n + 2)
     def add(list: Array[Int], lenRef: Int, pc: Int, at: Int, gen: Int): Int = {
       var l = lenRef
-      val stack = mutable.ArrayBuffer[Int](pc)
-      while (stack.nonEmpty) {
-        val p = stack.remove(stack.length - 1)
+      var sp = 0
+      stack(sp) = pc; sp += 1
+      while (sp > 0) {
+        sp -= 1
+        val p = stack(sp)
         if (mark(p) != gen) {
           mark(p) = gen
           prog(p) match {
-            case ISplit(a, b) => stack += a; stack += b
-            case IJmp(t)      => stack += t
-            case IStart       => if (at == 0) stack += (p + 1)
-            case IEnd         => if (at == len) stack += (p + 1)
+            case ISplit(a, b) => stack(sp) = a; sp += 1; stack(sp) = b; sp += 1
+            case IJmp(t)      => stack(sp) = t; sp += 1
+            case IStart       => if (at == 0) { stack(sp) = p + 1; sp += 1 }
+            case IEnd         => if (at == len) { stack(sp) = p + 1; sp += 1 }
             case IMatch       => matched = true
             case _: IChar     => list(l) = p; l += 1
           }

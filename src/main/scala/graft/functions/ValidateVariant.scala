@@ -202,14 +202,10 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
 
   // --- kWeakTypes maybe/as conversions (basic_adapter.hpp:335-547,762-880)
 
-  /** Full-string double parse (internal/double_parser.hpp analog; no
-    * whitespace, no Java 'd'/'f' suffixes). */
-  private def parseD(s: String): Option[Double] =
-    if (s.isEmpty || !s.forall(c => (c >= '0' && c <= '9') || "+-.eE".indexOf(c) >= 0)) None
-    else try Some(java.lang.Double.parseDouble(s)) catch { case _: NumberFormatException => None }
-  /** Full-string int64 parse (istringstream >> int64 analog). */
-  private def parseL(s: String): Option[Long] =
-    try Some(java.lang.Long.parseLong(s)) catch { case _: NumberFormatException => None }
+  // full-string numeric parses shared with the Catalyst paths (WeakNum is
+  // the single source of truth so all three paths accept identical strings)
+  private def parseD(s: String): Option[Double] = Option(WeakNum.parseDouble(s)).map(_.doubleValue())
+  private def parseL(s: String): Option[Long] = Option(WeakNum.parseLong(s)).map(_.longValue())
 
   private def maybeString(v: Variant): Boolean =
     isString(v) || isBool(v) || isNumber(v) ||
@@ -776,8 +772,6 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
         s"CustomC(${cc.name}) is Column-based; not usable in the variant validator")
   }
 
-  private[functions] def validateStringValue(s: SchemaSpec, str: String): Boolean =
-    validateSchema(s, VariantValidator.stringVariant(str), "", None)
 }
 
 /** Format checks (VV:388-513 + helpers 2024-2080), JVM-side port. All

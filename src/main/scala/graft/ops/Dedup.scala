@@ -113,7 +113,16 @@ object Dedup {
     * filter at half the threshold). With banding tuned for recall at the
     * threshold this equals the exact near-dup pair set — independently
     * checkable in SQL — while doing O(candidates) verification work
-    * instead of all pairs. */
+    * instead of all pairs.
+    *
+    * COVERAGE BOUNDS (not silent): (1) banding recall — at bands=8/rows=4 a
+    * pair at exactly J=0.5 collides with p≈0.4 but a near-dup at J>=0.9
+    * with p≈0.9998; choose bands for the corpus's similarity gap (the
+    * driver corpus is bimodal: >=0.9 or <0.2). (2) `maxBucketSize` drops
+    * over-full band buckets before the self-join — clusters with more than
+    * `maxBucketSize` near-identical members lose pairs; audit with
+    * [[overfullBuckets]] or raise the cap when exactness matters more than
+    * the O(bucket²) join cost. */
   def minhashNearDupsVerified(df: DataFrame, idCol: String, textCol: String,
                               numHashes: Int = 32, bands: Int = 8,
                               jaccardThreshold: Double = 0.5,

@@ -69,8 +69,17 @@ object SpecParser {
     private val idIndex = mutable.Map[String, (String, JsonNode, String)]()
     /** Subschema registry, keyed by (docKey, node path). */
     private val memo = mutable.Map[(String, String), SchemaSpec]()
-    private val building = mutable.Set[(String, String)]()
+    /** Locations currently being built → document-descent depth at entry. */
+    private val building = mutable.Map[(String, String), Int]()
     private val placeholders = mutable.Map[(String, String), RefSchema]()
+    /** Number of value-descending keyword edges (properties/items/contains/
+      * propertyNames/…) on the current build stack. A $ref cycle is only
+      * evaluable if every loop passes through at least one descending edge —
+      * then each iteration consumes document depth and terminates on finite
+      * documents. Combinator-only cycles (anyOf/not/allOf re-entering the
+      * same location at the same depth) would recurse forever on the SAME
+      * value, so they are rejected at parse. */
+    private var descentDepth = 0
 
     private def idOf(n: JsonNode): Option[String] =
       (Option(n.get("$id")) orElse Option(n.get("id"))).filter(_.isTextual).map(_.asText())
@@ -106,16 +115,23 @@ object SpecParser {
       }
     }
 
-    private def resolvePointer(docKey: String, root: JsonNode, ptr: String): JsonNode = {
+    /** Walk a JSON Pointer, tracking `$id` scopes declared on intermediate
+      * nodes along the path (a relative $ref inside the pointed-to subtree
+      * must resolve against the innermost enclosing $id, not the caller's
+      * scope). Returns (target node, its resolution scope). */
+    private def resolvePointer(docKey: String, root: JsonNode, ptr: String,
+                               rootScope: String): (JsonNode, String) = {
       var node = root
+      var scope = idOf(root).map(resolveUri(rootScope, _)).getOrElse(rootScope)
       if (ptr.nonEmpty) ptr.split("/").drop(1).foreach { raw =>
         val seg = raw.replace("~1", "/").replace("~0", "~")
         node = if (node != null && node.isArray) node.get(seg.toInt)
                else if (node != null) node.get(seg) else null
         if (node == null)
           throw new IllegalArgumentException(s"unresolvable JSON Pointer in $$ref: $docKey#$ptr")
+        if (node.isObject) scope = idOf(node).map(resolveUri(scope, _)).getOrElse(scope)
       }
-      node
+      (node, scope)
     }
 
     def rootSpec(): SchemaSpec = {
@@ -131,10 +147,15 @@ object SpecParser {
       val key = (docKey, path)
       memo.get(key) match {
         case Some(s) => s
-        case None if building(key) =>
+        case None if building.contains(key) =>
+          if (descentDepth == building(key))
+            throw new IllegalArgumentException(
+              s"unguarded $$ref cycle at '$docKey#$path': the loop passes through no " +
+                "value-descending keyword (properties/items/contains/…), so evaluation " +
+                "would recurse forever on the same value")
           placeholders.getOrElseUpdate(key, new RefSchema(s"$docKey#$path"))
         case None =>
-          building += key
+          building(key) = descentDepth
           val s =
             try build(docKey, node, path, scope)
             finally building -= key
@@ -161,30 +182,38 @@ object SpecParser {
       val (uriPart, frag) =
         if (hashIdx < 0) (ref, "") else (ref.substring(0, hashIdx), ref.substring(hashIdx + 1))
 
-      if (uriPart.isEmpty) {
+      /** Pointer or plain-name-anchor fragment within a resolved document/
+        * subschema. */
+      def within(dk: String, base: JsonNode, baseScope: String, pathPrefix: String): SchemaSpec =
         if (frag.isEmpty || frag.startsWith("/")) {
-          // same-document pointer
-          val target = resolvePointer(docKey, docs(docKey), frag)
-          schemaFor(docKey, target, frag, scope)
+          val (target, targetScope) = resolvePointer(dk, base, frag, baseScope)
+          schemaFor(dk, target, s"$pathPrefix$frag", targetScope)
         } else {
-          // plain-name fragment: $id anchor resolved against the scope
-          val abs = resolveUri(scope, "#" + frag)
+          // plain-name fragment: $id anchor resolved against the TARGET
+          // document's scope
+          val abs = resolveUri(baseScope, "#" + frag)
           idIndex.get(abs) match {
-            case Some((dk, node, sc)) => schemaFor(dk, node, s"id:$abs", sc)
-            case None => throw new IllegalArgumentException(s"unresolvable $$ref anchor: #$frag")
+            case Some((adk, anode, asc)) => schemaFor(adk, anode, s"id:$abs", asc)
+            case None => throw new IllegalArgumentException(
+              s"unresolvable $$ref anchor '#$frag' in '$dk'")
           }
         }
+
+      if (uriPart.isEmpty) {
+        // a same-document POINTER is relative to the document root, so the
+        // scope walk starts from the ROOT's scope; a plain-name anchor
+        // resolves against the CURRENT scope
+        val baseUri = if (docKey == "") "" else docKey
+        val docScope = idOf(docs(docKey)).map(resolveUri(baseUri, _)).getOrElse(baseUri)
+        within(docKey, docs(docKey), if (frag.startsWith("/")) docScope else scope, "")
       } else {
         val abs = resolveUri(scope, uriPart)
         idIndex.get(abs) match {
-          case Some((dk, node, sc)) =>
-            val target = resolvePointer(dk, node, frag)
-            schemaFor(dk, target, s"id:$abs$frag", sc)
+          case Some((dk, node, sc)) => within(dk, node, sc, s"id:$abs")
           case None =>
             val doc = loadDoc(abs)
             val docScope = idOf(doc).map(resolveUri(abs, _)).getOrElse(abs)
-            val target = resolvePointer(abs, doc, frag)
-            schemaFor(abs, target, frag, docScope)
+            within(abs, doc, docScope, "")
         }
       }
     }
@@ -204,6 +233,12 @@ object SpecParser {
       val cs = mutable.ArrayBuffer[Constraint]()
       def sub(name: String): Option[JsonNode] = Option(node.get(name))
       def childSchema(n: JsonNode, p: String): SchemaSpec = schemaFor(docKey, n, p, scope)
+      // descending variant: the subschema applies to a strictly smaller
+      // piece of the document (property value / array element / key string)
+      def childDescend(n: JsonNode, p: String): SchemaSpec = {
+        descentDepth += 1
+        try schemaFor(docKey, n, p, scope) finally descentDepth -= 1
+      }
 
       // type — first (SP:825-831)
       sub("type").foreach { t =>
@@ -231,7 +266,7 @@ object SpecParser {
           childSchema(s, s"$path/anyOf/$i") }.toVector)
       }
       sub("const").foreach { c => cs += ConstC(jsonValue(c)) }
-      sub("contains").foreach { c => cs += ContainsC(childSchema(c, s"$path/contains")) }
+      sub("contains").foreach { c => cs += ContainsC(childDescend(c, s"$path/contains")) }
       sub("dependencies").foreach { d =>
         val propDeps = mutable.ArrayBuffer[(String, Vector[String])]()
         val schemaDeps = mutable.ArrayBuffer[(String, SchemaSpec)]()
@@ -278,14 +313,14 @@ object SpecParser {
       sub("items").foreach { it =>
         if (it.isArray) {
           val items = it.elements().asScala.zipWithIndex.map { case (s, i) =>
-            childSchema(s, s"$path/items/$i") }.toVector
+            childDescend(s, s"$path/items/$i") }.toVector
           val add = sub("additionalItems").map {
             case bnode if bnode.isBoolean =>
               if (bnode.asBoolean()) Some(TrueSchema) else None
-            case onode => Some(childSchema(onode, s"$path/additionalItems"))
+            case onode => Some(childDescend(onode, s"$path/additionalItems"))
           }.getOrElse(Some(TrueSchema)) // absent ⇒ empty schema (allow)
           cs += TupleItemsC(items, add)
-        } else cs += ItemsC(childSchema(it, s"$path/items"))
+        } else cs += ItemsC(childDescend(it, s"$path/items"))
       }
       // if/then/else (SP:946-963, draft7)
       sub("if").foreach { ifn =>
@@ -330,19 +365,19 @@ object SpecParser {
       // properties / patternProperties / additionalProperties (SP:1086-1107)
       if (node.has("properties") || node.has("patternProperties") || node.has("additionalProperties")) {
         val props = sub("properties").map(_.properties().asScala.map { e =>
-          e.getKey -> childSchema(e.getValue, s"$path/properties/${e.getKey}")
+          e.getKey -> childDescend(e.getValue, s"$path/properties/${e.getKey}")
         }.toVector).getOrElse(Vector.empty)
         val patProps = sub("patternProperties").map(_.properties().asScala.map { e =>
-          e.getKey -> childSchema(e.getValue, s"$path/patternProperties/${e.getKey}")
+          e.getKey -> childDescend(e.getValue, s"$path/patternProperties/${e.getKey}")
         }.toVector).getOrElse(Vector.empty)
         val add: Option[SchemaSpec] = sub("additionalProperties") match {
           case Some(bn) if bn.isBoolean => if (bn.asBoolean()) Some(TrueSchema) else None
-          case Some(on)                 => Some(childSchema(on, s"$path/additionalProperties"))
+          case Some(on)                 => Some(childDescend(on, s"$path/additionalProperties"))
           case None                     => Some(TrueSchema) // absent ⇒ empty schema (SP:2425-2429)
         }
         cs += PropertiesC(props, patProps, add)
       }
-      sub("propertyNames").foreach { p => cs += PropertyNamesC(childSchema(p, s"$path/propertyNames")) }
+      sub("propertyNames").foreach { p => cs += PropertyNamesC(childDescend(p, s"$path/propertyNames")) }
       sub("required").foreach { r => cs += RequiredC(r.elements().asScala.map(_.asText()).toVector) }
       sub("uniqueItems").foreach { u => if (u.asBoolean()) cs += UniqueItemsC }
 

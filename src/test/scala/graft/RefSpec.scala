@@ -114,12 +114,59 @@ class RefSpec extends SparkTestBase {
              "bar": {"$ref": "#/properties/baz"},
              "baz": {"$ref": "#/properties/foo"}}}""")
     }
-    e.getMessage should include("circular")
+    e.getMessage should (include("circular") or include("cycle"))
     // root self-reference (reference issue #200 currently crashes there;
     // we reject cleanly)
     intercept[IllegalArgumentException] {
       SpecParser.parse("""{"$ref": "#"}""")
-    }.getMessage should include("circular")
+    }.getMessage should (include("circular") or include("cycle"))
+  }
+
+  test("cross-document plain-name anchors resolve to the anchored subschema, not the doc root") {
+    val external = Map(
+      "http://y.test/defs.json" ->
+        """{"definitions": {"t": {"$id": "#tiny", "type": "string", "maxLength": 3}}}""")
+    val spec = SpecParser.parse(
+      """{"properties": {"s": {"$ref": "http://y.test/defs.json#tiny"}}}""", external)
+    nativePass(spec, Seq("""{"s": "ab"}""", """{"s": "abcd"}""")) shouldBe Seq(true, false)
+    // unknown anchor errors instead of silently matching the document root
+    intercept[IllegalArgumentException] {
+      SpecParser.parse(
+        """{"$ref": "http://y.test/defs.json#nope"}""", external)
+    }.getMessage should include("anchor")
+  }
+
+  test("combinator-only $ref cycles (no document descent) are rejected at parse") {
+    // {"anyOf":[{"$ref":"#"}]} would re-enter the same schema with the SAME
+    // value and recurse forever; the descent-depth guard rejects it
+    for (schema <- Seq(
+        """{"anyOf": [{"$ref": "#"}]}""",
+        """{"not": {"$ref": "#"}}""",
+        """{"allOf": [{"type": "object"}, {"$ref": "#"}]}""",
+        """{"dependencies": {"a": {"$ref": "#"}}}""")) {
+      withClue(schema) {
+        intercept[IllegalArgumentException] {
+          SpecParser.parse(schema)
+        }.getMessage should (include("cycle") or include("circular"))
+      }
+    }
+    // but a cycle guarded by a descending keyword inside a combinator is fine
+    val ok = SpecParser.parse(
+      """{"anyOf": [{"type": "integer"},
+                    {"type": "object", "properties": {"next": {"$ref": "#"}}}]}""")
+    nativePass(ok, Seq("""{"next": {"next": 3}}""", """{"next": {"next": "s"}}""")) shouldBe
+      Seq(true, false)
+  }
+
+  test("intermediate $id scopes along a $ref pointer path govern nested relative refs") {
+    val external = Map(
+      "http://a.test/rel.json" -> """{"type": "integer", "minimum": 0}""")
+    val spec = SpecParser.parse(
+      """{"$ref": "#/definitions/outer/inner",
+          "definitions": {
+            "outer": {"$id": "http://a.test/outer.json",
+                      "inner": {"$ref": "rel.json"}}}}""", external)
+    nativePass(spec, Seq("3", "-1", "\"s\"")) shouldBe Seq(true, false, false)
   }
 
   test("DAG reuse (non-cyclic shared $ref) still compiles on the Catalyst paths") {

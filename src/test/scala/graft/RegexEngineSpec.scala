@@ -52,6 +52,17 @@ class RegexEngineSpec extends SparkTestBase {
     intercept[java.util.regex.PatternSyntaxException] {
       ThompsonRegexEngine.search("a(?=b)", "ab") // lookahead
     }
+    // possessive quantifiers change match EXISTENCE vs the JDK engine:
+    // java "a*+a" never matches "aaa"; they must fail, not silently stack
+    intercept[java.util.regex.PatternSyntaxException] {
+      ThompsonRegexEngine.search("a*+a", "aaa")
+    }
+    intercept[java.util.regex.PatternSyntaxException] {
+      ThompsonRegexEngine.search("a**", "aaa") // JDK-invalid stacking
+    }
+    // reluctant quantifiers are a no-op for existence-of-match search
+    ThompsonRegexEngine.search("a+?b", "aab") shouldBe true
+    ThompsonRegexEngine.search("a{2,3}?x", "aax") shouldBe true
   }
 
   test("pattern constraints evaluate through the configured engine on all paths") {

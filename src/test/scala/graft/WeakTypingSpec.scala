@@ -109,7 +109,10 @@ class WeakTypingSpec extends SparkTestBase {
       ("""{"type":"number"}""", Seq("\"12.5\"", "\"x\"", "true")),
       ("""{"type":"boolean"}""", Seq("\"true\"", "\"TRUE\"", "false")),
       ("""{"type":"null"}""", Seq("\"\"", "\"x\"", "null")),
-      ("""{"minimum":0,"maximum":10}""", Seq("\"5\"", "\"50\"", "\"abc\"", "5", "50")),
+      // " 5", Infinity, NaN, "+5": whitespace and special floats must be
+      // treated identically by every path (WeakNum is the shared parser)
+      ("""{"minimum":0,"maximum":10}""",
+       Seq("\"5\"", "\"50\"", "\"abc\"", "5", "50", "\" 5\"", "\"Infinity\"", "\"NaN\"", "\"+5\"")),
       ("""{"multipleOf":3}""", Seq("\"9\"", "\"10\"", "\"x\"", "9", "10")),
       ("""{"minLength":4}""", Seq("1234", "123", "\"abcd\"", "true")),
       ("""{"pattern":"^12"}""", Seq("1234", "34", "\"129\"")))
