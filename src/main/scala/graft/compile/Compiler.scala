@@ -727,11 +727,15 @@ object Compiler {
   /** Unanchored regex search: the codegen'd built-in `rlike` for the
     * default JDK engine, or a [[graft.functions.RegexSearchExpr]] wrapping
     * the configured engine (e.g. the linear-time Thompson NFA) otherwise. */
-  private def regexSearch(s: Column, pat: String, opts: CompileOptions): Column =
+  private def regexSearch(s: Column, pat: String, opts: CompileOptions): Column = {
+    // fail fast on the driver: an invalid pattern aborts compilation here
+    // instead of throwing per-task inside rlike / the engine at runtime
+    opts.regexEngine.compile(pat)
     if (opts.regexEngine eq graft.functions.JavaRegexEngine) s.rlike(pat)
     else org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.RegexSearchExpr(
         org.apache.spark.sql.GraftSqlBridge.expression(s), pat, opts.regexEngine))
+  }
 
   /** The string view of a value for length/pattern checks. Weak mode
     * renders bools as true/false and numbers via C++ std::to_string

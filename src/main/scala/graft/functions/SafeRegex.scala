@@ -14,6 +14,10 @@ import scala.collection.mutable
   */
 trait RegexEngine extends Serializable {
   def search(pattern: String, input: String): Boolean
+  /** Eagerly compile (and cache) a pattern so an invalid/unsupported schema
+    * pattern fails at PLAN time on the driver with a clear error, instead of
+    * surfacing as a per-task exception on executors mid-job. */
+  def compile(pattern: String): Unit = ()
 }
 
 /** Default engine: JDK regex (full dialect, backtracking), with a
@@ -21,9 +25,11 @@ trait RegexEngine extends Serializable {
 object JavaRegexEngine extends RegexEngine {
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
-  override def search(pattern: String, input: String): Boolean =
+  private def compiled(pattern: String): java.util.regex.Pattern =
     cache.computeIfAbsent(pattern, java.util.regex.Pattern.compile(_))
-      .matcher(input).find()
+  override def compile(pattern: String): Unit = compiled(pattern)
+  override def search(pattern: String, input: String): Boolean =
+    compiled(pattern).matcher(input).find()
 }
 
 /** Thompson-NFA engine: O(|pattern| x |input|) worst case — immune to the
@@ -37,8 +43,11 @@ object JavaRegexEngine extends RegexEngine {
 object ThompsonRegexEngine extends RegexEngine {
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, ThompsonRegex]()
+  private def compiled(pattern: String): ThompsonRegex =
+    cache.computeIfAbsent(pattern, new ThompsonRegex(_))
+  override def compile(pattern: String): Unit = compiled(pattern)
   override def search(pattern: String, input: String): Boolean =
-    cache.computeIfAbsent(pattern, new ThompsonRegex(_)).search(input)
+    compiled(pattern).search(input)
 }
 
 final class ThompsonRegex(pattern: String) extends Serializable {
@@ -146,19 +155,30 @@ final class ThompsonRegex(pattern: String) extends Serializable {
       case '\\' => pos += 1; Chr(parseEscape())
       case ')' | '|' => Empty
       case '*' | '+' | '?' => fail(s"dangling quantifier at $pos")
+      case '{' => fail(s"illegal repetition at $pos") // JDK: '{' with no preceding atom
       case c => pos += 1; Chr(_ == c)
     }
   }
   private def parseEscape(): Char => Boolean = {
     if (!more) fail("trailing backslash")
     val c = peek; pos += 1
+    // ASCII-only predicate classes, byte-matching the JDK defaults (no
+    // UNICODE_CHARACTER_CLASS): \d=[0-9], \w=[a-zA-Z0-9_], \s=[ \t\n\x0B\f\r].
+    // Character.isDigit / isWhitespace would accept non-ASCII code points the
+    // JDK engine (and the codegen'd rlike path) reject — the two engines must
+    // agree on every input.
+    def asciiDigit(ch: Char): Boolean = ch >= '0' && ch <= '9'
+    def asciiWord(ch: Char): Boolean =
+      (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') || asciiDigit(ch) || ch == '_'
+    def asciiSpace(ch: Char): Boolean =
+      ch == ' ' || ch == '\t' || ch == '\n' || ch == 11.toChar || ch == '\f' || ch == '\r'
     c match {
-      case 'd' => _.isDigit
-      case 'D' => !_.isDigit
-      case 'w' => ch => ch.isLetterOrDigit || ch == '_'
-      case 'W' => ch => !(ch.isLetterOrDigit || ch == '_')
-      case 's' => _.isWhitespace
-      case 'S' => !_.isWhitespace
+      case 'd' => asciiDigit
+      case 'D' => ch => !asciiDigit(ch)
+      case 'w' => asciiWord
+      case 'W' => ch => !asciiWord(ch)
+      case 's' => asciiSpace
+      case 'S' => ch => !asciiSpace(ch)
       case 'n' => _ == '\n'
       case 'r' => _ == '\r'
       case 't' => _ == '\t'
@@ -316,6 +336,11 @@ case class RegexSearchExpr(child: org.apache.spark.sql.catalyst.expressions.Expr
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"regex_search requires a string input, got ${child.dataType}")
+
+  // fail-fast: compile (and cache) the pattern at expression-construction
+  // time on the driver, so an unsupported pattern aborts planning with a
+  // PatternSyntaxException instead of failing every task at runtime
+  engine.compile(pattern)
 
   override def nullSafeEval(input: Any): Any =
     engine.search(pattern, input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)

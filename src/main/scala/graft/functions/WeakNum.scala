@@ -9,18 +9,52 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Weak-mode full-string numeric parses — the SINGLE source of truth shared
   * by the native walker and both Catalyst paths. `try_cast` would trim
-  * whitespace and accept Infinity/NaN, silently diverging from the
-  * reference's parsers (`internal/double_parser.hpp` from_chars;
-  * istringstream int64), so every path routes through these instead.
+  * whitespace and silently diverge from the reference's parsers, so every
+  * path routes through these instead.
+  *
+  * Token grammar: C++17 `std::from_chars` semantics, the reference's
+  * PREFERRED implementation (`internal/double_parser.hpp:50-60`; integer
+  * parse analog) applied uniformly to both numeric types:
+  *   - no leading/trailing whitespace, no leading '+';
+  *   - double: `-?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?`, plus the
+  *     from_chars specials `inf`/`infinity`/`nan` (case-insensitive,
+  *     optionally '-'-prefixed);
+  *   - int64: `-?[0-9]+`, overflow ⇒ unparseable (result_out_of_range).
+  *
+  * Documented divergence from the reference's FALLBACK paths only: the
+  * istringstream int64 path (`basic_adapter.hpp:413,819`) and istringstream
+  * double fallback accept leading whitespace and a leading '+' — we follow
+  * from_chars on every platform instead of replicating that
+  * platform-conditional laxness.
+  *
   * Returns null boxes when unparseable (= constraint not applicable). */
 object WeakNum {
 
-  def parseDouble(s: String): java.lang.Double =
-    if (s.isEmpty || !s.forall(c => (c >= '0' && c <= '9') || "+-.eE".indexOf(c) >= 0)) null
-    else try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
+  private val DoubleToken =
+    java.util.regex.Pattern.compile("-?(?:[0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?")
+  private val InfNanToken =
+    java.util.regex.Pattern.compile("(-?)(?i:(inf(?:inity)?)|nan)")
 
-  def parseLong(s: String): java.lang.Long =
+  def parseDouble(s: String): java.lang.Double = {
+    if (s.isEmpty) return null
+    if (DoubleToken.matcher(s).matches())
+      return try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
+    val m = InfNanToken.matcher(s)
+    if (m.matches()) {
+      if (m.group(2) == null) java.lang.Double.valueOf(Double.NaN) // ±nan is still NaN
+      else java.lang.Double.valueOf(
+        if (m.group(1) == "-") Double.NegativeInfinity else Double.PositiveInfinity)
+    } else null
+  }
+
+  def parseLong(s: String): java.lang.Long = {
+    val start = if (s.nonEmpty && s.charAt(0) == '-') 1 else 0
+    if (s.length == start) return null
+    var i = start
+    while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+    if (i != s.length) return null
     try java.lang.Long.valueOf(s) catch { case _: NumberFormatException => null }
+  }
 }
 
 /** Nullable strict-parse expressions (weak-mode only, CodegenFallback is

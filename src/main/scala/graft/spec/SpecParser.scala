@@ -63,6 +63,13 @@ object SpecParser {
 
   private final class Parser(rootNode: JsonNode, externalDocs: Map[String, String]) {
 
+    /** JSON Pointer token escaping for memo/cycle keys built from property
+      * names — mirrors the reference's `escapeJsonPointerToken` on child
+      * paths (schema_parser.hpp:1690-1691). Without it a property literally
+      * named `a~1b` and a `$ref` to a property named `a/b` would collide on
+      * the same (docKey, path) key. */
+    private def esc(s: String): String = graft.compile.Messages.escapePointerSegment(s)
+
     /** Loaded documents: docKey ("" = root, else absolute URI) → root node. */
     private val docs = mutable.Map[String, JsonNode]()
     /** `$id` registry: absolute id URI → (docKey, node, scope). */
@@ -143,7 +150,8 @@ object SpecParser {
 
     /** makeOrReuseSchema analog: memoize by (docKey, path); re-entry while
       * building = cycle → RefSchema placeholder, knot-tied on completion. */
-    private def schemaFor(docKey: String, node: JsonNode, path: String, scope: String): SchemaSpec = {
+    private def schemaFor(docKey: String, node: JsonNode, path: String, scope: String,
+                          selfReqOk: Boolean = false): SchemaSpec = {
       val key = (docKey, path)
       memo.get(key) match {
         case Some(s) => s
@@ -157,7 +165,7 @@ object SpecParser {
         case None =>
           building(key) = descentDepth
           val s =
-            try build(docKey, node, path, scope)
+            try build(docKey, node, path, scope, selfReqOk)
             finally building -= key
           // A pure $ref cycle with NO schema content resolves to its own
           // placeholder (e.g. foo→bar→baz→foo, or a root "$ref":"#"):
@@ -218,7 +226,8 @@ object SpecParser {
       }
     }
 
-    private def build(docKey: String, node: JsonNode, path: String, outerScope: String): SchemaSpec = {
+    private def build(docKey: String, node: JsonNode, path: String, outerScope: String,
+                      selfReqOk: Boolean = false): SchemaSpec = {
       if (node.isBoolean) return if (node.asBoolean()) TrueSchema else FalseSchema
       if (!node.isObject)
         throw new IllegalArgumentException(s"schema at $docKey#$path must be an object or boolean")
@@ -235,9 +244,9 @@ object SpecParser {
       def childSchema(n: JsonNode, p: String): SchemaSpec = schemaFor(docKey, n, p, scope)
       // descending variant: the subschema applies to a strictly smaller
       // piece of the document (property value / array element / key string)
-      def childDescend(n: JsonNode, p: String): SchemaSpec = {
+      def childDescend(n: JsonNode, p: String, selfReqOk: Boolean = false): SchemaSpec = {
         descentDepth += 1
-        try schemaFor(docKey, n, p, scope) finally descentDepth -= 1
+        try schemaFor(docKey, n, p, scope, selfReqOk) finally descentDepth -= 1
       }
 
       // type — first (SP:825-831)
@@ -273,7 +282,9 @@ object SpecParser {
         d.properties().asScala.foreach { e =>
           val (k, v) = (e.getKey, e.getValue)
           if (v.isArray) propDeps += k -> v.elements().asScala.map(_.asText()).toVector
-          else schemaDeps += k -> childSchema(v, s"$path/dependencies/$k")
+          // draft-3: a single string names one dependent property (SP:1701-1703)
+          else if (v.isTextual) propDeps += k -> Vector(v.asText())
+          else schemaDeps += k -> childSchema(v, s"$path/dependencies/${esc(k)}")
         }
         cs += DependenciesC(propDeps.toVector, schemaDeps.toVector)
       }
@@ -365,10 +376,20 @@ object SpecParser {
       // properties / patternProperties / additionalProperties (SP:1086-1107)
       if (node.has("properties") || node.has("patternProperties") || node.has("additionalProperties")) {
         val props = sub("properties").map(_.properties().asScala.map { e =>
-          e.getKey -> childDescend(e.getValue, s"$path/properties/${e.getKey}")
+          // draft-3 self-required: `"required": true` INSIDE a property
+          // subschema adds that property to the ENCLOSING object's required
+          // set (makeRequiredConstraintForSelf, schema_parser.hpp:1120-1134,
+          // 2452-2480) — one single-name constraint per property, added to
+          // the parent during the child's parse, i.e. before PropertiesC.
+          // (A self-required reached only through $ref is not propagated —
+          // the reference threads parentSubschema through ref resolution;
+          // draft-3 + $ref + self-required is not exercised by its suite.)
+          val selfReq = Option(e.getValue.get("required")).exists(r => r.isBoolean && r.asBoolean())
+          if (selfReq) cs += RequiredC(Vector(e.getKey))
+          e.getKey -> childDescend(e.getValue, s"$path/properties/${esc(e.getKey)}", selfReqOk = true)
         }.toVector).getOrElse(Vector.empty)
         val patProps = sub("patternProperties").map(_.properties().asScala.map { e =>
-          e.getKey -> childDescend(e.getValue, s"$path/patternProperties/${e.getKey}")
+          e.getKey -> childDescend(e.getValue, s"$path/patternProperties/${esc(e.getKey)}")
         }.toVector).getOrElse(Vector.empty)
         val add: Option[SchemaSpec] = sub("additionalProperties") match {
           case Some(bn) if bn.isBoolean => if (bn.asBoolean()) Some(TrueSchema) else None
@@ -378,7 +399,16 @@ object SpecParser {
         cs += PropertiesC(props, patProps, add)
       }
       sub("propertyNames").foreach { p => cs += PropertyNamesC(childDescend(p, s"$path/propertyNames")) }
-      sub("required").foreach { r => cs += RequiredC(r.elements().asScala.map(_.asText()).toVector) }
+      sub("required").foreach { r =>
+        if (r.isBoolean) {
+          // draft-3 self-required: consumed by the ENCLOSING object's
+          // properties parse (see above); not a constraint on this schema.
+          // Anywhere else the reference rejects it (schema_parser.hpp:1127).
+          if (!selfReqOk) throw new IllegalArgumentException(
+            "'required' boolean (draft-3 self-required) is only valid inside a " +
+              "property subschema (schema_parser.hpp:1120-1134)")
+        } else cs += RequiredC(r.elements().asScala.map(_.asText()).toVector)
+      }
       sub("uniqueItems").foreach { u => if (u.asBoolean()) cs += UniqueItemsC }
 
       ConstraintSchema(cs.toVector,

@@ -14,7 +14,13 @@ class RegexEngineSpec extends SparkTestBase {
     "^c[0-9]{10}$", "^tool_[0-9]{2}$", "Brand#1[0-9]", "abc", "a.c",
     "^(foo|bar)+$", "x*y+z?", "[^aeiou]{3}", "\\d+\\.\\d+", "\\w+@\\w+",
     "^\\s*$", "(?:ab){2,4}c", "colou?r", "^[A-Z][a-z]*( [A-Z][a-z]*)*$",
-    "t[ae]st", "\\$\\{[a-z_]+\\}", "a{3}", "a{2,}b")
+    "t[ae]st", "\\$\\{[a-z_]+\\}", "a{3}", "a{2,}b",
+    // JDK \d \w \s are ASCII-only by default (no UNICODE_CHARACTER_CLASS);
+    // non-ASCII digits/letters/spaces must behave identically on both engines
+    "^\\d+$", "^\\w+$", "\\s", "\\D", "\\W+", "^\\S+$",
+    // JDK-valid class edge forms: ']' first in a class; range-like '-' after
+    // an escape class parses as a literal '-'
+    "[]]", "[^]]", "[\\d-x]")
 
   private val inputs = Seq(
     "c0000000042", "c00000000", "tool_07", "tool_7", "Brand#13", "Brand#23",
@@ -22,7 +28,11 @@ class RegexEngineSpec extends SparkTestBase {
     "bcd", "aei", "3.14", "12.", "user@host", "@host", "", "   ", " x ",
     "ababc", "ababababc", "abc2", "color", "colour", "colr",
     "Hello World", "Hello world", "test", "tast", "tist", "${var_name}",
-    "aaa", "aa", "aaab", "ab", "AAAB")
+    "aaa", "aa", "aaab", "ab", "AAAB",
+    // non-ASCII probes: Arabic-Indic digits, NBSP, accented letters, CJK,
+    // fullwidth digit, plus class-edge probes ']' and '-'
+    "٠١٢", "x\u00a0y", "äöü", "日本語1",
+    "１２", "a\u2003b", "]", "-", "2-x", "]]")
 
   test("Thompson NFA agrees with the JDK engine across the battery") {
     for (p <- patterns; s <- inputs) {
@@ -63,6 +73,31 @@ class RegexEngineSpec extends SparkTestBase {
     // reluctant quantifiers are a no-op for existence-of-match search
     ThompsonRegexEngine.search("a+?b", "aab") shouldBe true
     ThompsonRegexEngine.search("a{2,3}?x", "aax") shouldBe true
+    // '{' with no preceding atom: the JDK throws "Illegal repetition" for
+    // a{b} and a bare '{'; the Thompson engine must fail loudly, not treat
+    // it as a literal (which would silently diverge)
+    intercept[java.util.regex.PatternSyntaxException] {
+      ThompsonRegexEngine.search("a|{b}", "ax")
+    }
+    intercept[java.util.regex.PatternSyntaxException] {
+      ThompsonRegexEngine.search("{2}", "x{2}")
+    }
+  }
+
+  test("invalid patterns fail at PLAN time on the driver (eager compile)") {
+    import org.apache.spark.sql.types.StringType
+    val opts = CompileOptions(regexEngine = ThompsonRegexEngine)
+    // the compile call itself must throw — before any action runs on executors
+    intercept[java.util.regex.PatternSyntaxException] {
+      graft.compile.Compiler.compile(
+        graft.spec.SpecParser.parse("""{"pattern":"(a)\\1"}"""),
+        col("tool"), StringType, lit(""), opts)
+    }
+    intercept[java.util.regex.PatternSyntaxException] {
+      graft.compile.Compiler.compile(
+        graft.spec.SpecParser.parse("""{"pattern":"[unclosed"}"""),
+        col("tool"), StringType, lit("")) // default JDK engine path (rlike)
+    }
   }
 
   test("pattern constraints evaluate through the configured engine on all paths") {

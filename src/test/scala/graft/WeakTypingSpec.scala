@@ -36,6 +36,33 @@ class WeakTypingSpec extends SparkTestBase {
       .select("pass").collect().toSeq.map(_.getBoolean(0))
   }
 
+  test("weak numeric token grammar is std::from_chars (double_parser.hpp:50-60)") {
+    import graft.functions.WeakNum._
+    // int64: optional '-', digits, full consumption; no '+', no whitespace
+    parseLong("7") shouldBe 7L
+    parseLong("-7") shouldBe -7L
+    parseLong("007") shouldBe 7L
+    parseLong(" 7") shouldBe null   // istringstream fallback would accept; from_chars does not
+    parseLong("+7") shouldBe null
+    parseLong("7 ") shouldBe null
+    parseLong("") shouldBe null
+    parseLong("-") shouldBe null
+    parseLong("99999999999999999999") shouldBe null // result_out_of_range
+    // double: general fixed/scientific forms, '-' only, specials allowed
+    parseDouble("1.5") shouldBe 1.5
+    parseDouble("-1.5e3") shouldBe -1500.0
+    parseDouble(".5") shouldBe 0.5
+    parseDouble("1.") shouldBe 1.0
+    parseDouble("+1.5") shouldBe null
+    parseDouble(" 1.5") shouldBe null
+    parseDouble("1.5 ") shouldBe null
+    parseDouble("e5") shouldBe null
+    parseDouble("1e") shouldBe null
+    parseDouble("inf").doubleValue.isPosInfinity shouldBe true
+    parseDouble("-Infinity").doubleValue.isNegInfinity shouldBe true
+    parseDouble("NAN").doubleValue.isNaN shouldBe true
+  }
+
   test("type: numeric strings satisfy integer/number in weak mode") {
     val df = Seq("12", "12.5", "x").toDF("doc")
     passes("""{"type":"integer"}""", df) shouldBe Seq(true, false, false)
