@@ -18,6 +18,15 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Side-channel path where `q_simhash_neardups` persists the (HOF-oracled)
+    * signature stage so DuckDB can independently recompute the banding +
+    * bucket-cap + Hamming stages in SQL (the signature hash itself —
+    * xxhash64 — is not SQL-expressible in DuckDB). Keyed by the sf dir so
+    * runs at different scales never clobber each other's oracle input. */
+  def simhashSigPath(dir: String): String =
+    "/tmp/graft_oracle_aux/simhash_sigs_" +
+      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
+
   /** Dynamic-JSON constraint query shape: validate a constructed JSON doc
     * per row through the native validator, explode, keep selected kinds. */
   private def jsonViolations(df: DataFrame, doc: Column, schemaJson: String,
@@ -216,7 +225,14 @@ object SparkEntry {
     }),
 
     "q_simhash_neardups" -> ((s, dir) => { implicit val sp = s
+      // ground-truth protocol: the signature expression is bit-identical to
+      // the HOF formulation (OpsSpec); persist that stage so the DuckDB
+      // oracle recomputes banding + bucket cap + Hamming verification from
+      // the signatures in pure SQL (see oracleSql)
+      Dedup.simhashSignatures(t(dir, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(simhashSigPath(dir))
       Dedup.simhashNearDups(t(dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
 
     "q_ann_topk" -> ((s, dir) => { implicit val sp = s
@@ -435,6 +451,38 @@ object SparkEntry {
       Graft.violations(t(dir, "nation"),
         """{"properties":{"n_name":false}}""",
         Seq("n_nationkey"), kinds = Seq("properties"))
+    }),
+
+    "q_ref_resolution" -> ((s, dir) => { implicit val sp = s
+      // $ref machinery end-to-end (schema_parser.hpp:486-718): two
+      // in-document definitions refs (shared target memoized once) plus an
+      // external-document ref resolved through the externalDocs map — the
+      // offline fetchDoc analog. Violations are plain range checks, so the
+      // oracle derives them directly.
+      val spec = Graft.parseSchema(
+        """{"properties":{
+             "a":{"$ref":"#/definitions/pos"},
+             "b":{"$ref":"#/definitions/pos"},
+             "c":{"$ref":"http://graft.test/limits.json#/definitions/small"}},
+           "definitions":{"pos":{"type":"integer","minimum":0}}}""",
+        Map("http://graft.test/limits.json" ->
+          """{"definitions":{"small":{"maximum":100}}}"""))
+      val doc = concat(lit("""{"a":"""), pmod(col("event_id"), lit(7)) - 2,
+        lit(""","b":"""), pmod(col("event_id"), lit(11)) - 3,
+        lit(""","c":"""), pmod(col("event_id"), lit(150)), lit("}"))
+      val out = Graft.validateJsonColumn(
+        t(dir, "events").withColumn("__doc", doc), "__doc", spec)
+      out.select(col("event_id"), explode(col("violations")).as("v"))
+        .where(col("v.kind").isin("minimum", "maximum"))
+        .select(col("event_id"), col("v.json_pointer").as("json_pointer"),
+          col("v.description").as("description"))
+    }),
+
+    "q_drift" -> ((s, dir) => { implicit val sp = s
+      // distribution-drift building block: fixed-width histogram via
+      // width_bucket + hash agg (partial+final, one shuffle of O(buckets))
+      graft.checks.Drift.histogramDF(t(dir, "lineitem"),
+        col("l_extendedprice"), 0.0, 60000.0, 20)
     })
   )
 
@@ -754,6 +802,41 @@ object SparkEntry {
     "q_false_schema" ->
       """SELECT n_nationkey, '' AS json_pointer,
                 'Failed to validate against schema associated with property name ''n_name''.' AS description
-         FROM nation WHERE n_name IS NOT NULL"""
+         FROM nation WHERE n_name IS NOT NULL""",
+
+    "q_ref_resolution" ->
+      """SELECT event_id, '/a' AS json_pointer,
+                'Expected number greater than or equal to 0.000000' AS description
+         FROM events WHERE event_id % 7 - 2 < 0
+         UNION ALL
+         SELECT event_id, '/b', 'Expected number greater than or equal to 0.000000'
+         FROM events WHERE event_id % 11 - 3 < 0
+         UNION ALL
+         SELECT event_id, '/c', 'Expected number less than or equal to 100.000000'
+         FROM events WHERE event_id % 150 > 100""",
+
+    "q_drift" ->
+      """SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                     WHEN l_extendedprice >= 60000 THEN 21
+                     ELSE 1 + CAST(floor(l_extendedprice / 3000.0) AS BIGINT) END AS bucket,
+                count(*) AS cnt
+         FROM lineitem WHERE l_extendedprice IS NOT NULL
+         GROUP BY 1""",
+
+    "q_simhash_neardups" ->
+      """WITH sigs AS (
+           SELECT id, sig FROM read_parquet(
+             '/tmp/graft_oracle_aux/simhash_sigs__root_testdata_sf0.01.parquet/*.parquet')),
+         banded AS (
+           SELECT id, sig, band, (sig >> (band * 16)) & 65535 AS chunk
+           FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         capped AS (
+           SELECT * FROM banded
+           QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 256)
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         FROM capped a JOIN capped b
+           ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
   )
 }

@@ -86,10 +86,18 @@ object Dedup {
                       numHashes: Int = 32, bands: Int = 8,
                       jaccardThreshold: Double = 0.7,
                       shingleK: Int = 8,
-                      maxBucketSize: Int = 256): DataFrame = {
+                      maxBucketSize: Int = 256): DataFrame =
+    estCandidates(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+        .where(col("sig").isNotNull),
+      numHashes, bands, jaccardThreshold, maxBucketSize)
+
+  /** Banded LSH candidate pairs from a (id, sig) frame, filtered by the
+    * estimated Jaccard (fraction of agreeing minhash components). One
+    * explode (narrow) + one shuffle on band keys + per-bucket self-join. */
+  private def estCandidates(sigd: DataFrame, numHashes: Int, bands: Int,
+                            jaccardThreshold: Double, maxBucketSize: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigd = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
-      .where(col("sig").isNotNull)
     val banded0 = sigd.select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col("id"), col("sig"))
@@ -128,19 +136,24 @@ object Dedup {
                               jaccardThreshold: Double = 0.5,
                               shingleK: Int = 8,
                               maxBucketSize: Int = 256): DataFrame = {
-    val cands = minhashNearDups(df, idCol, textCol, numHashes, bands,
-      jaccardThreshold = jaccardThreshold / 2, shingleK, maxBucketSize)
-    // pre-shingle each join side ONCE per document (computing shingles
-    // inside the pair predicate would redo the O(len) work per pair), with
-    // the normalization STAGED into its own projection — an inline
-    // normalizeText captured in the per-shingle lambda re-normalizes per
-    // element, turning O(len) into O(len²) per doc
-    val sh = TextAnalysis.withShingles(
-        df.select(col(idCol), col(textCol)), textCol, shingleK, "_shRaw")
-      .select(col(idCol), array_distinct(col("_shRaw")).as("_sh"))
+    // SINGLE corpus scan: normalize once, derive BOTH the signature and the
+    // distinct shingle set in the same projection, then pin the result with
+    // a lazy localCheckpoint. The banding explode carries only (id, sig) —
+    // shuffling the shingle arrays through 8 band keys would multiply
+    // shuffle volume ~8x — and the verification join re-reads the pinned
+    // executor-local blocks instead of re-scanning + re-shingling the
+    // corpus (round-2's second full text read).
+    val base = df.select(col(idCol).as("id"),
+        TextAnalysis.normalizeText(col(textCol)).as("_norm"))
+      .select(col("id"),
+        graft.functions.MinHashExpr.minhash(col("_norm"), shingleK, numHashes).as("sig"),
+        array_distinct(TextAnalysis.shinglesOfNorm(col("_norm"), shingleK)).as("_sh"))
+      .localCheckpoint(false) // lazy: materialized by the first action, reused after
+    val cands = estCandidates(base.select(col("id"), col("sig")).where(col("sig").isNotNull),
+      numHashes, bands, jaccardThreshold = jaccardThreshold / 2, maxBucketSize)
     cands.select(col("id_a"), col("id_b"))
-      .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sa")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_sb")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("_sh").as("_sa")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("_sh").as("_sb")), "id_b")
       .where(size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
         size(array_union(col("_sa"), col("_sb"))).cast("double") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
