@@ -555,6 +555,90 @@ object Compiler {
   private val mapOfVariant = MapType(StringType, VariantType)
   private val arrOfVariant = ArrayType(VariantType)
 
+  /** Typed empty containers for the weak-mode aliases (built through a JSON
+    * parse so no NullType→Variant cast is needed). */
+  private def emptyVariantArr: Column = try_parse_json(lit("[]")).try_cast("array<variant>")
+  private def emptyVariantMap: Column = try_parse_json(lit("{}")).try_cast("map<string,variant>")
+
+  /** Weak deep equality of a variant value against a schema-side constant
+    * (equalTo with strict=false, basic_adapter.hpp:509-547) — mirrors
+    * [[graft.functions.ValidateVariant]].weakEq branch for branch, with the
+    * constant side folded at compile time. The DOCUMENT side's type picks
+    * the branch, exactly like the reference's maybe-dispatch order:
+    * null/empty-string → boolish → double-parseable → stringish (incl.
+    * empty containers) → array → object. */
+  private def weakEqCol(v: Column, jv: JsonValue): Column = {
+    val sch   = schema_of_variant(v)
+    val vStr  = sch === "STRING"
+    val vBool = sch === "BOOLEAN"
+    val vLong = sch.isin("TINYINT", "SMALLINT", "INT", "BIGINT")
+    val vFrac = sch.startsWith("DECIMAL") || sch.isin("DOUBLE", "FLOAT")
+    val vNum  = vLong || vFrac
+    val vNull = is_variant_null(v)
+    val vArr  = sch.startsWith("ARRAY")
+    val vObj  = sch.startsWith("OBJECT")
+    val asS   = v.try_cast("string")
+    val asD   = v.try_cast("double")
+    val asArr = v.try_cast("array<variant>")
+    val asMap = v.try_cast("map<string,variant>")
+
+    val jvNullish = jv == JNullV || jv == JStringV("")
+    val jvBool: Option[Boolean] = jv match {
+      case JBoolV(x)         => Some(x)
+      case JStringV("true")  => Some(true)
+      case JStringV("false") => Some(false)
+      case _                 => None
+    }
+    val jvDouble: Option[Double] = jv match {
+      case JLongV(l)   => Some(l.toDouble)
+      case JDoubleV(d) => Some(d)
+      case JStringV(s) => Option(graft.functions.WeakNum.parseDouble(s)).map(_.doubleValue())
+      case _           => None
+    }
+    val jvString: Option[String] = jv match {
+      case JStringV(s)                => Some(s)
+      case JBoolV(x)                  => Some(if (x) "true" else "false")
+      case JLongV(l)                  => Some(l.toString)
+      case JDoubleV(d)                => Some(Messages.cppDouble(d))
+      case JArrayV(xs) if xs.isEmpty  => Some("")
+      case JObjectV(fs) if fs.isEmpty => Some("")
+      case _                          => None
+    }
+
+    val docNum = when(vNum, asD).when(vStr, weakDouble(asS))
+    val docStr = when(vStr, asS)
+      .when(vBool, when(v.try_cast("boolean"), "true").otherwise("false"))
+      .when(vLong, v.try_cast("bigint").cast(StringType))
+      .when(vFrac, format_string("%.6f", asD))
+      .otherwise(lit("")) // empty containers (guarded by the branch condition)
+    def cmp(o: Option[Column]): Column = o.map(b).getOrElse(lit(false))
+
+    when(vNull || (vStr && asS === ""), lit(jvNullish))
+      .when(vBool || (vStr && asS.isin("true", "false")),
+        cmp(jvBool.map(x =>
+          when(vBool, v.try_cast("boolean")).otherwise(asS === "true") === lit(x))))
+      .when(docNum.isNotNull, cmp(jvDouble.map(d => docNum === lit(d))))
+      .when(vStr || (vArr && size(asArr) === 0) || (vObj && size(asMap) === 0),
+        cmp(jvString.map(s => docStr === lit(s))))
+      .when(vArr, jv match {
+        case JArrayV(xs) =>
+          b(size(asArr) === xs.length) &&
+            xs.zipWithIndex.map { case (x, i) => b(weakEqCol(get(asArr, lit(i)), x)) }
+              .foldLeft(lit(true))(_ && _)
+        case _ => lit(false) // nonempty array vs non-array constant
+      })
+      .when(vObj, jv match {
+        case JObjectV(fs) =>
+          b(size(asMap) === fs.size) &&
+            fs.toSeq.map { case (k, x) =>
+              b(try_element_at(asMap, lit(k)).isNotNull) &&
+                b(weakEqCol(try_element_at(asMap, lit(k)), x))
+            }.foldLeft(lit(true))(_ && _)
+        case _ => lit(false)
+      })
+      .otherwise(lit(false))
+  }
+
   private def compileVariantConstraint(c: Constraint, v: Column, ptr: Column,
                                        opts: CompileOptions): Compiled = {
     val sch = schema_of_variant(v)
@@ -593,16 +677,18 @@ object Compiler {
       Compiled(b(v.isNull || !b(applicable) || inner.pass),
         when(v.isNull || !b(applicable), emptyViols).otherwise(inner.violations))
 
-    def constEq(jv: JsonValue): Column = jv match {
-      case JNullV       => vNull
-      case JBoolV(x)    => vBool && v.try_cast("boolean") === x
-      case JLongV(l)    => vNum && asD === lit(l.toDouble) // numbers compare as doubles
-      case JDoubleV(d)  => vNum && asD === lit(d)
-      case JStringV(s)  => vStr && asS === s
-      case composite    =>
-        // arrays/objects: canonicalize BOTH sides through variant encoding
-        (vArr || vObj) && (to_json(v) <=> to_json(parse_json(lit(JsonValue.render(composite)))))
-    }
+    def constEq(jv: JsonValue): Column =
+      if (weak) weakEqCol(v, jv)
+      else jv match {
+        case JNullV       => vNull
+        case JBoolV(x)    => vBool && v.try_cast("boolean") === x
+        case JLongV(l)    => vNum && asD === lit(l.toDouble) // numbers compare as doubles
+        case JDoubleV(d)  => vNum && asD === lit(d)
+        case JStringV(s)  => vStr && asS === s
+        case composite    =>
+          // arrays/objects: canonicalize BOTH sides through variant encoding
+          (vArr || vObj) && (to_json(v) <=> to_json(parse_json(lit(JsonValue.render(composite)))))
+      }
 
     c match {
       case TypeC(types, schemas) =>
@@ -690,15 +776,21 @@ object Compiler {
       case FormatC(fmt) =>
         guarded(vStr, compileFormat(fmt, asS, StringType, ptr, opts))
 
-      // objects: recurse through map<string,variant>
+      // objects: recurse through map<string,variant>. Weak mode admits the
+      // empty-array alias (maybeObject, basic_adapter.hpp:762-880): the
+      // constraint then sees an EMPTY object, not an absent value.
       case _: RequiredC | _: PropertiesC | _: MinPropertiesC | _: MaxPropertiesC |
            _: PropertyNamesC | _: DependenciesC =>
-        guarded(vObj, compileTypedConstraint(c, asMap, mapOfVariant, ptr, opts))
+        val applicable = if (weak) vObj || (vArr && size(asArr) === 0) else vObj
+        val view = if (weak) when(vObj, asMap).otherwise(emptyVariantMap) else asMap
+        guarded(applicable, compileTypedConstraint(c, view, mapOfVariant, ptr, opts))
 
-      // arrays: recurse through array<variant>
+      // arrays: recurse through array<variant> (weak: empty-object alias)
       case _: ItemsC | _: TupleItemsC | _: MinItemsC | _: MaxItemsC |
            UniqueItemsC | _: ContainsC =>
-        guarded(vArr, compileTypedConstraint(c, asArr, arrOfVariant, ptr, opts))
+        val applicable = if (weak) vArr || (vObj && size(asMap) === 0) else vArr
+        val view = if (weak) when(vArr, asArr).otherwise(emptyVariantArr) else asArr
+        guarded(applicable, compileTypedConstraint(c, view, arrOfVariant, ptr, opts))
 
       // combinators + custom recurse with VariantType unchanged
       case _ => compileTypedConstraint(c, v, VariantType, ptr, opts)

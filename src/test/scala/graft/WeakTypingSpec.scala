@@ -158,6 +158,12 @@ class WeakTypingSpec extends SparkTestBase {
     passesNative("""{"minProperties":1}""", Seq("[]", "{\"a\":1}")) shouldBe Seq(false, true)
     // empty object is maybeArray: minItems sees 0 elements
     passesNative("""{"minItems":1}""", Seq("{}", "[1]")) shouldBe Seq(false, true)
+    // the variant Catalyst path applies the same aliases (fuzz-found gap)
+    passesVariant("""{"required":["a"]}""", Seq("[]", "[1]")) shouldBe Seq(false, true)
+    passesVariant("""{"minProperties":1}""", Seq("[]", "{\"a\":1}")) shouldBe Seq(false, true)
+    passesVariant("""{"minItems":1}""", Seq("{}", "[1]")) shouldBe Seq(false, true)
+    passesVariant("""{"contains":{"type":"string"}}""", Seq("{}", "[\"x\"]")) shouldBe
+      Seq(false, true)
   }
 
   test("weak enum/const equality (equalTo strict=false, basic_adapter.hpp:509-547)") {
@@ -167,6 +173,15 @@ class WeakTypingSpec extends SparkTestBase {
     passesNative("""{"enum":[null]}""", Seq("\"\"", "null", "\"x\"")) shouldBe
       Seq(true, true, false)
     passesNative("""{"const":"7"}""", Seq("7", "8")) shouldBe Seq(true, false)
+    // the variant Catalyst path implements the same weak equality
+    passesVariant("""{"const":5}""", Seq("\"5\"", "5", "\"5.5\"")) shouldBe Seq(true, true, false)
+    passesVariant("""{"const":"true"}""", Seq("true", "\"true\"", "false")) shouldBe
+      Seq(true, true, false)
+    passesVariant("""{"enum":[null]}""", Seq("\"\"", "null", "\"x\"")) shouldBe
+      Seq(true, true, false)
+    passesVariant("""{"const":[]}""", Seq("{}", "[]", "[1]")) shouldBe Seq(true, true, false)
+    passesVariant("""{"const":{"a":1}}""", Seq("{\"a\":\"1\"}", "{\"a\":2}")) shouldBe
+      Seq(true, false)
     // strict mode rejects all cross-type matches
     Graft.validateJsonColumn(Seq("\"5\"").toDF("doc"), "doc",
       Graft.parseSchema("""{"const":5}"""))
