@@ -539,7 +539,7 @@ object Compiler {
       Compiled(b(pass), when(b(pass), emptyViols).otherwise(
         concat(branchViols, viol(ptr, lit(Messages.conditionalFail), "conditional"))))
 
-    case CustomC(name, pred, message) =>
+    case CustomC(name, pred, message, _) =>
       leaf(b(value.isNull || pred(value)), ptr, lit(message), s"custom:$name")
   }
 

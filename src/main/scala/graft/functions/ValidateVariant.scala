@@ -767,9 +767,17 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
       }
       ok
 
-    case cc: CustomC =>
-      throw new UnsupportedOperationException(
-        s"CustomC(${cc.name}) is Column-based; not usable in the variant validator")
+    case cc: CustomC => cc.nativePredicate match {
+      // PolyConstraint::validate shape (concrete_constraints.hpp:959-961):
+      // raw value in, boolean out, message pushed on failure
+      case Some(p) =>
+        val ok = p(v)
+        if (!ok) push(sink, path, cc.message, s"custom:${cc.name}")
+        ok
+      case None => throw new UnsupportedOperationException(
+        s"CustomC(${cc.name}) is Column-only (no nativePredicate); " +
+          "supply a Variant => Boolean to run it on the native walker")
+    }
   }
 
 }
@@ -878,8 +886,10 @@ object VariantValidator {
       s match {
         case r: RefSchema => walk(r.target)
         case ConstraintSchema(cs, _, _) => cs.foreach {
-          case cc: CustomC => throw new UnsupportedOperationException(
-            s"CustomC(${cc.name}) not supported in the variant validator")
+          case cc: CustomC if cc.nativePredicate.isEmpty =>
+            throw new UnsupportedOperationException(
+              s"CustomC(${cc.name}) is Column-only (no nativePredicate); " +
+                "supply a Variant => Boolean to run it on the native walker")
           case PropertiesC(p, pp, a) =>
             p.foreach(x => walk(x._2)); pp.foreach(x => walk(x._2)); a.foreach(walk)
           case PropertyNamesC(x)    => walk(x)

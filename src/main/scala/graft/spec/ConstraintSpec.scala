@@ -186,8 +186,19 @@ final case class CondC(ifS: SchemaSpec, thenS: Option[SchemaSpec],
 
 /** Custom-keyword hook — the analog of the reference's `ConstraintBuilder` +
   * `PolyConstraint` (`constraint_builder.hpp:13-19`,
-  * `concrete_constraints.hpp:937-969`): a user-supplied Column-level
-  * predicate plus the violation message it should emit. */
+  * `concrete_constraints.hpp:937-969`, exercised by
+  * `tests/test_poly_constraint.cpp`): a user-supplied Column-level predicate
+  * plus the violation message it should emit.
+  *
+  * `nativePredicate` optionally carries the same keyword as a serializable
+  * JVM predicate over the parsed document value, so custom keywords run on
+  * ALL THREE evaluation paths: the Column form serves the typed and variant
+  * Catalyst compilers, the Variant form the native single-pass walker
+  * (PolyConstraint::validate's shape — the raw adapter value in, boolean
+  * out, message pushed on failure). Scala function literals are
+  * Serializable, so the spec still ships inside the physical plan. */
 final case class CustomC(name: String,
                          predicate: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-                         message: String) extends Constraint { val kind = "custom" }
+                         message: String,
+                         nativePredicate: Option[org.apache.spark.types.variant.Variant => Boolean] = None)
+    extends Constraint { val kind = "custom" }

@@ -13,6 +13,42 @@ import graft.compile.{Compiler, Messages}
 class CompilerSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("custom constraint (PolyConstraint analog) runs on the NATIVE walker, both polarities") {
+    // mirrors tests/test_poly_constraint.cpp ValidationCanPass/ValidationCanFail:
+    // a stub keyword wired into the root subschema, validated against an
+    // arbitrary document; failure pushes the exact message
+    def stub(shouldValidate: Boolean) = ConstraintSchema(Vector(CustomC(
+      "stub", c => lit(shouldValidate),
+      "StubPolyConstraint intentionally failed validation",
+      nativePredicate = Some((_: org.apache.spark.types.variant.Variant) => shouldValidate))))
+    val df = Seq("""{"any":"doc"}""").toDF("doc")
+    // ValidationCanPass: zero errors
+    val pass = Graft.validateJsonColumn(df, "doc", stub(true))
+      .select("pass", "violations").collect()(0)
+    pass.getBoolean(0) shouldBe true
+    pass.getSeq[Row](1) shouldBe empty
+    // ValidationCanFail: exactly one error with the exact description
+    val fail = Graft.validateJsonColumn(df, "doc", stub(false))
+      .select("pass", "violations").collect()(0)
+    fail.getBoolean(0) shouldBe false
+    val errs = fail.getSeq[Row](1)
+    errs.size shouldBe 1
+    errs.head.getString(1) shouldBe "StubPolyConstraint intentionally failed validation"
+    // the native predicate sees the PARSED document value (adapter analog)
+    val typed = ConstraintSchema(Vector(CustomC(
+      "isEvenInt", c => c.cast("long") % 2 === 0, "value must be even",
+      nativePredicate = Some { v: org.apache.spark.types.variant.Variant =>
+        v.getType == org.apache.spark.types.variant.VariantUtil.Type.LONG && v.getLong % 2 == 0
+      })))
+    Graft.validateJsonColumn(Seq("4", "5").toDF("doc"), "doc", typed)
+      .select("pass").collect().map(_.getBoolean(0)).toSeq shouldBe Seq(true, false)
+    // Column-only customs still fail loudly on the native walker
+    val columnOnly = ConstraintSchema(Vector(CustomC("colOnly", c => c.isNotNull, "m")))
+    intercept[UnsupportedOperationException] {
+      Graft.validateJsonColumn(df, "doc", columnOnly).collect()
+    }
+  }
+
   /** Run a compiled spec over a single-column DF, return (pass, descriptions). */
   private def run(spec: SchemaSpec, df: DataFrame): Seq[(Boolean, Seq[String])] = {
     val schema = df.schema

@@ -101,6 +101,36 @@ class GoldenViolationsSpec extends SparkTestBase {
     got shouldBe ptrs.map(Messages.legacyContext).toArray
   }
 
+  test("violation SINK emits legacy_context alongside json_pointer (opt-in), golden vs cpp:59-108") {
+    // The AllOf fixture through the runner's sink path: rowOutput-shaped
+    // frame → violationsOf(includeLegacyContext = true); every row must
+    // carry BOTH renderings, byte-matching the reference's golden pairs in
+    // FIFO order (constraint_seq).
+    val schema =
+      """{"allOf": [
+           {"items": {"type": "integer"}, "additionalItems": false, "type": "array"},
+           {"items": {"type": "number"}, "additionalItems": false, "type": "array",
+            "uniqueItems": true}]}"""
+    val rowOut = Graft.validateJsonColumn(
+        Seq(("k1", "[1.5, 2.5, 3.5]")).toDF("k", "doc"), "doc", SpecParser.parse(schema))
+      .withColumn("part_id", lit(0L))
+    val sink = graft.run.Runner.violationsOf(rowOut, Seq("k"), includeLegacyContext = true)
+    val got = sink.orderBy("constraint_seq").collect().map(r =>
+      (r.getAs[String]("json_pointer"), r.getAs[String]("description"),
+       r.getSeq[String](r.fieldIndex("legacy_context")).toVector))
+    got.toSeq shouldBe Seq(
+      ("/0", "Value type not permitted by 'type' constraint.", Vector("<root>", "[0]")),
+      ("",   "Failed to validate item #0 in array.",           Vector("<root>")),
+      ("/1", "Value type not permitted by 'type' constraint.", Vector("<root>", "[1]")),
+      ("",   "Failed to validate item #1 in array.",           Vector("<root>")),
+      ("/2", "Value type not permitted by 'type' constraint.", Vector("<root>", "[2]")),
+      ("",   "Failed to validate item #2 in array.",           Vector("<root>")),
+      ("",   "Failed to validate against child schema #0.",    Vector("<root>")))
+    // default shape unchanged: no legacy_context column
+    graft.run.Runner.violationsOf(rowOut, Seq("k"))
+      .columns should not contain "legacy_context"
+  }
+
   test("JSON Pointer escaping: ~ and / in property names (validation_results.hpp:140-160)") {
     val schema = """{"properties": {"a/b": {"type": "integer"}, "c~d": {"type": "integer"}}}"""
     val st = StructType(Seq(StructField("a/b", StringType), StructField("c~d", StringType)))
