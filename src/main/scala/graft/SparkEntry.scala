@@ -27,6 +27,12 @@ object SparkEntry {
     "/tmp/graft_oracle_aux/simhash_sigs_" +
       dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
 
+  /** Where `q_ann_bucketed` materializes the cell-partitioned IVF layout
+    * (scale path: write once, every probe prunes to nprobe directories). */
+  def ivfTablePath(dir: String): String =
+    "/tmp/graft_oracle_aux/ivf_table_" +
+      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_")
+
   /** Dynamic-JSON constraint query shape: validate a constructed JSON doc
     * per row through the native validator, explode, keep selected kinds. */
   private def jsonViolations(df: DataFrame, doc: Column, schemaJson: String,
@@ -252,6 +258,20 @@ object SparkEntry {
         .collect().map(_.getSeq[Float](1).toSeq).toSeq
       val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1)
       Similarity.ivfTopK(emb, "vec_id", "embedding", cents, q, 10, nprobe = 2)
+        .select("vec_id")
+    }),
+
+    "q_ann_bucketed" -> ((s, dir) => { implicit val sp = s
+      // the persisted serving layout: write the IVF table partitioned by
+      // cell, then probe it — the cell filter prunes whole directories
+      // (PartitionFilters asserted in PlanSpec)
+      val emb = t(dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 6).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).toSeq).toSeq
+      val q = emb.where(col("vec_id") === 1).head().getSeq[Float](1)
+      val path = ivfTablePath(dir)
+      Similarity.writeIvfTable(emb, "vec_id", "embedding", cents, path)
+      Similarity.ivfTopKFromTable(s, path, "vec_id", "embedding", cents, q, 12, nprobe = 3)
         .select("vec_id")
     }),
 
@@ -627,6 +647,22 @@ object SparkEntry {
                   list_cosine_similarity(a.embedding, (SELECT qv FROM q)) AS cos
            FROM assigned a WHERE a.cell IN (SELECT cell FROM probe)
            ORDER BY cos DESC, a.vec_id LIMIT 10)""",
+
+    "q_ann_bucketed" ->
+      """WITH cents AS (SELECT vec_id AS cell, embedding AS c FROM embeddings WHERE vec_id < 6),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         assigned AS (
+           SELECT e.vec_id, e.embedding,
+                  (SELECT c.cell FROM cents c
+                   ORDER BY list_distance(e.embedding, c.c), c.cell LIMIT 1) AS cell
+           FROM embeddings e),
+         probe AS (SELECT c.cell FROM cents c
+                   ORDER BY list_distance((SELECT qv FROM q), c.c), c.cell LIMIT 3)
+         SELECT vec_id FROM (
+           SELECT a.vec_id,
+                  list_cosine_similarity(a.embedding, (SELECT qv FROM q)) AS cos
+           FROM assigned a WHERE a.cell IN (SELECT cell FROM probe)
+           ORDER BY cos DESC, a.vec_id LIMIT 12)""",
 
     "q_langid" ->
       """WITH c AS (SELECT doc_id,

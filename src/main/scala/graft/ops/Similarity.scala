@@ -106,14 +106,73 @@ object Similarity {
     df.withColumn("ivf_cell", array_min(array(dists: _*)).getField("cell"))
   }
 
+  /** The query's `nprobe` nearest cells (driver-side, double precision). */
+  private[ops] def probeCells(centroids: Seq[Seq[Float]], query: Seq[Float],
+                              nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(query).map { case (a, b) => (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum, i)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroids: Seq[Seq[Float]], query: Seq[Float], k: Int,
               nprobe: Int = 2): DataFrame = {
-    val qd = centroids.zipWithIndex.map { case (c, i) =>
-      (c.zip(query).map { case (a, b) => (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum, i)
-    }.sortBy(_._1).take(nprobe).map(_._2)
+    val qd = probeCells(centroids, query, nprobe)
     ivfAssign(df, vecCol, centroids)
       .where(col("ivf_cell").isin(qd: _*))
+      .select(col(idCol), cosineWithQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // --- persisted bucketed layouts (the 100 TB serving shape) -----------------
+
+  /** Write the IVF layout as a Hive-partitioned parquet table — one
+    * directory per cell. At 100 TB this is the serving layout: a probe
+    * reads ONLY its nprobe cell directories (PartitionFilters prune at
+    * planning time), ~1/cells of the corpus per probed cell, instead of
+    * recomputing assignments over a full scan per query. */
+  def writeIvfTable(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Float]], path: String): Unit =
+    ivfAssign(df.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /** Probe a written IVF table: the `ivf_cell` filter is a PARTITION filter
+    * (asserted in PlanSpec), so only the probed cells' files are read. */
+  def ivfTopKFromTable(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String, vecCol: String,
+                       centroids: Seq[Seq[Float]], query: Seq[Float], k: Int,
+                       nprobe: Int = 2): DataFrame = {
+    val qd = probeCells(centroids, query, nprobe)
+    spark.read.parquet(path)
+      .where(col("ivf_cell").isin(qd: _*))
+      .select(col(idCol), cosineWithQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Write the hyperplane-LSH layout partitioned by signature — the
+    * persisted form of [[lshTopK]]'s projection. */
+  def writeLshTable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    planes: Int, seed: Long, path: String): Unit =
+    df.select(col(idCol), col(vecCol),
+        hyperplaneSignature(col(vecCol), dim, planes, seed).as("lsh_sig"))
+      .write.mode("overwrite").partitionBy("lsh_sig").parquet(path)
+
+  /** Multi-probe (Hamming ≤ 1) over a written LSH table with partition
+    * pruning on the signature directories. */
+  def lshTopKFromTable(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String, vecCol: String,
+                       query: Seq[Float], k: Int, planes: Int = 8,
+                       seed: Long = 42): DataFrame = {
+    val dim = query.length
+    val ps = randomPlanes(dim, planes, seed)
+    val querySig = ps.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot >= 0) 1L << i else 0L
+    }.sum
+    val probeSigs = querySig +: (0 until planes).map(i => querySig ^ (1L << i))
+    spark.read.parquet(path)
+      .where(col("lsh_sig").isin(probeSigs: _*))
       .select(col(idCol), cosineWithQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

@@ -98,6 +98,37 @@ class PlanSpec extends SparkTestBase {
     p should include(".cell IN (")
   }
 
+  test("bucketed IVF table probe prunes partitions at the scan (PartitionFilters on ivf_cell)") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = embs.where(col("vec_id") < 4).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val q = embs.where(col("vec_id") === 1).head().getSeq[Float](1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfTable(embs, "vec_id", "embedding", cents, dir)
+    val probe = Similarity.ivfTopKFromTable(spark, dir, "vec_id", "embedding",
+      cents, q, 5, nprobe = 2)
+    // the cell filter is a PARTITION filter: directory pruning, not row filtering
+    val leaves = probe.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    leaves should include("PartitionFilters: ")
+    leaves should include("ivf_cell")
+    // and the probe result matches the scan-time (non-persisted) IVF path
+    val direct = Similarity.ivfTopK(embs, "vec_id", "embedding", cents, q, 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    probe.collect().map(_.getLong(0)).toSeq shouldBe direct
+    // LSH layout: same pruning contract on the signature directories
+    val lshDir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    Similarity.writeLshTable(embs, "vec_id", "embedding", q.length, planes = 6,
+      seed = 42, path = lshDir)
+    val lshProbe = Similarity.lshTopKFromTable(spark, lshDir, "vec_id", "embedding",
+      q, 5, planes = 6, seed = 42)
+    val lshLeaves = lshProbe.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    lshLeaves should include("PartitionFilters: ")
+    lshLeaves should include("lsh_sig")
+    lshProbe.collect().map(_.getLong(0)).toSeq shouldBe
+      Similarity.lshTopK(embs, "vec_id", "embedding", q, 5, planes = 6, seed = 42)
+        .collect().map(_.getLong(0)).toSeq
+  }
+
   test("multimodal plumbing query: no cartesian product, bounded shuffles") {
     val p = plan(SparkEntry.queries("q_multimodal")(spark, sf))
     p should not include "CartesianProduct"
