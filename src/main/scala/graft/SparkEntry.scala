@@ -33,6 +33,13 @@ object SparkEntry {
     "/tmp/graft_oracle_aux/ivf_table_" +
       dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Side-channel for `q_embed_neardups`: the (HOF-oracled) hyperplane
+    * bucket assignment, persisted so DuckDB recomputes the bucket-join +
+    * exact-cosine verification stages in SQL (same protocol as simhash). */
+  def embedBucketPath(dir: String): String =
+    "/tmp/graft_oracle_aux/embed_buckets_" +
+      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
+
   /** Dynamic-JSON constraint query shape: validate a constructed JSON doc
     * per row through the native validator, explode, keep selected kinds. */
   private def jsonViolations(df: DataFrame, doc: Column, schemaJson: String,
@@ -503,6 +510,35 @@ object SparkEntry {
       // width_bucket + hash agg (partial+final, one shuffle of O(buckets))
       graft.checks.Drift.histogramDF(t(dir, "lineitem"),
         col("l_extendedprice"), 0.0, 60000.0, 20)
+    }),
+
+    "q_drift_psi" -> ((s, dir) => { implicit val sp = s
+      import s.implicits._
+      // end-to-end drift check: baseline sketch from the even-key half,
+      // Drift.check (PSI vs baseline) on the odd-key half — the full
+      // north-rule drift verdict, closed-form replicable in SQL
+      val li = t(dir, "lineitem")
+      val base = graft.checks.Drift.sketch(
+        li.where(pmod(col("l_orderkey"), lit(2)) === 0), col("l_quantity"), 0.0, 60.0, 20)
+      val verdict = graft.checks.Drift.check(
+        li.where(pmod(col("l_orderkey"), lit(2)) === 1), col("l_quantity"), base)
+      Seq((verdict.metric, math.round(verdict.value * 1e6) / 1e6,
+           verdict.threshold, verdict.pass))
+        .toDF("metric", "psi", "threshold", "pass")
+    }),
+
+    "q_embed_neardups" -> ((s, dir) => { implicit val sp = s
+      // embedding-cosine near-dups: hyperplane-LSH buckets (native
+      // single-pass signature), exact cosine inside buckets; bucket
+      // assignment persisted for the SQL oracle (see embedBucketPath)
+      val emb = t(dir, "embeddings")
+      val dim = emb.head().getSeq[Float](1).length
+      emb.select(col("vec_id").as("id"),
+          Similarity.hyperplaneSignature(col("embedding"), dim, 12, 42).as("bucket"))
+        .write.mode("overwrite").parquet(embedBucketPath(dir))
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim,
+          planes = 12, seed = 42, cosineThreshold = 0.95)
+        .select(col("id_a"), col("id_b"))
     })
   )
 
@@ -858,6 +894,42 @@ object SparkEntry {
                 count(*) AS cnt
          FROM lineitem WHERE l_extendedprice IS NOT NULL
          GROUP BY 1""",
+
+    "q_drift_psi" ->
+      """WITH h AS (
+           SELECT l_orderkey % 2 AS side,
+                  CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity >= 60 THEN 21
+                       ELSE 1 + CAST(floor(l_quantity / 3.0) AS BIGINT) END AS bucket,
+                  count(*) AS c
+           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         grid AS (SELECT side, bucket
+                  FROM (SELECT unnest([0, 1]) AS side)
+                  CROSS JOIN (SELECT unnest(range(0, 22)) AS bucket)),
+         f AS (SELECT g.side, g.bucket, coalesce(h.c, 0) AS c
+               FROM grid g LEFT JOIN h ON g.side = h.side AND g.bucket = h.bucket),
+         t AS (SELECT side, greatest(sum(c), 1)::DOUBLE AS tot FROM f GROUP BY side),
+         probs AS (SELECT f.side, f.bucket,
+                          (f.c + 0.000001) / (t.tot + 0.000001 * 22) AS p
+                   FROM f JOIN t ON f.side = t.side)
+         SELECT 'psi' AS metric,
+                round(sum((p1.p - p0.p) * ln(p1.p / p0.p)), 6) AS psi,
+                CAST(0.25 AS DOUBLE) AS threshold,
+                (sum((p1.p - p0.p) * ln(p1.p / p0.p)) <= 0.25) AS pass
+         FROM probs p1 JOIN probs p0
+           ON p1.bucket = p0.bucket AND p1.side = 1 AND p0.side = 0""",
+
+    "q_embed_neardups" ->
+      """WITH b AS (
+           SELECT id, bucket FROM read_parquet(
+             '/tmp/graft_oracle_aux/embed_buckets__root_testdata_sf0.01.parquet/*.parquet')),
+         j AS (SELECT b.id, b.bucket, e.embedding
+               FROM b JOIN embeddings e ON b.id = e.vec_id),
+         capped AS (
+           SELECT * FROM j
+           QUALIFY count(*) OVER (PARTITION BY bucket) <= 1024)
+         SELECT a.id AS id_a, c.id AS id_b
+         FROM capped a JOIN capped c ON a.bucket = c.bucket AND a.id < c.id
+         WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.95""",
 
     "q_simhash_neardups" ->
       """WITH sigs AS (

@@ -60,9 +60,16 @@ object Similarity {
     })
   }
 
-  /** Sign-bit signature of `v` against `planes` seeded hyperplanes → int
-    * bucket id in [0, 2^planes). */
-  def hyperplaneSignature(v: Column, dim: Int, planes: Int, seed: Long): Column = {
+  /** Sign-bit signature of `v` against `planes` seeded hyperplanes → long
+    * bucket id in [0, 2^planes). Native single-pass expression
+    * ([[graft.functions.HyperplaneSigExpr]]) — one vector scan for ALL
+    * planes instead of one interpreted `aggregate` pass per plane. */
+  def hyperplaneSignature(v: Column, dim: Int, planes: Int, seed: Long): Column =
+    graft.functions.HyperplaneSigExpr.hyperplaneSig(v, randomPlanes(dim, planes, seed))
+
+  /** HOF reference formulation (oracle for the native expression; asserted
+    * bit-identical in OpsSpec). */
+  def hyperplaneSignatureHof(v: Column, dim: Int, planes: Int, seed: Long): Column = {
     val ps = randomPlanes(dim, planes, seed)
     ps.zipWithIndex.map { case (p, i) =>
       when(dotWithQuery(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))

@@ -105,6 +105,16 @@ class OpsSpec extends SparkTestBase {
       .where(col("n.sig") =!= col("h.sig")).count() shouldBe 0L
   }
 
+  test("native HyperplaneSigExpr matches the HOF formulation bit-for-bit") {
+    val dim = embs.head().getSeq[Float](1).length
+    val nat = embs.select(col("vec_id"),
+      Similarity.hyperplaneSignature(col("embedding"), dim, 12, 42).as("sig"))
+    val hof = embs.select(col("vec_id"),
+      Similarity.hyperplaneSignatureHof(col("embedding"), dim, 12, 42).as("sig"))
+    nat.as("n").join(hof.as("h"), col("n.vec_id") === col("h.vec_id"))
+      .where(col("n.sig") =!= col("h.sig")).count() shouldBe 0L
+  }
+
   test("near-dup clusters: min-label connected components + survivors") {
     import spark.implicits._
     // chain 1-2, 2-3 (one cluster), isolated pair 10-11
