@@ -21,11 +21,12 @@ object SparkEntry {
   /** Side-channel path where `q_simhash_neardups` persists the (HOF-oracled)
     * signature stage so DuckDB can independently recompute the banding +
     * bucket-cap + Hamming stages in SQL (the signature hash itself —
-    * xxhash64 — is not SQL-expressible in DuckDB). Keyed by the sf dir so
-    * runs at different scales never clobber each other's oracle input. */
+    * xxhash64 — is not SQL-expressible in DuckDB). Fixed path: the oracle
+    * comparison always runs right after Verify on the same sf dir, and the
+    * static `oracleSql` strings cannot vary with the dir — a per-sf key
+    * would point the oracle at a stale scale's signatures. */
   def simhashSigPath(dir: String): String =
-    "/tmp/graft_oracle_aux/simhash_sigs_" +
-      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
+    "/tmp/graft_oracle_aux/simhash_sigs.parquet"
 
   /** Where `q_ann_bucketed` materializes the cell-partitioned IVF layout
     * (scale path: write once, every probe prunes to nprobe directories). */
@@ -35,10 +36,10 @@ object SparkEntry {
 
   /** Side-channel for `q_embed_neardups`: the (HOF-oracled) hyperplane
     * bucket assignment, persisted so DuckDB recomputes the bucket-join +
-    * exact-cosine verification stages in SQL (same protocol as simhash). */
+    * exact-cosine verification stages in SQL (same fixed-path protocol as
+    * simhash). */
   def embedBucketPath(dir: String): String =
-    "/tmp/graft_oracle_aux/embed_buckets_" +
-      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_") + ".parquet"
+    "/tmp/graft_oracle_aux/embed_buckets.parquet"
 
   /** Dynamic-JSON constraint query shape: validate a constructed JSON doc
     * per row through the native validator, explode, keep selected kinds. */
@@ -921,7 +922,7 @@ object SparkEntry {
     "q_embed_neardups" ->
       """WITH b AS (
            SELECT id, bucket FROM read_parquet(
-             '/tmp/graft_oracle_aux/embed_buckets__root_testdata_sf0.01.parquet/*.parquet')),
+             '/tmp/graft_oracle_aux/embed_buckets.parquet/*.parquet')),
          j AS (SELECT b.id, b.bucket, e.embedding
                FROM b JOIN embeddings e ON b.id = e.vec_id),
          capped AS (
@@ -934,7 +935,7 @@ object SparkEntry {
     "q_simhash_neardups" ->
       """WITH sigs AS (
            SELECT id, sig FROM read_parquet(
-             '/tmp/graft_oracle_aux/simhash_sigs__root_testdata_sf0.01.parquet/*.parquet')),
+             '/tmp/graft_oracle_aux/simhash_sigs.parquet/*.parquet')),
          banded AS (
            SELECT id, sig, band, (sig >> (band * 16)) & 65535 AS chunk
            FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),

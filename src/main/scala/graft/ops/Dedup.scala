@@ -136,24 +136,33 @@ object Dedup {
                               jaccardThreshold: Double = 0.5,
                               shingleK: Int = 8,
                               maxBucketSize: Int = 256): DataFrame = {
-    // SINGLE corpus scan: normalize once, derive BOTH the signature and the
-    // distinct shingle set in the same projection, then pin the result with
-    // a lazy localCheckpoint. The banding explode carries only (id, sig) —
-    // shuffling the shingle arrays through 8 band keys would multiply
-    // shuffle volume ~8x — and the verification join re-reads the pinned
-    // executor-local blocks instead of re-scanning + re-shingling the
-    // corpus (round-2's second full text read).
+    // SINGLE corpus scan: the normalized text is projected once and pinned
+    // with a lazy localCheckpoint; the signature pass, the banded candidate
+    // join, and the verification shingles all derive from the pinned
+    // blocks — the corpus parquet is never read twice (round-2's second
+    // full text scan). Shingle sets — the expensive O(len) array per doc —
+    // are computed ONLY for documents that appear in a candidate pair
+    // (broadcast semi-join on the candidate id set), so verification cost
+    // is O(candidates), not O(corpus). The banding explode still carries
+    // only (id, sig).
     val base = df.select(col(idCol).as("id"),
         TextAnalysis.normalizeText(col(textCol)).as("_norm"))
-      .select(col("id"),
-        graft.functions.MinHashExpr.minhash(col("_norm"), shingleK, numHashes).as("sig"),
-        array_distinct(TextAnalysis.shinglesOfNorm(col("_norm"), shingleK)).as("_sh"))
       .localCheckpoint(false) // lazy: materialized by the first action, reused after
-    val cands = estCandidates(base.select(col("id"), col("sig")).where(col("sig").isNotNull),
-      numHashes, bands, jaccardThreshold = jaccardThreshold / 2, maxBucketSize)
-    cands.select(col("id_a"), col("id_b"))
-      .join(base.select(col("id").as("id_a"), col("_sh").as("_sa")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("_sh").as("_sb")), "id_b")
+    val sigd = base.select(col("id"),
+        graft.functions.MinHashExpr.minhash(col("_norm"), shingleK, numHashes).as("sig"))
+      .where(col("sig").isNotNull)
+    val cands = estCandidates(sigd, numHashes, bands,
+        jaccardThreshold = jaccardThreshold / 2, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(false) // small; reused for the id set and the final join
+    val candIds = cands.select(col("id_a").as("id"))
+      .unionAll(cands.select(col("id_b").as("id"))).distinct()
+    val sh = base.join(broadcast(candIds), "id")
+      .select(col("id"),
+        array_distinct(TextAnalysis.shinglesOfNorm(col("_norm"), shingleK)).as("_sh"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("_sh").as("_sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("_sh").as("_sb")), "id_b")
       .where(size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
         size(array_union(col("_sa"), col("_sb"))).cast("double") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
