@@ -540,6 +540,106 @@ object SparkEntry {
       Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim,
           planes = 12, seed = 42, cosineThreshold = 0.95)
         .select(col("id_a"), col("id_b"))
+    }),
+
+    "q_streaming_verdicts" -> ((s, dir) => { implicit val sp = s
+      // Structured Streaming face (§2.5): readStream over the events
+      // parquet, stateless validation + windowed verdict aggregation,
+      // Trigger.AvailableNow into a memory sink. Complete mode emits every
+      // window, so the finished result equals the batch aggregation and
+      // DuckDB recomputes it exactly.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source monitors a DIRECTORY (the production shape:
+      // files arriving in a landing dir); the test fixture is a single
+      // file, so stage it into one
+      val landing = java.nio.file.Paths.get("/tmp/graft_oracle_aux/stream_events_" +
+        dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_"))
+      java.nio.file.Files.createDirectories(landing)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        landing.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // parquet stores ts as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+      // (session TZ is UTC, so the wall-clock instant is unchanged)
+      val stream = s.readStream.schema(schema).parquet(landing.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val spec = graft.spec.SpecParser.parse(
+        """{"properties":{"event_type":{"enum":["signup","click","view","purchase"]}}}""")
+      val agg = graft.streaming.StreamingValidator.windowedVerdicts(
+        stream, spec, tsCol = "ts", watermark = "1 hour", window = "1 day")
+      val q = agg.writeStream.format("memory").queryName("graft_stream_verdicts")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_stream_verdicts")
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_start"),
+          col("rows"), col("fail_rows"))
+    }),
+
+    "q_verdict_diff" -> ((s, dir) => { implicit val sp = s
+      // set-ops regression diff (§2.5): the same table validated under the
+      // previous and current specs; exceptAll both ways yields partitions
+      // whose verdict changed. part_id is SQL-derivable (orderkey % 64), so
+      // DuckDB recomputes both verdict sets and EXCEPT ALLs identically.
+      val orders = t(dir, "orders")
+        .withColumn("part_id", pmod(col("o_orderkey"), lit(64)))
+      def verdicts(maxPrice: Int) = graft.run.Runner.verdictsOf(
+        graft.run.Runner.rowOutput(orders, graft.spec.SpecParser.parse(
+          s"""{"properties":{"o_totalprice":{"maximum":$maxPrice}}}"""),
+          Seq("o_orderkey")))
+      TableChecks.verdictDiff(verdicts(400000), verdicts(300000))
+    }),
+
+    "q_custom_keyword" -> ((s, dir) => { implicit val sp = s
+      // user-extension surface (§2.5; PolyConstraint,
+      // concrete_constraints.hpp:937-969): a custom keyword — digit-sum
+      // parity, not expressible with standard keywords — running on the
+      // native walker via its serializable variant predicate.
+      import org.apache.spark.types.variant.{Variant, VariantUtil}
+      val nativeP: Variant => Boolean = { v =>
+        v.getType == VariantUtil.Type.OBJECT && {
+          val f = v.getFieldByKey("v")
+          f != null && f.getType == VariantUtil.Type.LONG && {
+            var n = f.getLong; var sum = 0L
+            while (n > 0) { sum += n % 10; n /= 10 }
+            sum % 2 == 0
+          }
+        }
+      }
+      // Column form of the same rule for the typed path (docs here carry
+      // v < 100, so two digits suffice)
+      val colP: Column => Column = { c =>
+        val n = c.getField("v").cast("long")
+        pmod(pmod(n, lit(10)) + pmod(floor(n / lit(10)).cast("long"), lit(10)),
+          lit(2)) === 0
+      }
+      val spec = graft.spec.ConstraintSchema(Vector(graft.spec.CustomC(
+        "digit_sum_even", colP, "digit sum must be even", Some(nativeP))))
+      val doc = concat(lit("""{"v":"""), pmod(col("event_id"), lit(100)), lit("}"))
+      val out = Graft.validateJsonColumn(
+        t(dir, "events").withColumn("__doc", doc), "__doc", spec)
+      out.select(col("event_id"), explode(col("violations")).as("v"))
+        .select(col("event_id"), col("v.json_pointer").as("json_pointer"),
+          col("v.description").as("description"))
+    }),
+
+    "q_sink_roundtrip" -> ((s, dir) => { implicit val sp = s
+      // sink surface (§2.5): rowOutput → violations parquet (with the
+      // opt-in legacy-context rendering, validation_results.hpp:167-186) →
+      // read back. What lands in the sink must equal the SQL-derived rows.
+      val out = graft.run.Runner.rowOutput(t(dir, "orders"),
+        graft.spec.SpecParser.parse(
+          """{"properties":{"o_orderpriority":{"enum":["1-URGENT","2-HIGH","3-MEDIUM"]}}}"""),
+        Seq("o_orderkey"))
+      val sink = "/tmp/graft_oracle_aux/violations_sink"
+      graft.run.Runner.violationsOf(out, Seq("o_orderkey"),
+          includeLegacyContext = true)
+        .write.mode("overwrite").parquet(sink)
+      // the sink carries the properties-wrapper violation too; the oracle
+      // covers the enum rows
+      s.read.parquet(sink).where(col("kind") === "enum")
+        .select(col("o_orderkey"), col("json_pointer"),
+          concat_ws("|", col("legacy_context")).as("legacy_ctx"),
+          col("description"))
     })
   )
 
@@ -946,6 +1046,43 @@ object SparkEntry {
                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          FROM capped a JOIN capped b
            ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
-         WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+
+    "q_streaming_verdicts" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+                count(*) AS "rows",
+                CAST(count(*) FILTER (WHERE event_type NOT IN
+                  ('signup','click','view','purchase')) AS BIGINT) AS fail_rows
+         FROM events GROUP BY 1""",
+
+    "q_verdict_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey % 64 AS part_id, o_totalprice FROM orders),
+         p AS (
+           SELECT part_id, count(*) AS "rows",
+                  CAST(count(*) FILTER (WHERE o_totalprice > 400000) AS BIGINT) AS fail_rows
+           FROM base GROUP BY part_id),
+         pv AS (SELECT part_id, "rows", fail_rows, fail_rows = 0 AS pass FROM p),
+         c AS (
+           SELECT part_id, count(*) AS "rows",
+                  CAST(count(*) FILTER (WHERE o_totalprice > 300000) AS BIGINT) AS fail_rows
+           FROM base GROUP BY part_id),
+         cv AS (SELECT part_id, "rows", fail_rows, fail_rows = 0 AS pass FROM c)
+         SELECT *, 'prev_only' AS side FROM (SELECT * FROM pv EXCEPT ALL SELECT * FROM cv)
+         UNION ALL
+         SELECT *, 'cur_only' AS side FROM (SELECT * FROM cv EXCEPT ALL SELECT * FROM pv)""",
+
+    "q_custom_keyword" ->
+      """SELECT event_id, '' AS json_pointer,
+                'digit sum must be even' AS description
+         FROM events
+         WHERE ((event_id % 100) % 10 + ((event_id % 100) // 10) % 10) % 2 = 1""",
+
+    "q_sink_roundtrip" ->
+      """SELECT o_orderkey, '/o_orderpriority' AS json_pointer,
+                '<root>|["o_orderpriority"]' AS legacy_ctx,
+                'Failed to match against any enum values.' AS description
+         FROM orders
+         WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')"""
   )
 }
