@@ -575,6 +575,35 @@ object SparkEntry {
           col("rows"), col("fail_rows"))
     }),
 
+    "q_streaming_anomalies" -> ((s, dir) => { implicit val sp = s
+      import s.implicits._
+      // stateful streaming (§2.5): per-conversation running checks via
+      // flatMapGroupsWithState. One staged file ⇒ one AvailableNow batch,
+      // so the per-conversation (turn_idx, ts)-sorted fold is closed-form:
+      // dup = equals previous idx, gap = jumps past previous+1,
+      // non-monotone = ts below the running max — all window-derivable.
+      val landing = java.nio.file.Paths.get("/tmp/graft_oracle_aux/stream_events_" +
+        dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_"))
+      java.nio.file.Files.createDirectories(landing)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        landing.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val turns = s.readStream.schema(schema).parquet(landing.toString)
+        .select(col("user_id").cast("string").as("conv_id"),
+          pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[graft.streaming.StreamingValidator.TurnEvent]
+      val anomalies = graft.streaming.StreamingValidator.conversationAnomalies(turns)
+      val q = anomalies.toDF().writeStream.format("memory")
+        .queryName("graft_stream_anomalies").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_stream_anomalies")
+        .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+          col("kind"))
+    }),
+
     "q_verdict_diff" -> ((s, dir) => { implicit val sp = s
       // set-ops regression diff (§2.5): the same table validated under the
       // previous and current specs; exceptAll both ways yields partitions
@@ -1054,6 +1083,26 @@ object SparkEntry {
                 CAST(count(*) FILTER (WHERE event_type NOT IN
                   ('signup','click','view','purchase')) AS BIGINT) AS fail_rows
          FROM events GROUP BY 1""",
+
+    "q_streaming_anomalies" ->
+      """WITH t AS (
+           SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                  event_id % 20 AS turn_idx, ts
+           FROM events),
+         o AS (
+           SELECT conv_id, turn_idx, ts,
+                  lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev_idx,
+                  max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_ts
+           FROM t)
+         SELECT conv_id, turn_idx, 'duplicate_or_regressed_turn_idx' AS kind
+         FROM o WHERE turn_idx = prev_idx
+         UNION ALL
+         SELECT conv_id, turn_idx, 'gap_in_turn_idx' AS kind
+         FROM o WHERE prev_idx IS NOT NULL AND turn_idx > prev_idx + 1
+         UNION ALL
+         SELECT conv_id, turn_idx, 'non_monotone_ts' AS kind
+         FROM o WHERE ts < prev_max_ts""",
 
     "q_verdict_diff" ->
       """WITH base AS (

@@ -27,6 +27,32 @@ class DriverQuerySpec extends SparkTestBase {
     got shouldBe batch
   }
 
+  test("q_streaming_anomalies equals the batch windowed fold and is rerun-safe") {
+    import org.apache.spark.sql.expressions.Window
+    def run() = SparkEntry.queries("q_streaming_anomalies")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    val got = run()
+    got should not be empty
+    // a second start with the same memory queryName must not accumulate rows
+    run() shouldBe got
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    val wPrec = w.rowsBetween(Window.unboundedPreceding, -1)
+    val o = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").cast("string").as("conv_id"),
+        pmod(col("event_id"), lit(20)).as("turn_idx"), col("ts"))
+      .withColumn("prev_idx", lag("turn_idx", 1).over(w))
+      .withColumn("prev_max_ts", max("ts").over(wPrec))
+    val batch = (
+      o.where(col("turn_idx") === col("prev_idx"))
+        .select(col("conv_id"), col("turn_idx"), lit("duplicate_or_regressed_turn_idx").as("kind")) unionAll
+      o.where(col("prev_idx").isNotNull && col("turn_idx") > col("prev_idx") + 1)
+        .select(col("conv_id"), col("turn_idx"), lit("gap_in_turn_idx").as("kind")) unionAll
+      o.where(col("ts") < col("prev_max_ts"))
+        .select(col("conv_id"), col("turn_idx"), lit("non_monotone_ts").as("kind"))
+      ).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    got shouldBe batch
+  }
+
   test("q_verdict_diff flags exactly the partitions whose verdict changed") {
     val got = SparkEntry.queries("q_verdict_diff")(spark, sf)
     got.columns.toSeq shouldBe Seq("part_id", "rows", "fail_rows", "pass", "side")
