@@ -1056,7 +1056,16 @@ object Compiler {
     * (`basic_adapter.hpp:509-547`). Constants that cannot inhabit the
     * column's type never match. */
   private def enumMatch(value: Column, dt: DataType, values: Vector[JsonValue]): Column = {
-    val lits: Vector[Column] = values.flatMap(v => literalFor(v, dt))
+    val lits: Vector[Column] = values.flatMap {
+      // Scalar numbers against integral columns compare in DOUBLE space:
+      // the reference's strict equality goes through getNumber(), which
+      // casts int64 to double (basic_adapter.hpp:516,633-651), so adjacent
+      // int64s beyond 2^53 collapse. The <=> against a double literal
+      // coerces the integral side identically.
+      case JLongV(l) if isIntegral(dt)   => Some(lit(l.toDouble))
+      case JDoubleV(d) if isIntegral(dt) => Some(lit(d))
+      case v => literalFor(v, dt)
+    }
     if (lits.isEmpty) lit(false)
     else lits.map(l => value <=> l).reduce(_ || _)
   }
