@@ -41,6 +41,26 @@ object SparkEntry {
   def embedBucketPath(dir: String): String =
     "/tmp/graft_oracle_aux/embed_buckets.parquet"
 
+  /** Stage the single-file events fixture into a per-dir landing DIRECTORY
+    * for the file-stream source (production shape: files arriving in a
+    * landing dir). Keyed by sanitized dir so scale factors never mix. */
+  private def stageStreamEvents(dir: String): String = {
+    val landing = java.nio.file.Paths.get("/tmp/graft_oracle_aux/stream_events_" +
+      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_"))
+    java.nio.file.Files.createDirectories(landing)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    landing.toString
+  }
+
+  /** Where `q_sink_roundtrip` writes its violations parquet — keyed by
+    * sanitized dir so concurrent runs at different scales never clobber
+    * each other's sink mid-read. */
+  private def sinkPath(dir: String): String =
+    "/tmp/graft_oracle_aux/violations_sink_" +
+      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_")
+
   /** Dynamic-JSON constraint query shape: validate a constructed JSON doc
     * per row through the native validator, explode, keep selected kinds. */
   private def jsonViolations(df: DataFrame, doc: Column, schemaJson: String,
@@ -549,18 +569,9 @@ object SparkEntry {
       // window, so the finished result equals the batch aggregation and
       // DuckDB recomputes it exactly.
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file-stream source monitors a DIRECTORY (the production shape:
-      // files arriving in a landing dir); the test fixture is a single
-      // file, so stage it into one
-      val landing = java.nio.file.Paths.get("/tmp/graft_oracle_aux/stream_events_" +
-        dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_"))
-      java.nio.file.Files.createDirectories(landing)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-        landing.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // parquet stores ts as TIMESTAMP_NTZ; watermarks need TIMESTAMP
       // (session TZ is UTC, so the wall-clock instant is unchanged)
-      val stream = s.readStream.schema(schema).parquet(landing.toString)
+      val stream = s.readStream.schema(schema).parquet(stageStreamEvents(dir))
         .withColumn("ts", col("ts").cast("timestamp"))
       val spec = graft.spec.SpecParser.parse(
         """{"properties":{"event_type":{"enum":["signup","click","view","purchase"]}}}""")
@@ -582,14 +593,8 @@ object SparkEntry {
       // so the per-conversation (turn_idx, ts)-sorted fold is closed-form:
       // dup = equals previous idx, gap = jumps past previous+1,
       // non-monotone = ts below the running max — all window-derivable.
-      val landing = java.nio.file.Paths.get("/tmp/graft_oracle_aux/stream_events_" +
-        dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_"))
-      java.nio.file.Files.createDirectories(landing)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-        landing.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val turns = s.readStream.schema(schema).parquet(landing.toString)
+      val turns = s.readStream.schema(schema).parquet(stageStreamEvents(dir))
         .select(col("user_id").cast("string").as("conv_id"),
           pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
           col("ts").cast("timestamp").as("ts"))
@@ -659,7 +664,7 @@ object SparkEntry {
         graft.spec.SpecParser.parse(
           """{"properties":{"o_orderpriority":{"enum":["1-URGENT","2-HIGH","3-MEDIUM"]}}}"""),
         Seq("o_orderkey"))
-      val sink = "/tmp/graft_oracle_aux/violations_sink"
+      val sink = sinkPath(dir)
       graft.run.Runner.violationsOf(out, Seq("o_orderkey"),
           includeLegacyContext = true)
         .write.mode("overwrite").parquet(sink)

@@ -567,6 +567,37 @@ object Compiler {
     * the branch, exactly like the reference's maybe-dispatch order:
     * null/empty-string → boolish → double-parseable → stringish (incl.
     * empty containers) → array → object. */
+  /** Strict variant equality against a frozen constant — element-wise
+    * recursion with numbers compared as DOUBLES at every level (the
+    * reference's equalTo goes through getNumber, basic_adapter.hpp:516,
+    * 633-651), so `[7]` equals `[7.0]` and int64s collapse beyond 2^53. */
+  private def strictEqCol(v: Column, jv: JsonValue): Column = {
+    val sch = schema_of_variant(v)
+    jv match {
+      case JNullV      => is_variant_null(v)
+      case JBoolV(x)   => sch === "BOOLEAN" && v.try_cast("boolean") === x
+      case JLongV(l)   => (sch.isin("TINYINT", "SMALLINT", "INT", "BIGINT") ||
+        sch.startsWith("DECIMAL") || sch.isin("DOUBLE", "FLOAT")) &&
+        v.try_cast("double") === lit(l.toDouble)
+      case JDoubleV(d) => (sch.isin("TINYINT", "SMALLINT", "INT", "BIGINT") ||
+        sch.startsWith("DECIMAL") || sch.isin("DOUBLE", "FLOAT")) &&
+        v.try_cast("double") === lit(d)
+      case JStringV(s) => sch === "STRING" && v.try_cast("string") === s
+      case JArrayV(xs) =>
+        val arr = v.try_cast("array<variant>")
+        sch.startsWith("ARRAY") && b(size(arr) === xs.length) &&
+          xs.zipWithIndex.map { case (x, i) => b(strictEqCol(get(arr, lit(i)), x)) }
+            .foldLeft(lit(true))(_ && _)
+      case JObjectV(fs) =>
+        val m = v.try_cast("map<string,variant>")
+        sch.startsWith("OBJECT") && b(size(m) === fs.size) &&
+          fs.toSeq.map { case (k, x) =>
+            b(try_element_at(m, lit(k)).isNotNull) &&
+              b(strictEqCol(try_element_at(m, lit(k)), x))
+          }.foldLeft(lit(true))(_ && _)
+    }
+  }
+
   private def weakEqCol(v: Column, jv: JsonValue): Column = {
     val sch   = schema_of_variant(v)
     val vStr  = sch === "STRING"
@@ -678,17 +709,7 @@ object Compiler {
         when(v.isNull || !b(applicable), emptyViols).otherwise(inner.violations))
 
     def constEq(jv: JsonValue): Column =
-      if (weak) weakEqCol(v, jv)
-      else jv match {
-        case JNullV       => vNull
-        case JBoolV(x)    => vBool && v.try_cast("boolean") === x
-        case JLongV(l)    => vNum && asD === lit(l.toDouble) // numbers compare as doubles
-        case JDoubleV(d)  => vNum && asD === lit(d)
-        case JStringV(s)  => vStr && asS === s
-        case composite    =>
-          // arrays/objects: canonicalize BOTH sides through variant encoding
-          (vArr || vObj) && (to_json(v) <=> to_json(parse_json(lit(JsonValue.render(composite)))))
-      }
+      if (weak) weakEqCol(v, jv) else strictEqCol(v, jv)
 
     c match {
       case TypeC(types, schemas) =>
@@ -1056,18 +1077,27 @@ object Compiler {
     * (`basic_adapter.hpp:509-547`). Constants that cannot inhabit the
     * column's type never match. */
   private def enumMatch(value: Column, dt: DataType, values: Vector[JsonValue]): Column = {
-    val lits: Vector[Column] = values.flatMap {
-      // Scalar numbers against integral columns compare in DOUBLE space:
-      // the reference's strict equality goes through getNumber(), which
-      // casts int64 to double (basic_adapter.hpp:516,633-651), so adjacent
-      // int64s beyond 2^53 collapse. The <=> against a double literal
-      // coerces the integral side identically.
-      case JLongV(l) if isIntegral(dt)   => Some(lit(l.toDouble))
-      case JDoubleV(d) if isIntegral(dt) => Some(lit(d))
-      case v => literalFor(v, dt)
-    }
+    // Numbers compare in DOUBLE space at EVERY nesting level: the
+    // reference's strict equality goes through getNumber(), which casts
+    // int64 to double (basic_adapter.hpp:516,633-651), so adjacent int64s
+    // beyond 2^53 collapse — also inside arrays and objects. Cast the
+    // integral parts of the column to double and build the constants in
+    // the same double-space type, keeping all three paths in agreement.
+    val cmpDt = doubleSpace(dt)
+    val v = if (cmpDt == dt) value else value.cast(cmpDt)
+    val lits: Vector[Column] = values.flatMap(x => literalFor(x, cmpDt))
     if (lits.isEmpty) lit(false)
-    else lits.map(l => value <=> l).reduce(_ || _)
+    else lits.map(l => v <=> l).reduce(_ || _)
+  }
+
+  /** Replace integral types with DoubleType recursively (arrays, structs)
+    * so enum/const equality happens in the reference's number space. */
+  private def doubleSpace(dt: DataType): DataType = dt match {
+    case t if isIntegral(t)   => DoubleType
+    case ArrayType(et, n)     => ArrayType(doubleSpace(et), n)
+    case st: StructType       =>
+      StructType(st.fields.map(f => f.copy(dataType = doubleSpace(f.dataType))))
+    case t                    => t
   }
 
   /** Build a Catalyst literal of `dt` for a frozen JSON constant, if the
@@ -1075,14 +1105,14 @@ object Compiler {
     * materialized at plan time). */
   private[graft] def literalFor(v: JsonValue, dt: DataType): Option[Column] = (v, dt) match {
     case (JStringV(s), t) if isStringLike(t)          => Some(lit(s))
-    case (JLongV(l), t) if isIntegral(t)              => Some(lit(l).cast(t))
+    // Integral target types never reach here: enumMatch casts them to
+    // DoubleType first (doubleSpace), matching getNumber's int64→double
+    // collapse (basic_adapter.hpp:515-516,633-651).
     case (JLongV(l), DoubleType | FloatType)          => Some(lit(l.toDouble).cast(dt))
     // Decimal columns: numbers compare as doubles (basic_adapter.hpp:515-516);
     // the <=> against a double literal coerces the decimal side to double.
     case (JLongV(l), _: DecimalType)                  => Some(lit(l.toDouble))
     case (JDoubleV(d), _: DecimalType)                => Some(lit(d))
-    case (JDoubleV(d), t) if isIntegral(t) && d == Math.floor(d) && !d.isInfinite =>
-      Some(lit(d.toLong).cast(t)) // numbers compare as doubles (basic_adapter.hpp:515-516)
     case (JDoubleV(d), DoubleType | FloatType)        => Some(lit(d).cast(dt))
     case (JBoolV(x), BooleanType)                     => Some(lit(x))
     case (JNullV, _)                                  => None // NULL handled by <=> against isNull upstream

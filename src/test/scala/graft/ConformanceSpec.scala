@@ -134,7 +134,7 @@ class ConformanceSpec extends SparkTestBase {
   test("conformance suite: dynamic variant path (cyclic refs excepted)") {
     // The variant Catalyst path compiles the schema to a FINITE expression
     // tree, so cyclic $ref cannot inhabit it by design (Compiler.scala
-    // throws with a pointer to the native path, which runs those 508/508).
+    // throws with a pointer to the native path, which runs every case).
     // Those cases are the only permitted skips.
     var total = 0; var passed = 0; var cyclicSkipped = 0
     val failures = scala.collection.mutable.ArrayBuffer[String]()
