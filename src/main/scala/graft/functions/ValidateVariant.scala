@@ -448,7 +448,12 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
               val q = d / div
               if (q.isNaN || q.isInfinite) false
               else {
-                val diff = Math.abs(q - Math.round(q).toDouble)
+                // Math.rint, NOT Math.round: round(double) returns a
+                // SATURATING long (caps at 2^63), but std::round (VV:912)
+                // returns a double — for |q| > 2^63 the saturated value
+                // made huge exact multiples fail. rint vs round differ
+                // only at exact .5, where diff = 0.5 > tol either way.
+                val diff = Math.abs(q - Math.rint(q))
                 val tol = Math.max(Math.abs(q), 1.0) * 2.220446049250313e-16
                 diff <= tol
               }

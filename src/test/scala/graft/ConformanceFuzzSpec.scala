@@ -36,8 +36,12 @@ class ConformanceFuzzSpec extends SparkTestBase {
   private val stringPool = Vector("", "a", "ab", "abc", "foo", "bar", "0", "12",
     "true", "2024-01-15", "2024-02-30", "12:30:00Z", "23:59:60Z", "04:00:60Z",
     "1985-04-12T23:20:50.52Z", "1.2.3.4", "256.1.1.1", "αβγ", "💩x")
-  private val longPool = Vector(-2L, -1L, 0L, 1L, 2L, 3L, 5L, 10L)
-  private val doublePool = Vector(-1.5, 0.5, 1.5, 2.5, 7.0, 7.5, 10.0)
+  // includes the 2^53 boundary and int64 extremes to stress double-space
+  // number equality (getNumber collapse, basic_adapter.hpp:516,633-651)
+  private val longPool = Vector(-2L, -1L, 0L, 1L, 2L, 3L, 5L, 10L,
+    9007199254740992L, 9007199254740993L, Long.MaxValue)
+  private val doublePool = Vector(-1.5, 0.5, 1.5, 2.5, 7.0, 7.5, 10.0,
+    9.007199254740992e15, 1e300)
   private val patternPool = Vector("^a", "b$", "[0-9]+", "^[a-z]{2,4}$",
     "foo|bar", "x.z", "\\d\\d", "^\\w+$", "a{2,3}")
   private val formatPool = Vector("date", "time", "date-time", "ipv4", "custom-thing")
