@@ -39,9 +39,9 @@ class ConformanceFuzzSpec extends SparkTestBase {
   // includes the 2^53 boundary and int64 extremes to stress double-space
   // number equality (getNumber collapse, basic_adapter.hpp:516,633-651)
   private val longPool = Vector(-2L, -1L, 0L, 1L, 2L, 3L, 5L, 10L,
-    9007199254740992L, 9007199254740993L, Long.MaxValue)
+    9007199254740992L, 9007199254740993L, Long.MaxValue, Long.MinValue)
   private val doublePool = Vector(-1.5, 0.5, 1.5, 2.5, 7.0, 7.5, 10.0,
-    9.007199254740992e15, 1e300)
+    9.007199254740992e15, 1e300, -1e300, 1e-300, java.lang.Double.MIN_VALUE)
   private val patternPool = Vector("^a", "b$", "[0-9]+", "^[a-z]{2,4}$",
     "foo|bar", "x.z", "\\d\\d", "^\\w+$", "a{2,3}")
   private val formatPool = Vector("date", "time", "date-time", "ipv4", "custom-thing")
