@@ -35,7 +35,9 @@ class ConformanceFuzzSpec extends SparkTestBase {
   private val propNames = Vector("a", "b", "c", "p~q", "x/y")
   private val stringPool = Vector("", "a", "ab", "abc", "foo", "bar", "0", "12",
     "true", "2024-01-15", "2024-02-30", "12:30:00Z", "23:59:60Z", "04:00:60Z",
-    "1985-04-12T23:20:50.52Z", "1.2.3.4", "256.1.1.1", "αβγ", "💩x")
+    "1985-04-12T23:20:50.52Z", "1.2.3.4", "256.1.1.1", "αβγ", "💩x",
+    // code-point edges: NFC vs NFD e-acute, astral clef, embedded NUL
+    "\u00e9", "e\u0301", "\ud834\udd1e", "a\u0000b")
   // includes the 2^53 boundary and int64 extremes to stress double-space
   // number equality (getNumber collapse, basic_adapter.hpp:516,633-651)
   private val longPool = Vector(-2L, -1L, 0L, 1L, 2L, 3L, 5L, 10L,
