@@ -181,22 +181,24 @@ class ConformanceFuzzSpec extends SparkTestBase {
      run(Graft.validateJsonColumnCatalyst(df, "doc", spec, opts)))
   }
 
-  /** Typed-path pass for the scalar docs (batched per Spark type). SQL NULL
-    * means ABSENT on the typed path (§2.1 mapping), so null docs are out of
-    * scope here; containers exercise the typed path via ConformanceSpec. */
-  private def typedScalarPasses(schemaJson: String, docs: Seq[(Int, String)])
+  /** Typed-path pass for every statically-typeable doc — scalars AND
+    * composites, lifted through [[TypedLift.infer]] and batched per inferred
+    * Spark type. Top-level JSON null is out of scope (SQL NULL means ABSENT
+    * on the typed path, §2.1 mapping); untypeable shapes (heterogeneous
+    * arrays, objects with null-valued properties) are skipped like the
+    * curated harness. */
+  private def typedPasses(schemaJson: String, docs: Seq[(Int, String)])
       : Seq[(Int, Boolean)] = {
     val spec = Graft.parseSchema(schemaJson)
-    val parsed = docs.map { case (i, d) => (i, mapper.readTree(d)) }
-    val groups: Seq[(DataType, Seq[(Int, Any)])] = Seq(
-      (LongType, parsed.collect { case (i, n) if n.isIntegralNumber => (i, n.asLong()) }),
-      (DoubleType, parsed.collect { case (i, n) if n.isNumber && !n.isIntegralNumber => (i, n.asDouble()) }),
-      (StringType, parsed.collect { case (i, n) if n.isTextual => (i, n.asText()) }),
-      (BooleanType, parsed.collect { case (i, n) if n.isBoolean => (i, n.asBoolean()) }))
-    groups.filter(_._2.nonEmpty).flatMap { case (dt, rows) =>
+    val lifted: Seq[(Int, DataType, Any)] = docs.flatMap { case (i, d) =>
+      val n = mapper.readTree(d)
+      if (n.isNull) None
+      else TypedLift.infer(n).map { case (dt, v) => (i, dt, v) }
+    }
+    lifted.groupBy(_._2).toSeq.flatMap { case (dt, rows) =>
       val st = StructType(Seq(StructField("i", IntegerType), StructField("doc", dt)))
       val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }), st)
+        spark.sparkContext.parallelize(rows.map { case (i, _, v) => Row(i, v) }), st)
       val c = Compiler.compile(spec, col("doc"), dt, lit(""))
       df.select(col("i"), coalesce(c.pass, lit(true)).as("p")).collect()
         .map(r => (r.getInt(0), r.getBoolean(1))).toSeq
@@ -219,10 +221,7 @@ class ConformanceFuzzSpec extends SparkTestBase {
             failures += s"schema=$schema doc=${docs(i)}: native=${native(i)} variant=${variant(i)}"
         }
         if (typed) {
-          val scalarDocs = docs.zipWithIndex.collect {
-            case (d, i) if { val n = mapper.readTree(d); n.isNumber || n.isTextual || n.isBoolean } => (i, d)
-          }
-          typedScalarPasses(schema, scalarDocs).foreach { case (i, tp) =>
+          typedPasses(schema, docs.zipWithIndex.map(_.swap)).foreach { case (i, tp) =>
             if (tp != native(i))
               failures += s"schema=$schema doc=${docs(i)}: typed=$tp native=${native(i)}"
           }
