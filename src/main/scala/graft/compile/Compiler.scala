@@ -115,9 +115,28 @@ object Compiler {
     compile(spec, rowStruct, schema, lit(""), opts)
   }
 
-  /** Compile a spec against a single typed value. */
+  /** Compile a spec against a single typed value.
+    *
+    * Weak mode + container-typed value: delegate through the VARIANT
+    * compiler (a `to_json`/`parse_json` lift). The kWeakTypes maybe-rules
+    * let containers cross kinds — an empty struct is maybeString ""/
+    * maybeArray [], an empty array is maybeObject {} (basic_adapter.hpp:
+    * 335-547) — which a statically-typed dispatch cannot express; the
+    * variant compiler implements exactly those rules (fuzz-proven against
+    * the native walker). Scalar types keep their direct weak conversions
+    * (stringTarget/numericTarget/weak enum). The JSON round-trip costs only
+    * in the opt-in weak mode; null struct fields drop out of to_json,
+    * matching the typed path's null-field-is-absent convention. */
   def compile(spec: SchemaSpec, value: Column, dt: DataType, ptr: Column,
-              opts: CompileOptions = CompileOptions()): Compiled = spec match {
+              opts: CompileOptions = CompileOptions()): Compiled = dt match {
+    case (_: StructType | _: ArrayType | _: MapType) if !opts.strictTypes &&
+        !spec.isInstanceOf[RefSchema] =>
+      compileTyped(spec, parse_json(to_json(value)), VariantType, ptr, opts)
+    case _ => compileTyped(spec, value, dt, ptr, opts)
+  }
+
+  private def compileTyped(spec: SchemaSpec, value: Column, dt: DataType, ptr: Column,
+                           opts: CompileOptions): Compiled = spec match {
     case r: RefSchema =>
       // A RefSchema appears only on a $ref cycle (SpecParser knot-tying);
       // an expression tree is finite, so the Catalyst paths cannot express
@@ -206,11 +225,13 @@ object Compiler {
       // JSON null (NULL element / scalar) matches only a null constant;
       // absent properties never reach here (guarded at the property site).
       val nullOk = values.contains(JNullV)
-      val ok = when(value.isNull, lit(nullOk)).otherwise(b(enumMatch(value, dt, values)))
+      val ok = when(value.isNull, lit(nullOk))
+        .otherwise(b(typedEnumMatch(value, dt, values, opts)))
       leaf(ok, ptr, lit(Messages.enumNoMatch), "enum")
 
     case ConstC(v) =>
-      val ok = when(value.isNull, lit(v == JNullV)).otherwise(b(enumMatch(value, dt, Vector(v))))
+      val ok = when(value.isNull, lit(v == JNullV))
+        .otherwise(b(typedEnumMatch(value, dt, Vector(v), opts)))
       leaf(ok, ptr, lit(Messages.constNoMatch), "const")
 
     case MinimumC(m, excl) =>
@@ -1076,6 +1097,21 @@ object Compiler {
   /** Deep-equality match of a typed column against frozen constants
     * (`basic_adapter.hpp:509-547`). Constants that cannot inhabit the
     * column's type never match. */
+  /** Enum/const match honoring the typing mode: strict uses the frozen
+    * double-space literals; weak lifts the scalar into a VARIANT (a
+    * to_json/parse_json hop) and applies the kWeakTypes equalTo rules
+    * (weakEqCol) — bool↔"true", numbers↔numeric strings, ""↔null
+    * (basic_adapter.hpp:509-547). Container types never reach here in weak
+    * mode (compile() delegates them to the variant compiler wholesale). */
+  private def typedEnumMatch(value: Column, dt: DataType, values: Vector[JsonValue],
+                             opts: CompileOptions): Column =
+    if (opts.strictTypes) enumMatch(value, dt, values)
+    else {
+      val lifted = element_at(
+        parse_json(to_json(array(value))).try_cast("array<variant>"), 1)
+      values.map(x => b(weakEqCol(lifted, x))).foldLeft(lit(false))(_ || _)
+    }
+
   private def enumMatch(value: Column, dt: DataType, values: Vector[JsonValue]): Column = {
     // Numbers compare in DOUBLE space at EVERY nesting level: the
     // reference's strict equality goes through getNumber(), which casts

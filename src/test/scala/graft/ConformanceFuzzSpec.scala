@@ -187,8 +187,8 @@ class ConformanceFuzzSpec extends SparkTestBase {
     * on the typed path, §2.1 mapping); untypeable shapes (heterogeneous
     * arrays, objects with null-valued properties) are skipped like the
     * curated harness. */
-  private def typedPasses(schemaJson: String, docs: Seq[(Int, String)])
-      : Seq[(Int, Boolean)] = {
+  private def typedPasses(schemaJson: String, docs: Seq[(Int, String)],
+                          opts: CompileOptions): Seq[(Int, Boolean)] = {
     val spec = Graft.parseSchema(schemaJson)
     val lifted: Seq[(Int, DataType, Any)] = docs.flatMap { case (i, d) =>
       val n = mapper.readTree(d)
@@ -199,7 +199,7 @@ class ConformanceFuzzSpec extends SparkTestBase {
       val st = StructType(Seq(StructField("i", IntegerType), StructField("doc", dt)))
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows.map { case (i, _, v) => Row(i, v) }), st)
-      val c = Compiler.compile(spec, col("doc"), dt, lit(""))
+      val c = Compiler.compile(spec, col("doc"), dt, lit(""), opts)
       df.select(col("i"), coalesce(c.pass, lit(true)).as("p")).collect()
         .map(r => (r.getInt(0), r.getBoolean(1))).toSeq
     }
@@ -221,7 +221,7 @@ class ConformanceFuzzSpec extends SparkTestBase {
             failures += s"schema=$schema doc=${docs(i)}: native=${native(i)} variant=${variant(i)}"
         }
         if (typed) {
-          typedPasses(schema, docs.zipWithIndex.map(_.swap)).foreach { case (i, tp) =>
+          typedPasses(schema, docs.zipWithIndex.map(_.swap), opts).foreach { case (i, tp) =>
             if (tp != native(i))
               failures += s"schema=$schema doc=${docs(i)}: typed=$tp native=${native(i)}"
           }
@@ -243,9 +243,9 @@ class ConformanceFuzzSpec extends SparkTestBase {
     cases should be >= 2000
   }
 
-  test("weak-mode fuzz: native and variant paths agree (seeded)") {
+  test("weak-mode fuzz: native, variant and typed paths agree (seeded)") {
     val (cases, failures) = runFuzz(nSchemas = 40, docsPerSchema = 25,
-      seed = 77L, opts = CompileOptions(strictTypes = false), typed = false)
+      seed = 77L, opts = CompileOptions(strictTypes = false), typed = true)
     info(s"weak fuzz: $cases cases, ${failures.size} disagreements")
     failures.take(10).foreach(f => info(s"  DISAGREE $f"))
     failures shouldBe empty
