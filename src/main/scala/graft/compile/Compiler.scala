@@ -130,9 +130,59 @@ object Compiler {
   def compile(spec: SchemaSpec, value: Column, dt: DataType, ptr: Column,
               opts: CompileOptions = CompileOptions()): Compiled = dt match {
     case (_: StructType | _: ArrayType | _: MapType) if !opts.strictTypes &&
-        !spec.isInstanceOf[RefSchema] =>
-      compileTyped(spec, parse_json(to_json(value)), VariantType, ptr, opts)
+        !spec.isInstanceOf[RefSchema] && !containsCustom(spec) =>
+      // keep strict mode's plan-time rejection of unsupported nested types
+      jsonTypeOf(dt)
+      // NULL container = JSON null (typed-path convention): coalesce the
+      // serialized form to the literal "null" so the variant path sees a
+      // JSON null, not an absent value
+      val doc = coalesce(jsonOf(value), lit("null"))
+      compileTyped(spec, parse_json(doc), VariantType, ptr, opts)
     case _ => compileTyped(spec, value, dt, ptr, opts)
+  }
+
+  /** to_json with ignoreNullFields PINNED true: the delegation contract
+    * (null struct field = absent) must not flip with the session conf
+    * `spark.sql.jsonGenerator.ignoreNullFields`. */
+  private def jsonOf(value: Column): Column = {
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("ignoreNullFields", "true")
+    to_json(value, opts)
+  }
+
+  /** Does the spec (anywhere in its graph) carry a CustomC? Those keep the
+    * legacy typed compilation in weak mode: a user's Column predicate is
+    * written against the TYPED value shape, and the variant delegation
+    * would hand it a VariantType column instead. Cycle-safe via an
+    * identity set (RefSchema knots). */
+  private def containsCustom(spec: SchemaSpec): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SchemaSpec, java.lang.Boolean]())
+    def walkS(s: SchemaSpec): Boolean =
+      if (!seen.add(s)) false
+      else s match {
+        case r: RefSchema => walkS(r.target)
+        case ConstraintSchema(cs, _, _) => cs.exists(walkC)
+        case _ => false
+      }
+    def walkC(c: Constraint): Boolean = c match {
+      case _: CustomC                 => true
+      case TypeC(_, ss)               => ss.exists(walkS)
+      case PropertiesC(ps, pps, add)  =>
+        ps.exists(p => walkS(p._2)) || pps.exists(p => walkS(p._2)) || add.exists(walkS)
+      case PropertyNamesC(s)          => walkS(s)
+      case DependenciesC(_, sd)       => sd.exists(d => walkS(d._2))
+      case ItemsC(s)                  => walkS(s)
+      case TupleItemsC(is, add)       => is.exists(walkS) || add.exists(walkS)
+      case ContainsC(s)               => walkS(s)
+      case AllOfC(ss)                 => ss.exists(walkS)
+      case AnyOfC(ss)                 => ss.exists(walkS)
+      case OneOfC(ss)                 => ss.exists(walkS)
+      case NotC(s)                    => walkS(s)
+      case CondC(i, t, e)             => walkS(i) || t.exists(walkS) || e.exists(walkS)
+      case _                          => false
+    }
+    walkS(spec)
   }
 
   private def compileTyped(spec: SchemaSpec, value: Column, dt: DataType, ptr: Column,
@@ -222,15 +272,16 @@ object Compiler {
       leaf(ok, ptr, lit(Messages.typeNotPermitted), "type")
 
     case EnumC(values) =>
-      // JSON null (NULL element / scalar) matches only a null constant;
-      // absent properties never reach here (guarded at the property site).
-      val nullOk = values.contains(JNullV)
-      val ok = when(value.isNull, lit(nullOk))
+      // JSON null (NULL element / scalar) matches a null constant — and in
+      // weak mode also "" (the nullish group of weak equalTo,
+      // basic_adapter.hpp:511-512); absent properties never reach here
+      // (guarded at the property site).
+      val ok = when(value.isNull, lit(values.exists(nullishMatch(_, opts))))
         .otherwise(b(typedEnumMatch(value, dt, values, opts)))
       leaf(ok, ptr, lit(Messages.enumNoMatch), "enum")
 
     case ConstC(v) =>
-      val ok = when(value.isNull, lit(v == JNullV))
+      val ok = when(value.isNull, lit(nullishMatch(v, opts)))
         .otherwise(b(typedEnumMatch(value, dt, Vector(v), opts)))
       leaf(ok, ptr, lit(Messages.constNoMatch), "const")
 
@@ -1094,9 +1145,12 @@ object Compiler {
   // enum / const deep equality on typed columns
   // ---------------------------------------------------------------------
 
-  /** Deep-equality match of a typed column against frozen constants
-    * (`basic_adapter.hpp:509-547`). Constants that cannot inhabit the
-    * column's type never match. */
+  /** Does a JSON-null document value match this constant? Strict: only a
+    * null constant. Weak: null and "" are one nullish group
+    * (basic_adapter.hpp:511-512). */
+  private def nullishMatch(jv: JsonValue, opts: CompileOptions): Boolean =
+    jv == JNullV || (!opts.strictTypes && jv == JStringV(""))
+
   /** Enum/const match honoring the typing mode: strict uses the frozen
     * double-space literals; weak lifts the scalar into a VARIANT (a
     * to_json/parse_json hop) and applies the kWeakTypes equalTo rules
@@ -1108,10 +1162,13 @@ object Compiler {
     if (opts.strictTypes) enumMatch(value, dt, values)
     else {
       val lifted = element_at(
-        parse_json(to_json(array(value))).try_cast("array<variant>"), 1)
+        parse_json(jsonOf(array(value))).try_cast("array<variant>"), 1)
       values.map(x => b(weakEqCol(lifted, x))).foldLeft(lit(false))(_ || _)
     }
 
+  /** Deep-equality match of a typed column against frozen constants
+    * (`basic_adapter.hpp:509-547`). Constants that cannot inhabit the
+    * column's type never match. */
   private def enumMatch(value: Column, dt: DataType, values: Vector[JsonValue]): Column = {
     // Numbers compare in DOUBLE space at EVERY nesting level: the
     // reference's strict equality goes through getNumber(), which casts

@@ -26,10 +26,10 @@ class ConformanceSpec extends SparkTestBase {
   private val mapper = new ObjectMapper()
 
 
-  /** Dynamic path: the document as an arbitrary JSON value through the
-    * VariantType compiler — no typing restrictions, nothing skipped. */
   private def infer(n: JsonNode) = TypedLift.infer(n)
 
+  /** Dynamic path: the document as an arbitrary JSON value through the
+    * VariantType compiler — no typing restrictions, nothing skipped. */
   private def runCaseVariant(schemaJson: JsonNode, data: JsonNode): Boolean = {
     val spec = SpecParser.parseNode(schemaJson)
     val df = spark.createDataFrame(

@@ -187,4 +187,45 @@ class WeakTypingSpec extends SparkTestBase {
       Graft.parseSchema("""{"const":5}"""))
       .select("pass").collect()(0).getBoolean(0) shouldBe false
   }
+
+  test("weak container delegation: empty containers cross kinds on the typed path") {
+    import org.apache.spark.sql.types._
+    // empty struct is maybeString "" (minLength applies) and maybeArray []
+    // (contains finds nothing); matches the native walker's verdicts
+    val st = StructType(Seq(StructField("doc",
+      StructType(Seq(StructField("a", LongType))))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row(null)), Row(null))), st)
+    passes("""{"minLength":1}""", df) shouldBe Seq(false, true)
+    passes("""{"contains":{}}""", df) shouldBe Seq(false, true)
+    passesNative("""{"minLength":1}""", Seq("{}", "null")) shouldBe Seq(false, true)
+    // NULL container = JSON null, NOT absent: a type constraint must fail it
+    passes("""{"type":"object"}""", df) shouldBe Seq(true, false)
+    passesNative("""{"type":"object"}""", Seq("{}", "null")) shouldBe Seq(true, false)
+  }
+
+  test("weak nullish group: JSON null matches const \"\" on all paths") {
+    val df = Seq[Option[String]](None, Some("")).map(Tuple1(_)).toDF("doc")
+    passes("""{"const":""}""", df) shouldBe Seq(true, true)
+    passes("""{"enum":[null]}""", df) shouldBe Seq(true, true)
+    passesNative("""{"const":""}""", Seq("null", "\"\"")) shouldBe Seq(true, true)
+    // strict mode keeps them distinct
+    val strictC = Compiler.compile(SpecParser.parse("""{"const":""}"""),
+      col("doc"), org.apache.spark.sql.types.StringType, lit(""))
+    df.select(coalesce(strictC.pass, lit(true))).collect()
+      .map(_.getBoolean(0)).toSeq shouldBe Seq(false, true)
+  }
+
+  test("weak mode with a CustomC spec keeps the typed value shape") {
+    import org.apache.spark.sql.types._
+    val spec = graft.spec.ConstraintSchema(Vector(graft.spec.CustomC(
+      "vIsEven", c => c.getField("v").cast("long") % 2 === 0, "v must be even")))
+    val st = StructType(Seq(StructField("doc",
+      StructType(Seq(StructField("v", LongType))))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row(4L)), Row(Row(5L)))), st)
+    val c = Compiler.compile(spec, col("doc"), st("doc").dataType, lit(""), weak)
+    df.select(coalesce(c.pass, lit(true))).collect()
+      .map(_.getBoolean(0)).toSeq shouldBe Seq(true, false)
+  }
 }
