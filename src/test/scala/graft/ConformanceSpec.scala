@@ -30,8 +30,9 @@ class ConformanceSpec extends SparkTestBase {
 
   /** Dynamic path: the document as an arbitrary JSON value through the
     * VariantType compiler — no typing restrictions, nothing skipped. */
-  private def runCaseVariant(schemaJson: JsonNode, data: JsonNode): Boolean = {
-    val spec = SpecParser.parseNode(schemaJson)
+  private def runCaseVariant(schemaJson: JsonNode, data: JsonNode,
+                             ext: Map[String, String] = Map.empty): Boolean = {
+    val spec = SpecParser.parseNode(schemaJson, ext)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(data.toString))),
       StructType(Seq(StructField("j", StringType))))
@@ -40,8 +41,9 @@ class ConformanceSpec extends SparkTestBase {
   }
 
   /** Native single-pass path: the ValidateVariantExpr document walk. */
-  private def runCaseNative(schemaJson: JsonNode, data: JsonNode): (Boolean, Seq[(String, String)]) = {
-    val spec = SpecParser.parseNode(schemaJson)
+  private def runCaseNative(schemaJson: JsonNode, data: JsonNode,
+                            ext: Map[String, String] = Map.empty): (Boolean, Seq[(String, String)]) = {
+    val spec = SpecParser.parseNode(schemaJson, ext)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(data.toString))),
       StructType(Seq(StructField("j", StringType))))
@@ -50,8 +52,9 @@ class ConformanceSpec extends SparkTestBase {
     (r.getBoolean(0), r.getSeq[Row](1).map(x => (x.getString(0), x.getString(1))))
   }
 
-  private def runCase(schemaJson: JsonNode, data: JsonNode): Option[Boolean] = {
-    val spec = SpecParser.parseNode(schemaJson)
+  private def runCase(schemaJson: JsonNode, data: JsonNode,
+                      ext: Map[String, String] = Map.empty): Option[Boolean] = {
+    val spec = SpecParser.parseNode(schemaJson, ext)
     infer(data).map {
       case (st: StructType, row: Row) =>
         val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(row)), st)
@@ -66,13 +69,22 @@ class ConformanceSpec extends SparkTestBase {
     }
   }
 
-  private def forEachCase(f: (String, String, JsonNode, JsonNode, Boolean) => Unit): Unit = {
+  /** Optional per-group `externalDocs` map — the remote-$ref surface (the
+    * reference's fetchDocument callback, schema_parser.hpp:143-158),
+    * resolved offline from the group's own fixture map. */
+  private def extDocsOf(g: JsonNode): Map[String, String] =
+    Option(g.get("externalDocs")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.toString).toMap).getOrElse(Map.empty)
+
+  private def forEachCase(
+      f: (String, Map[String, String], JsonNode, JsonNode, Boolean) => Unit): Unit = {
     val dir = new java.io.File(getClass.getResource("/conformance").toURI)
     dir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName).foreach { file =>
       mapper.readTree(file).elements().asScala.foreach { g =>
+        val ext = extDocsOf(g)
         g.get("tests").elements().asScala.foreach { t =>
           f(s"${file.getName}: ${g.get("description").asText()} / ${t.get("description").asText()}",
-            g.get("description").asText(), g.get("schema"), t.get("data"),
+            ext, g.get("schema"), t.get("data"),
             t.get("valid").asBoolean())
         }
       }
@@ -82,9 +94,9 @@ class ConformanceSpec extends SparkTestBase {
   test("conformance suite: typed-column path (JSON-Schema-Test-Suite format)") {
     var total = 0; var passed = 0; var skipped = 0
     val failures = scala.collection.mutable.ArrayBuffer[String]()
-    forEachCase { (label, _, schema, data, want) =>
+    forEachCase { (label, ext, schema, data, want) =>
       total += 1
-      try runCase(schema, data) match {
+      try runCase(schema, data, ext) match {
         case None => skipped += 1
         case Some(got) =>
           if (got == want) passed += 1
@@ -106,10 +118,10 @@ class ConformanceSpec extends SparkTestBase {
     // Those cases are the only permitted skips.
     var total = 0; var passed = 0; var cyclicSkipped = 0
     val failures = scala.collection.mutable.ArrayBuffer[String]()
-    forEachCase { (label, _, schema, data, want) =>
+    forEachCase { (label, ext, schema, data, want) =>
       total += 1
       try {
-        val got = runCaseVariant(schema, data)
+        val got = runCaseVariant(schema, data, ext)
         if (got == want) passed += 1
         else failures += s"$label: got $got want $want"
       } catch {
@@ -128,9 +140,9 @@ class ConformanceSpec extends SparkTestBase {
   test("conformance suite: native single-pass validator (no skips)") {
     var total = 0; var passed = 0
     val failures = scala.collection.mutable.ArrayBuffer[String]()
-    forEachCase { (label, _, schema, data, want) =>
+    forEachCase { (label, ext, schema, data, want) =>
       total += 1
-      val (got, _) = runCaseNative(schema, data)
+      val (got, _) = runCaseNative(schema, data, ext)
       if (got == want) passed += 1
       else failures += s"$label: got $got want $want"
     }
