@@ -562,6 +562,31 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    "q_image_meta" -> ((s, dir) => { implicit val sp = s
+      // real multimodal header parsing (no codec): synthesize valid
+      // PNG/GIF/JPEG container headers with closed-form dimensions, parse
+      // them with the codegen'd ImageDimsExpr, and let DuckDB recompute the
+      // expected (format, width, height) directly from event_id
+      val w = (lit(16) + pmod(col("event_id"), lit(2000))).cast("int")
+      val h = (lit(16) + pmod(col("event_id") * 7, lit(1000))).cast("int")
+      def beHex(v: Column, digits: Int) = lpad(hex(v), digits, "0")
+      def le16Hex(v: Column) = concat(
+        beHex(pmod(v, lit(256)), 2), beHex(floor(v / lit(256)).cast("int"), 2))
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        beHex(w, 8), beHex(h, 8), lit("08060000001A2B3C4D"))
+      val gif = concat(lit("474946383961"), le16Hex(w), le16Hex(h), lit("F70000"))
+      // APP0 len 0x0010 = 2-byte len + 14 payload bytes (JFIF\0, version,
+      // units, densities, thumb dims), then SOF0 carrying the dimensions
+      val jpeg = concat(lit("FFD8FFE000104A46494600010100000100010000"),
+        lit("FFC0000B08"), beHex(h, 4), beHex(w, 4), lit("01110011FFD9"))
+      val payload = unhex(when(pmod(col("event_id"), lit(3)) === 0, png)
+        .when(pmod(col("event_id"), lit(3)) === 1, gif).otherwise(jpeg))
+      t(dir, "events").select(col("event_id"),
+          graft.ops.Multimodal.imageMeta(payload).as("m"))
+        .select(col("event_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+    }),
+
     "q_streaming_verdicts" -> ((s, dir) => { implicit val sp = s
       // Structured Streaming face (§2.5): readStream over the events
       // parquet, stateless validation + windowed verdict aggregation,
@@ -1081,6 +1106,14 @@ object SparkEntry {
          FROM capped a JOIN capped b
            ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
          WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+
+    "q_image_meta" ->
+      """SELECT event_id,
+                CASE event_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                     ELSE 'jpeg' END AS format,
+                CAST(16 + event_id % 2000 AS INT) AS width,
+                CAST(16 + (event_id * 7) % 1000 AS INT) AS height
+         FROM events""",
 
     "q_streaming_verdicts" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,

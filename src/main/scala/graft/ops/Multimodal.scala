@@ -80,6 +80,14 @@ object Multimodal {
       .drop("bytes")
   }
 
+  /** REAL header metadata (no codec needed): parse PNG/GIF/BMP/JPEG
+    * container headers for format + dimensions via the codegen'd
+    * [[graft.functions.ImageDimsExpr]] — the filter/partition columns of a
+    * media pipeline come from headers, not pixel decode. NULL for
+    * unrecognized/truncated payloads. */
+  def imageMeta(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ImageDimsExpr.imageDims(bytes)
+
   /** Resize plumbing: metadata transform (target dims recorded, payload
     * untouched by the stub). */
   def resizePlan(assets: DataFrame, maxSide: Int): DataFrame = {

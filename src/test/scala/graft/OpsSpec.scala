@@ -190,5 +190,44 @@ class OpsSpec extends SparkTestBase {
     rs.agg(max(greatest(col("target_width"), col("target_height")))).head().getInt(0) should be <= 32
   }
 
+  test("multimodal: container header parsing (png/gif/bmp/jpeg, no codec)") {
+    import graft.functions.ImageDimsExpr
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def dims(b: Array[Byte]): Option[(String, Int, Int)] =
+      Option(ImageDimsExpr.parse(b)).map(r =>
+        (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
+
+    // PNG: signature + IHDR, 640x480
+    dims(hex("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0806000000")) shouldBe
+      Some(("png", 640, 480))
+    // GIF89a little-endian 320x200
+    dims(hex("474946383961 4001 C800 F70000")) shouldBe Some(("gif", 320, 200))
+    // BMP little-endian 100x50, and top-down (negative height) 100x50
+    dims(hex("424D 00000000 00000000 00000000 28000000 64000000 32000000 0100")) shouldBe
+      Some(("bmp", 100, 50))
+    dims(hex("424D 00000000 00000000 00000000 28000000 64000000 CEFFFFFF 0100")) shouldBe
+      Some(("bmp", 100, 50))
+    // JPEG: APP0 + fill bytes before SOF0, 1024x768
+    dims(hex("FFD8 FFE00010 4A46494600010100000100010000 FFFF FFC0000B08 0300 0400 01110011 FFD9")) shouldBe
+      Some(("jpeg", 1024, 768))
+    // JPEG progressive (SOF2)
+    dims(hex("FFD8 FFC2000B08 0010 0020 01110011 FFD9")) shouldBe Some(("jpeg", 32, 16))
+    // DHT (C4) must be skipped, not treated as SOF
+    dims(hex("FFD8 FFC40004 0000 FFC0000B08 0008 0009 01110011 FFD9")) shouldBe
+      Some(("jpeg", 9, 8))
+    // rejects: truncated PNG, EOI-before-SOF, garbage
+    dims(hex("89504E470D0A1A0A 0000000D 494844")) shouldBe None
+    dims(hex("FFD8FFD9")) shouldBe None
+    dims(hex("DEADBEEF00112233445566778899AABBCCDDEEFF0011223344556677")) shouldBe None
+
+    // the Column surface parses inside a projection (codegen'd)
+    import spark.implicits._
+    val df = Seq(Tuple1(hex("474946383961 4001 C800 F70000"))).toDF("payload")
+    val got = df.select(Multimodal.imageMeta(col("payload")).as("m"))
+      .select("m.format", "m.width", "m.height").head()
+    (got.getString(0), got.getInt(1), got.getInt(2)) shouldBe ("gif", 320, 200)
+  }
+
   private def fn_len(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.length(c)
 }
