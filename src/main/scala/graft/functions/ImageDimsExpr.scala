@@ -65,16 +65,31 @@ object ImageDimsExpr {
     def le32(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
 
     if (b.length >= 24 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G' &&
-        u(4) == 0x0D && u(5) == 0x0A && u(6) == 0x1A && u(7) == 0x0A)
-      // 8-byte signature, 4-byte IHDR length, "IHDR", then BE32 w, h
-      row("png", be32(16), be32(20))
-    else if (b.length >= 10 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
+        u(4) == 0x0D && u(5) == 0x0A && u(6) == 0x1A && u(7) == 0x0A) {
+      // 8-byte signature, then the IHDR chunk MUST be first: 4-byte length
+      // 13, type "IHDR", then BE32 w, h (both positive per spec)
+      if (be32(8) != 13 || u(12) != 'I' || u(13) != 'H' || u(14) != 'D' || u(15) != 'R')
+        return null
+      val w = be32(16); val h = be32(20)
+      if (w <= 0 || h <= 0) null else row("png", w, h)
+    } else if (b.length >= 10 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
         u(3) == '8' && (u(4) == '7' || u(4) == '9') && u(5) == 'a')
       row("gif", le16(6), le16(8))
-    else if (b.length >= 26 && u(0) == 'B' && u(1) == 'M')
-      // BITMAPINFOHEADER; height may be negative (top-down rows)
-      row("bmp", le32(18), math.abs(le32(22)))
-    else if (b.length >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
+    else if (b.length >= 26 && u(0) == 'B' && u(1) == 'M') {
+      // dispatch on the DIB header size at offset 14: 12 = BITMAPCOREHEADER
+      // (LE16 dims), 40/52/56/108/124 = BITMAPINFOHEADER family (LE32 dims,
+      // height may be negative = top-down rows); anything else is not a BMP
+      le32(14) match {
+        case 12 =>
+          val w = le16(18); val h = le16(20)
+          if (w <= 0 || h <= 0) null else row("bmp", w, h)
+        case 40 | 52 | 56 | 108 | 124 =>
+          val w = le32(18); val h0 = le32(22)
+          if (w <= 0 || h0 == 0 || h0 == Int.MinValue) null
+          else row("bmp", w, math.abs(h0))
+        case _ => null
+      }
+    } else if (b.length >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
       // JPEG: scan segment markers for a start-of-frame (SOFn except the
       // DHT/JPG/DAC codes C4/C8/CC); tolerate fill bytes (repeated FF)
       var i = 2

@@ -216,8 +216,17 @@ class OpsSpec extends SparkTestBase {
     // DHT (C4) must be skipped, not treated as SOF
     dims(hex("FFD8 FFC40004 0000 FFC0000B08 0008 0009 01110011 FFD9")) shouldBe
       Some(("jpeg", 9, 8))
-    // rejects: truncated PNG, EOI-before-SOF, garbage
+    // BITMAPCOREHEADER (OS/2) with LE16 dims
+    dims(hex("424D 00000000 00000000 00000000 0C000000 6400 3200 0100 1800")) shouldBe
+      Some(("bmp", 100, 50))
+    // rejects: truncated PNG, PNG sig with a non-IHDR first chunk,
+    // 'BM'-prefixed non-BMP blob, Int.MinValue BMP height,
+    // EOI-before-SOF, garbage
     dims(hex("89504E470D0A1A0A 0000000D 494844")) shouldBe None
+    dims(hex("89504E470D0A1A0A 00000004 67414D41 00000280 000001E0 08")) shouldBe None
+    dims(("424D" + "2073616C657320666967757265732032303236206172652075702E").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray.take(30).padTo(30, 0.toByte)) shouldBe None
+    dims(hex("424D 00000000 00000000 00000000 28000000 64000000 00000080 0100")) shouldBe None
     dims(hex("FFD8FFD9")) shouldBe None
     dims(hex("DEADBEEF00112233445566778899AABBCCDDEEFF0011223344556677")) shouldBe None
 
