@@ -587,6 +587,31 @@ object SparkEntry {
           col("m.width").as("width"), col("m.height").as("height"))
     }),
 
+    "q_audio_meta" -> ((s, dir) => { implicit val sp = s
+      // audio sibling of q_image_meta: synthesize valid WAV headers (with a
+      // leading JUNK chunk so the fmt scan is exercised) carrying
+      // closed-form channels/rate/bits; DuckDB recomputes them directly
+      val ch = (lit(1) + pmod(col("event_id"), lit(2))).cast("int")
+      val rate = (lit(8000) + pmod(col("event_id"), lit(441)) * 100).cast("int")
+      val bits = (lit(8) * (lit(1) + pmod(col("event_id"), lit(3)))).cast("int")
+      def le16Hex(v: Column) = concat(
+        lpad(hex(pmod(v, lit(256))), 2, "0"),
+        lpad(hex(floor(v / lit(256)).cast("int")), 2, "0"))
+      def le32Hex(v: Column) = concat(le16Hex(pmod(v, lit(65536))),
+        le16Hex(floor(v / lit(65536)).cast("int")))
+      val payload = unhex(concat(
+        lit("52494646" + "24000000" + "57415645"),          // RIFF size WAVE
+        lit("4A554E4B" + "04000000" + "DEADBEEF"),          // JUNK chunk
+        lit("666D7420" + "10000000" + "0100"),              // fmt , 16, PCM
+        le16Hex(ch), le32Hex(rate), le32Hex(rate * ch),     // byteRate approx
+        lit("0200"), le16Hex(bits)))
+      t(dir, "events").select(col("event_id"),
+          graft.ops.Multimodal.audioMeta(payload).as("m"))
+        .select(col("event_id"), col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"), col("m.bits").as("bits"))
+    }),
+
     "q_streaming_verdicts" -> ((s, dir) => { implicit val sp = s
       // Structured Streaming face (§2.5): readStream over the events
       // parquet, stateless validation + windowed verdict aggregation,
@@ -1113,6 +1138,13 @@ object SparkEntry {
                      ELSE 'jpeg' END AS format,
                 CAST(16 + event_id % 2000 AS INT) AS width,
                 CAST(16 + (event_id * 7) % 1000 AS INT) AS height
+         FROM events""",
+
+    "q_audio_meta" ->
+      """SELECT event_id, 'wav' AS format,
+                CAST(1 + event_id % 2 AS INT) AS channels,
+                CAST(8000 + (event_id % 441) * 100 AS INT) AS sample_rate,
+                CAST(8 * (1 + event_id % 3) AS INT) AS bits
          FROM events""",
 
     "q_streaming_verdicts" ->

@@ -88,6 +88,12 @@ object Multimodal {
   def imageMeta(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.ImageDimsExpr.imageDims(bytes)
 
+  /** REAL audio header metadata: WAV fmt-chunk scan (channels, sample
+    * rate, bit depth) via the codegen'd
+    * [[graft.functions.AudioMetaExpr]]. */
+  def audioMeta(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.AudioMetaExpr.audioMeta(bytes)
+
   /** Resize plumbing: metadata transform (target dims recorded, payload
     * untouched by the stub). */
   def resizePlan(assets: DataFrame, maxSide: Int): DataFrame = {

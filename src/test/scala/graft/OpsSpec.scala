@@ -238,5 +238,27 @@ class OpsSpec extends SparkTestBase {
     (got.getString(0), got.getInt(1), got.getInt(2)) shouldBe ("gif", 320, 200)
   }
 
+  test("multimodal: WAV audio header parsing via fmt-chunk scan") {
+    import graft.functions.AudioMetaExpr
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def meta(b: Array[Byte]): Option[(String, Int, Int, Int)] =
+      Option(AudioMetaExpr.parse(b)).map(r =>
+        (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3)))
+
+    // canonical 16-bit stereo 44100 Hz PCM
+    meta(hex("52494646 24000000 57415645 666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000")) shouldBe
+      Some(("wav", 2, 44100, 16))
+    // fmt found after an odd-sized chunk (exercises 2-byte alignment)
+    meta(hex("52494646 24000000 57415645 4C495354 03000000 414243 00" +
+             "666D7420 10000000 0100 0100 803E0000 007D0000 0200 0800")) shouldBe
+      Some(("wav", 1, 16000, 8))
+    // rejects: RIFF but not WAVE, truncated fmt, missing fmt, zero channels
+    meta(hex("52494646 24000000 41564920 666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000")) shouldBe None
+    meta(hex("52494646 24000000 57415645 666D7420 10000000 0100 0200 44AC")) shouldBe None
+    meta(hex("52494646 24000000 57415645 64617461 04000000 00000000")) shouldBe None
+    meta(hex("52494646 24000000 57415645 666D7420 10000000 0100 0000 44AC0000 10B10200 0400 1000")) shouldBe None
+  }
+
   private def fn_len(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.length(c)
 }
