@@ -548,12 +548,17 @@ object Compiler {
     case UniqueItemsC => dt match {
       case ArrayType(et, _) =>
         // Pairwise deep-equality (validation_visitor.hpp:1362-1399) — O(n²)
-        // like the reference, but only within one row's array. Variant
-        // elements compare through their canonical JSON rendering.
+        // like the reference, but only within one row's array. Equality is
+        // the reference's strict equalTo: numbers in DOUBLE space at every
+        // level (basic_adapter.hpp:515-516,633-651) — variant elements via
+        // the native VariantEqExpr, typed elements via a doubleSpace cast.
+        val cmp = if (et == VariantType || doubleSpace(et) == et) value
+                  else value.cast(doubleSpace(dt))
         def deepEq(x: Column, y: Column): Column =
-          if (et == VariantType) to_json(x) <=> to_json(y) else x <=> y
-        val pairViols = flatten(transform(value, (x, i) =>
-          filter(transform(value, (y, j) =>
+          if (et == VariantType) graft.functions.VariantEqExpr.variantEq(x, y)
+          else x <=> y
+        val pairViols = flatten(transform(cmp, (x, i) =>
+          filter(transform(cmp, (y, j) =>
             when(j > i && deepEq(x, y),
               struct(ptr.as("json_pointer"),
                 concat(lit("Elements at indexes #"), i.cast(StringType), lit(" and #"),
@@ -562,7 +567,7 @@ object Compiler {
             v => v.isNotNull)))
         val ok =
           if (et == VariantType) value.isNull || size(pairViols) === 0
-          else value.isNull || size(value) === size(array_distinct(value))
+          else value.isNull || size(cmp) === size(array_distinct(cmp))
         Compiled(b(ok), when(value.isNull, emptyViols).otherwise(pairViols.cast(violationArrayType)))
       case _ => alwaysTrue
     }

@@ -305,36 +305,8 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
 
   /** Deep equality (basic_adapter.hpp:509-547, strict): numbers as doubles,
     * arrays ordered, objects key-unordered. */
-  private def deepEq(a: Variant, b: Variant): Boolean = {
-    if (isNullT(a) || isNullT(b)) return isNullT(a) && isNullT(b)
-    if (isBool(a) || isBool(b))
-      return isBool(a) && isBool(b) && a.getBoolean == b.getBoolean
-    if (isNumber(a) || isNumber(b))
-      return isNumber(a) && isNumber(b) && asDouble(a) == asDouble(b)
-    if (isString(a) || isString(b))
-      return isString(a) && isString(b) && a.getString == b.getString
-    if (isArray(a) || isArray(b)) {
-      if (!(isArray(a) && isArray(b)) || a.arraySize() != b.arraySize()) return false
-      var i = 0
-      while (i < a.arraySize()) {
-        if (!deepEq(a.getElementAtIndex(i), b.getElementAtIndex(i))) return false
-        i += 1
-      }
-      return true
-    }
-    if (isObject(a) && isObject(b)) {
-      if (a.objectSize() != b.objectSize()) return false
-      var i = 0
-      while (i < a.objectSize()) {
-        val f = a.getFieldAtIndex(i)
-        val other = b.getFieldByKey(f.key)
-        if (other == null || !deepEq(f.value, other)) return false
-        i += 1
-      }
-      return true
-    }
-    false
-  }
+  private def deepEq(a: Variant, b: Variant): Boolean =
+    VariantValidator.strictDeepEq(a, b)
 
   private def eqJson(v: Variant, jv: JsonValue): Boolean = jv match {
     case JNullV      => isNullT(v)
@@ -549,10 +521,11 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
               i += 1
             }
           case None =>
-            // reject first unexpected property (VV:1160-1177)
+            // reject first unexpected property (VV:1160-1177); objSizeW,
+            // not objectSize: weak mode admits empty arrays as objects
             var i = 0
             var unwanted: String = null
-            while (i < v.objectSize() && unwanted == null) {
+            while (i < objSizeW(v) && unwanted == null) {
               val f = v.getFieldAtIndex(i)
               if (!matched.contains(f.key)) unwanted = f.key
               i += 1
@@ -854,6 +827,57 @@ private[graft] object Formats {
 
 object VariantValidator {
 
+  /** Strict deep equality between two RUNTIME variants — the reference's
+    * `equalTo(strict=true)` with numbers in DOUBLE space (getNumber casts
+    * int64 to double, basic_adapter.hpp:515-516,633-651). Shared by the
+    * native walker's uniqueItems and the Catalyst variant path's
+    * [[VariantEqExpr]] so both collapse `7` vs `7.0` and adjacent int64s
+    * beyond 2^53 identically. */
+  private[graft] def strictDeepEq(a: Variant, b: Variant): Boolean = {
+    import org.apache.spark.types.variant.VariantUtil.Type._
+    def isNum(v: Variant) = v.getType match {
+      case LONG | DOUBLE | DECIMAL | FLOAT => true
+      case _ => false
+    }
+    def dbl(v: Variant): Double = v.getType match {
+      case LONG    => v.getLong.toDouble
+      case DOUBLE  => v.getDouble
+      case FLOAT   => v.getFloat.toDouble
+      case DECIMAL => v.getDecimal.doubleValue()
+      case _       => Double.NaN
+    }
+    if (a.getType == NULL || b.getType == NULL)
+      return a.getType == NULL && b.getType == NULL
+    if (a.getType == BOOLEAN || b.getType == BOOLEAN)
+      return a.getType == BOOLEAN && b.getType == BOOLEAN && a.getBoolean == b.getBoolean
+    if (isNum(a) || isNum(b))
+      return isNum(a) && isNum(b) && dbl(a) == dbl(b)
+    if (a.getType == STRING || b.getType == STRING)
+      return a.getType == STRING && b.getType == STRING && a.getString == b.getString
+    if (a.getType == ARRAY || b.getType == ARRAY) {
+      if (!(a.getType == ARRAY && b.getType == ARRAY) ||
+          a.arraySize() != b.arraySize()) return false
+      var i = 0
+      while (i < a.arraySize()) {
+        if (!strictDeepEq(a.getElementAtIndex(i), b.getElementAtIndex(i))) return false
+        i += 1
+      }
+      return true
+    }
+    if (a.getType == OBJECT && b.getType == OBJECT) {
+      if (a.objectSize() != b.objectSize()) return false
+      var i = 0
+      while (i < a.objectSize()) {
+        val f = a.getFieldAtIndex(i)
+        val other = b.getFieldByKey(f.key)
+        if (other == null || !strictDeepEq(f.value, other)) return false
+        i += 1
+      }
+      return true
+    }
+    false
+  }
+
   /** Wrap a bare string as a variant value (StdStringAdapter analog) so
     * propertyNames subschemas get the full walker. */
   private[functions] def stringVariant(s: String): Variant = {
@@ -915,4 +939,42 @@ object VariantValidator {
     }
     walk(s)
   }
+}
+
+/** Strict deep equality of two runtime variant values — Boolean,
+  * whole-stage codegen'd; used by the Catalyst variant path's uniqueItems
+  * so element equality matches the native walker (numbers in double
+  * space) instead of comparing canonical JSON text. */
+case class VariantEqExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == VariantType && right.dataType == VariantType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"variant_eq requires variant inputs, got ${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VariantEqExpr.eq(a.asInstanceOf[VariantVal], b.asInstanceOf[VariantVal])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VariantEqExpr.eq($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VariantEqExpr = copy(left = newLeft, right = newRight)
+}
+
+object VariantEqExpr {
+  /** Called from both interpreted eval and generated code. */
+  def eq(a: VariantVal, b: VariantVal): Boolean =
+    VariantValidator.strictDeepEq(
+      new Variant(a.getValue, a.getMetadata), new Variant(b.getValue, b.getMetadata))
+
+  def variantEq(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(VariantEqExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(x),
+      org.apache.spark.sql.GraftSqlBridge.expression(y)))
 }

@@ -235,8 +235,8 @@ class ConformanceFuzzSpec extends SparkTestBase {
   }
 
   test("strict-mode fuzz: native, variant and typed paths agree (seeded)") {
-    val (cases, failures) = runFuzz(nSchemas = 80, docsPerSchema = 25,
-      seed = 20260816L, opts = CompileOptions(), typed = true)
+    val (cases, failures) = runFuzz(nSchemas = 120, docsPerSchema = 25,
+      seed = 99990817L, opts = CompileOptions(), typed = true)
     info(s"strict fuzz: $cases cases, ${failures.size} disagreements")
     failures.take(10).foreach(f => info(s"  DISAGREE $f"))
     failures shouldBe empty
@@ -244,8 +244,8 @@ class ConformanceFuzzSpec extends SparkTestBase {
   }
 
   test("weak-mode fuzz: native, variant and typed paths agree (seeded)") {
-    val (cases, failures) = runFuzz(nSchemas = 40, docsPerSchema = 25,
-      seed = 77L, opts = CompileOptions(strictTypes = false), typed = true)
+    val (cases, failures) = runFuzz(nSchemas = 60, docsPerSchema = 25,
+      seed = 88880817L, opts = CompileOptions(strictTypes = false), typed = true)
     info(s"weak fuzz: $cases cases, ${failures.size} disagreements")
     failures.take(10).foreach(f => info(s"  DISAGREE $f"))
     failures shouldBe empty

@@ -216,6 +216,13 @@ class WeakTypingSpec extends SparkTestBase {
       .map(_.getBoolean(0)).toSeq shouldBe Seq(false, true)
   }
 
+  test("weak mode: additionalProperties-false scan tolerates maybeObject arrays") {
+    // regression: the reject-first-unexpected branch called objectSize()
+    // unguarded, crashing on weak-mode empty arrays admitted by maybeObject
+    passesNative("""{"properties":{"a":{}},"additionalProperties":false}""",
+      Seq("[]", "{}", """{"b":1}""")) shouldBe Seq(true, true, false)
+  }
+
   test("weak mode with a CustomC spec keeps the typed value shape") {
     import org.apache.spark.sql.types._
     val spec = graft.spec.ConstraintSchema(Vector(graft.spec.CustomC(
