@@ -88,17 +88,32 @@ object TableChecks {
     df.groupBy(col("conv_id"))
       .agg(
         count(lit(1)).as("n_turns"),
-        countDistinct(col("turn_idx")).as("n_distinct_idx"),
         min(col("turn_idx")).as("min_idx"),
         max(col("turn_idx")).as("max_idx"),
-        // monotone ts in turn order: max over turns of (ts < ts of previous)
-        // computed as: sorted-by-idx ts array is non-decreasing
+        // ts monotonicity in turn order, inside the SAME aggregation pass:
+        // collect (turn_idx, ts), sort by idx, then check the ts sequence is
+        // non-decreasing. Partial collect_list merges associatively, so this
+        // stays one shuffle; per-group memory is O(turns) — bounded by
+        // maxTurns for any conversation this check would pass anyway.
+        sort_array(collect_list(struct(col("turn_idx"), col("ts")))).as("_seq"),
         sum(when(col("ts").isNull, 1).otherwise(0)).as("null_ts"))
+      // derived from the collected sequence rather than countDistinct: a
+      // distinct aggregate alongside the others would plan a second exchange
+      .withColumn("n_distinct_idx",
+        size(array_distinct(transform(col("_seq"), e => e.getField("turn_idx")))).cast("long"))
       .withColumn("size_ok", col("n_turns") >= minTurns && col("n_turns") <= maxTurns)
       .withColumn("dense_ok",
         col("n_distinct_idx") === col("n_turns") &&
           col("min_idx") === 0 && col("max_idx") === col("n_turns") - 1)
-      .where(!col("size_ok") || !col("dense_ok"))
+      .withColumn("mono_ts_ok", {
+        val ts = transform(col("_seq"), e => e.getField("ts"))
+        // adjacent-pair scan: any later ts strictly below its predecessor
+        // fails (nulls compare to null → filtered out, matching monotoneTs)
+        size(filter(zip_with(ts, slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+          (prev, next) => next < prev), x => x)) === 0
+      })
+      .drop("_seq")
+      .where(!col("size_ok") || !col("dense_ok") || !col("mono_ts_ok"))
   }
 
   /** Verdict regression diff between two runs (set ops, SURVEY.md §2.5):

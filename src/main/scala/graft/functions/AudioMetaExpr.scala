@@ -70,7 +70,12 @@ object AudioMetaExpr {
         if (channels <= 0 || rate <= 0 || bits <= 0) return null
         return InternalRow(UTF8String.fromString("wav"), channels, rate, bits)
       }
-      i += 8 + size + (size & 1) // chunks are 2-byte aligned
+      // advance in LONG space: a corrupt size near Int.MaxValue passes the
+      // size<0 check but would wrap `i` negative in int arithmetic and read
+      // b(negative) — same overflow hardening as ImageDimsExpr's BMP height
+      val next = i.toLong + 8L + size.toLong + (size & 1).toLong
+      if (next > b.length) return null
+      i = next.toInt
     }
     null
   }

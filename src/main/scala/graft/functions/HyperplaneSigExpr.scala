@@ -57,15 +57,20 @@ object HyperplaneSigExpr {
     var i = 0
     while (i < planes.length) {
       val p = planes(i)
-      val n = if (nElems < p.length) nElems else p.length
-      var acc = 0.0d
-      var j = 0
-      while (j < n) {
-        // float multiply, double accumulate — matches zip_with + aggregate
-        acc += (arr.getFloat(j) * p(j)).toDouble
-        j += 1
+      // ragged input (length != plane dim): the HOF formulation's zip_with
+      // null-pads the shorter side, the null element nulls the aggregate, and
+      // `null >= 0` leaves the bit unset — mirror that instead of a partial dot
+      if (nElems == p.length) {
+        val n = p.length
+        var acc = 0.0d
+        var j = 0
+        while (j < n) {
+          // float multiply, double accumulate — matches zip_with + aggregate
+          acc += (arr.getFloat(j) * p(j)).toDouble
+          j += 1
+        }
+        if (acc >= 0) sig |= 1L << i
       }
-      if (acc >= 0) sig |= 1L << i
       i += 1
     }
     sig

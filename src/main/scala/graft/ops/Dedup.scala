@@ -169,6 +169,89 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // --- incremental dedup against a persisted signature table -----------------
+
+  /** Persist a corpus's MinHash-LSH banded layout, Hive-partitioned by
+    * (band, bhp) where `bhp` is a 6-bit band-hash prefix — the production
+    * append-only dedup shape: signatures, band keys and the normalized text
+    * needed for exact verification are written ONCE; each increment then
+    * probes only the directories matching its own band keys instead of
+    * rescanning (or re-hashing) the corpus. bands × 64 directories keeps
+    * per-directory file counts sane at 100 TB while still pruning ~98% of
+    * the layout for a small increment. */
+  def writeMinhashLshTable(df: DataFrame, idCol: String, textCol: String,
+                           path: String, numHashes: Int = 32, bands: Int = 8,
+                           shingleK: Int = 8): Unit = {
+    val rowsPerBand = numHashes / bands
+    df.select(col(idCol).as("id"), TextAnalysis.normalizeText(col(textCol)).as("norm"))
+      .withColumn("sig",
+        graft.functions.MinHashExpr.minhash(col("norm"), shingleK, numHashes))
+      .where(col("sig").isNotNull)
+      .select(col("id"), col("sig"), col("norm"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("norm"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .withColumn("bhp", pmod(col("bh"), lit(64)).cast("int"))
+      .write.mode("overwrite").partitionBy("band", "bhp").parquet(path)
+  }
+
+  /** Near-dup pairs of an INCREMENT against a persisted corpus LSH table —
+    * without rescanning the corpus. The increment's band keys are computed
+    * in one projection; its distinct (band, bhp) prefix set (≤ bands×64
+    * values, collected driver-side — tiny by construction, this is the
+    * probe's partition-pruning predicate, not data) restricts the corpus
+    * read to matching directories (PartitionFilters asserted in PlanSpec).
+    * Candidates join on the exact (band, bh) key, est-Jaccard prunes at
+    * half the threshold, exact shingle-Jaccard verifies — same coverage
+    * bounds as [[minhashNearDupsVerified]] (banding recall at the corpus's
+    * similarity gap; `maxBucketSize` caps the CORPUS side of a band bucket,
+    * auditable via [[overfullBuckets]] on the table).
+    *
+    * Output: (id_a = increment id, id_b = corpus id, true J >= threshold). */
+  def incrementalNearDups(increment: DataFrame, idCol: String, textCol: String,
+                          lshTablePath: String,
+                          numHashes: Int = 32, bands: Int = 8,
+                          jaccardThreshold: Double = 0.5,
+                          shingleK: Int = 8,
+                          maxBucketSize: Int = 256): DataFrame = {
+    val spark = increment.sparkSession
+    val rowsPerBand = numHashes / bands
+    val base = increment.select(col(idCol).as("id"),
+        TextAnalysis.normalizeText(col(textCol)).as("norm"))
+      .localCheckpoint(false) // one scan of the increment, reused for verify
+    val banded = base
+      .withColumn("sig",
+        graft.functions.MinHashExpr.minhash(col("norm"), shingleK, numHashes))
+      .where(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .localCheckpoint(false)
+    // the probe's pruning key set: ≤ bands × 64 (band, prefix) values
+    val probeKeys = banded
+      .select((col("band") * 64 + pmod(col("bh"), lit(64))).cast("int").as("k"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpus0 = spark.read.parquet(lshTablePath)
+      .where((col("band") * 64 + col("bhp")).isin(probeKeys: _*))
+    val corpus = capBuckets(corpus0, Seq("band", "bh"), maxBucketSize)
+    val cands = banded.as("a")
+      .join(corpus.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .where((aggregate(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes) >= jaccardThreshold / 2)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("b.norm").as("_nb"))
+      .dropDuplicates("id_a", "id_b")
+    // exact shingle verification: increment shingles computed only for
+    // candidate ids; corpus norms already rode along from the pruned read
+    val incSh = base.select(col("id").as("id_a"),
+      array_distinct(TextAnalysis.shinglesOfNorm(col("norm"), shingleK)).as("_sa"))
+    cands.join(incSh, "id_a")
+      .withColumn("_sb", array_distinct(TextAnalysis.shinglesOfNorm(col("_nb"), shingleK)))
+      .where(size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+        size(array_union(col("_sa"), col("_sb"))).cast("double") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Drop over-full LSH buckets before the self-join. A band hash shared by
     * thousands of rows carries almost no locality signal but costs O(n²) in
     * the bucket join — production LSH dedup skips super-frequent band
@@ -310,12 +393,16 @@ object Dedup {
                         cosineThreshold: Double = 0.95,
                         maxBucketSize: Int = 1024): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed)
-    val withSig0 = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("bucket"))
+    // norm pre-projected per side: each candidate pair in the bucket join
+    // pays ONE zip_with dot instead of three full-vector aggregate passes
+    val withSig0 = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("bucket"),
+      Similarity.l2norm(col(vecCol)).as("n"))
     val withSig = capBuckets(withSig0, Seq("bucket"), maxBucketSize)
     val a = withSig.as("a"); val bSide = withSig.as("b")
     a.join(bSide, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+        Similarity.cosineWithNorms(col("a.v"), col("b.v"),
+          col("a.n"), col("b.n")).as("cosine"))
       .where(col("cosine") >= cosineThreshold)
   }
 }

@@ -94,6 +94,14 @@ object Multimodal {
   def audioMeta(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.AudioMetaExpr.audioMeta(bytes)
 
+  /** REAL video container header metadata: MP4/ISO-BMFF `moov/mvhd`
+    * duration + first `trak/tkhd` display dims via the codegen'd
+    * [[graft.functions.VideoMetaExpr]] — with this, the decode stub's
+    * remit shrinks to pixels/samples only; every filter/partition column
+    * (format, duration, dims, channels, rate) is real header parsing. */
+  def videoMeta(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VideoMetaExpr.videoMeta(bytes)
+
   /** Resize plumbing: metadata transform (target dims recorded, payload
     * untouched by the stub). */
   def resizePlan(assets: DataFrame, maxSide: Int): DataFrame = {

@@ -19,12 +19,26 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between two float-array columns (zip_with dot and
-    * rsqrt norms — stays inside codegen; no UDF). */
+    * rsqrt norms — stays inside codegen; no UDF). Three `aggregate` passes
+    * per pair; in a bucket join where one row meets many candidates,
+    * pre-project [[l2norm]] per side and use [[cosineWithNorms]] instead. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
+    dot / (l2norm(a) * l2norm(b))
+  }
+
+  /** L2 norm of a float-array column — compute ONCE per side in the
+    * projection before a bucket join so each candidate pair pays one
+    * zip_with dot instead of three full-vector passes. */
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  /** Cosine from a pair's vectors plus their pre-projected norms: one
+    * vector pass (the dot) per candidate pair. Bitwise-identical to
+    * [[cosine]] — same op order, the norms are merely hoisted. */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    dot / (normA * normB)
   }
 
   /** Dot product with a constant query vector (literal array — broadcast

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.spec.MetaSchemas
+
+/** Meta-schema self-validation — the reference validates every fixture
+  * schema against the bundled draft meta-schemas before use
+  * (`tests/test_validator.cpp:38-66`, `doc/schema/draft-07.json`). The
+  * draft-07 meta-schema is the deepest `$ref` object in the project: a
+  * root `$id`, `"$ref": "#"` self-recursion through every value-descending
+  * keyword, `anyOf`-of-`$ref` dispatch, boolean subschemas and unknown
+  * `format`s that must pass. */
+class MetaSchemaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val meta = Graft.parseSchema(MetaSchemas.draft07)
+
+  private def valid(docs: Seq[String]): Seq[Boolean] =
+    Graft.validateJsonColumn(docs.toDF("doc"), "doc", meta)
+      .select("pass").collect().toSeq.map(_.getBoolean(0))
+
+  test("draft-07 meta-schema parses (cyclic root $ref knot-tied)") {
+    meta should not be null
+  }
+
+  test("well-formed schema documents validate against the meta-schema") {
+    valid(Seq(
+      """{}""",
+      """true""", """false""",
+      """{"type":"string","minLength":3}""",
+      """{"type":["string","null"]}""",
+      """{"enum":[1,"a",null,[2]],"const":{"x":1}}""",
+      """{"properties":{"a":{"type":"integer"}},"required":["a"]}""",
+      """{"items":[{"type":"string"}],"additionalItems":false}""",
+      """{"items":{"$ref":"#/definitions/x"},"definitions":{"x":{"minimum":0}}}""",
+      """{"allOf":[{"minimum":0},{"maximum":9}],"not":{"multipleOf":3}}""",
+      """{"if":{"type":"object"},"then":{"minProperties":1},"else":true}""",
+      """{"dependencies":{"a":["b"],"c":{"required":["d"]}}}""",
+      """{"patternProperties":{"^x":{"type":"number"}},"additionalProperties":false}""",
+      """{"$id":"http://x.test/s.json","$schema":"http://json-schema.org/draft-07/schema#"}"""
+    )).forall(identity) shouldBe true
+  }
+
+  test("malformed schema documents are rejected by the meta-schema") {
+    valid(Seq(
+      """{"type":123}""",                        // type: not a simpleType
+      """{"type":"strnig"}""",                   // not in the enum
+      """{"type":["string","string"]}""",        // uniqueItems on type array
+      """{"type":[]}""",                         // minItems 1
+      """{"exclusiveMinimum":"x"}""",            // must be number
+      """{"required":"a"}""",                    // must be stringArray
+      """{"required":[1]}""",                    // items type string
+      """{"pattern":123}""",                     // must be string
+      """{"maxLength":-1}""",                    // nonNegativeInteger
+      """{"maxLength":2.5}""",                   // integer
+      """{"allOf":[]}""",                        // schemaArray minItems 1
+      """{"allOf":{"minimum":0}}""",             // must be array
+      """{"properties":{"a":5}}""",              // subschema must be schema
+      """{"uniqueItems":"yes"}""",               // must be boolean
+      """3""", """"x""""                         // root type object|boolean
+    )).exists(identity) shouldBe false
+  }
+
+  test("the meta-schema validates ITSELF") {
+    valid(Seq(MetaSchemas.draft07)) shouldBe Seq(true)
+  }
+
+  test("driver query shape: pass flag matches the closed-form oracle") {
+    val q = SparkEntry.queries("q_metaschema")(spark, "/root/testdata/sf0.001")
+    val bad = q.where(col("valid") =!= (pmod(col("event_id"), lit(8)).isin(0, 2, 4, 6)))
+    bad.count() shouldBe 0L
+  }
+}

@@ -260,5 +260,102 @@ class OpsSpec extends SparkTestBase {
     meta(hex("52494646 24000000 57415645 666D7420 10000000 0100 0000 44AC0000 10B10200 0400 1000")) shouldBe None
   }
 
+  test("multimodal: audio chunk-scan survives a near-Int.MaxValue chunk size (returns null)") {
+    import graft.functions.AudioMetaExpr
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // JUNK chunk claiming size 0x7FFFFFFF: passes the size<0 check but must
+    // bail out in long arithmetic instead of wrapping negative and crashing
+    AudioMetaExpr.parse(hex("52494646 24000000 57415645 4A554E4B FFFFFF7F 00000000")) shouldBe null
+  }
+
+  test("multimodal: MP4 container header parsing (mvhd duration + tkhd dims)") {
+    import graft.functions.VideoMetaExpr
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def meta(b: Array[Byte]): Option[(String, Long, Option[Int], Option[Int])] =
+      Option(VideoMetaExpr.parse(b)).map(r =>
+        (r.getUTF8String(0).toString, r.getLong(1),
+         if (r.isNullAt(2)) None else Some(r.getInt(2)),
+         if (r.isNullAt(3)) None else Some(r.getInt(3))))
+
+    val matrix = "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000"
+    val ftyp = "00000010 66747970 69736F6D 00000200"
+    // mvhd v0: timescale 600, duration 3000 -> 5000 ms
+    val mvhd = "0000006C 6D766864 00000000 00000000 00000000 00000258 00000BB8" +
+      "00010000 0100 0000 0000000000000000" + matrix +
+      "000000000000000000000000000000000000000000000000" + "00000002"
+    // tkhd v0: 1280x720 in 16.16 fixed point
+    val tkhd = "0000005C 746B6864 00000007 00000000 00000000 00000001 00000000" +
+      "00000BB8 0000000000000000 0000 0000 0000 0000" + matrix +
+      "05000000 02D00000"
+    val trak = "00000064 7472616B" + tkhd
+    val full = hex(ftyp + "000000D8 6D6F6F76" + mvhd + trak)
+    meta(full) shouldBe Some(("mp4", 5000L, Some(1280), Some(720)))
+
+    // moov without a trak: duration still parsed, dims null
+    meta(hex(ftyp + "00000074 6D6F6F76" + mvhd)) shouldBe
+      Some(("mp4", 5000L, None, None))
+    // rejects: no ftyp; truncated moov; crafted box size near Int.MaxValue
+    // (must bail in long space, not wrap and crash)
+    meta(hex("00000010 6D6F6F76 69736F6D 00000200")) shouldBe None
+    meta(hex(ftyp + "000000D8 6D6F6F76 0000006C 6D7668")) shouldBe None
+    meta(hex(ftyp + "7FFFFFFF 6D6F6F76 00000000")) shouldBe None
+
+    // the Column surface parses inside a projection (codegen'd)
+    import spark.implicits._
+    val got = Seq(Tuple1(full)).toDF("payload")
+      .select(Multimodal.videoMeta(col("payload")).as("m"))
+      .select("m.format", "m.duration_ms", "m.width", "m.height").head()
+    (got.getString(0), got.getLong(1), got.getInt(2), got.getInt(3)) shouldBe
+      ("mp4", 5000L, 1280, 720)
+  }
+
+  test("hyperplane signature: ragged vector (length != plane dim) leaves bits unset like the HOF form") {
+    import spark.implicits._
+    val dim = 4
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),   // exact dim
+      (2L, Seq(1.0f, 2.0f)),               // short
+      (3L, Seq(1.0f, 2.0f, 3.0f, 4.0f, 5.0f)) // long
+    ).toDF("id", "v").withColumn("v", col("v").cast("array<float>"))
+    val native = df.select(col("id"),
+      Similarity.hyperplaneSignature(col("v"), dim, 8, 7L).as("sig"))
+    val hof = df.select(col("id"),
+      Similarity.hyperplaneSignatureHof(col("v"), dim, 8, 7L).as("sig"))
+    native.exceptAll(hof).count() shouldBe 0L
+    hof.exceptAll(native).count() shouldBe 0L
+    // ragged rows collapse to bucket 0 (every bit unset)
+    native.where(col("id") =!= 1L).select("sig").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(0L, 0L)
+  }
+
+  test("incremental dedup vs persisted LSH table matches the batch verified pair set") {
+    val path = java.nio.file.Files.createTempDirectory("graft-inclsh").toString
+    // guarantee cross-split near-dups: three corpus docs re-enter via the
+    // increment under fresh %10==0 ids with identical text
+    val aug = docs.select("doc_id", "text").unionByName(
+      docs.where(col("doc_id") % 10 =!= 0).limit(3)
+        .select((col("doc_id") * 10 + 1000000L).as("doc_id"), col("text")))
+    val corpus = aug.where(col("doc_id") % 10 =!= 0)
+    val inc = aug.where(col("doc_id") % 10 === 0)
+    Dedup.writeMinhashLshTable(corpus, "doc_id", "text", path)
+    val got = Dedup.incrementalNearDups(inc, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the batch verified path over the full corpus, restricted to
+    // cross (inc, corpus) pairs — orientation normalized to (inc, corpus)
+    val batch = Dedup.minhashNearDupsVerified(aug, "doc_id", "text",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (a % 10 == 0 && b % 10 != 0) Some((a, b))
+        else if (b % 10 == 0 && a % 10 != 0) Some((b, a))
+        else None
+      }.toSet
+    got shouldBe batch
+    got.size should be > 0
+  }
+
   private def fn_len(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.length(c)
 }

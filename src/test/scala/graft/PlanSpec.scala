@@ -130,10 +130,31 @@ class PlanSpec extends SparkTestBase {
         .collect().map(_.getLong(0)).toSeq
   }
 
+  test("incremental dedup probe prunes the persisted LSH layout by (band, bhp) directories") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-inclsh-plan").toString
+    graft.ops.Dedup.writeMinhashLshTable(
+      docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text", dir)
+    val probe = graft.ops.Dedup.incrementalNearDups(
+      docs.where(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+    val leaves = probe.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    // the (band*64+bhp) IN (...) predicate references only partition columns
+    // → planning-time directory pruning, the corpus data files are untouched
+    leaves should include("PartitionFilters: ")
+    leaves should include("band")
+    leaves should include("bhp")
+  }
+
   test("multimodal plumbing query: no cartesian product, bounded shuffles") {
     val p = plan(SparkEntry.queries("q_multimodal")(spark, sf))
     p should not include "CartesianProduct"
     p.sliding("Exchange".length).count(_ == "Exchange") should be <= 4
+  }
+
+  test("conversationChecks computes all three flags in a single exchange") {
+    val turns = TranscriptGen.turns(spark, 100, parts = 2, numParts = 4)
+    val p = plan(graft.checks.TableChecks.conversationChecks(turns))
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
   }
 
   test("transcript validation end-to-end plan: one shuffle for verdicts only") {

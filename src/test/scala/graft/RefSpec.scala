@@ -67,6 +67,25 @@ class RefSpec extends SparkTestBase {
       """[{}]""")) shouldBe Seq(true, false, false)
   }
 
+  test("URN-keyed external document resolves through the map (fetch-by-opaque-key)") {
+    // the reference's test_fetch_urn_document_callback.cpp scenario: a
+    // `urn:` URI is absolute (scheme-prefixed) but non-hierarchical — it
+    // must be used verbatim as the fetch key, with the JSON Pointer applied
+    // inside the fetched document
+    val spec = SpecParser.parse(
+      """{"properties":{"x":{"$ref":"urn:uuid:ee2e6cbb-3339-4bb1-b719-ee8eb18dba9f#/definitions/item"}}}""",
+      Map("urn:uuid:ee2e6cbb-3339-4bb1-b719-ee8eb18dba9f" ->
+        """{"definitions":{"item":{"type":"string","minLength":2}}}"""))
+    nativePass(spec, Seq(
+      """{"x":"ok"}""", """{"x":"a"}""", """{"x":7}""", """{}"""
+    )) shouldBe Seq(true, false, false, true)
+    // whole-document URN ref (no fragment) works too
+    val spec2 = SpecParser.parse(
+      """{"properties":{"x":{"$ref":"urn:example:graft:positive"}}}""",
+      Map("urn:example:graft:positive" -> """{"minimum":0}"""))
+    nativePass(spec2, Seq("""{"x":1}""", """{"x":-1}""")) shouldBe Seq(true, false)
+  }
+
   test("external $ref missing from the map fails with a helpful error") {
     val e = intercept[IllegalArgumentException] {
       SpecParser.parse("""{"$ref": "http://example.com/missing.json"}""")

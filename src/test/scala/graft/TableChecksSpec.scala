@@ -67,6 +67,23 @@ class TableChecksSpec extends SparkTestBase {
     TableChecks.monotoneTs(turns).count() should be > 0L
   }
 
+  test("conversationChecks folds ts monotonicity into the same single pass") {
+    val bad = TableChecks.conversationChecks(turns).cache()
+    bad.where(!col("mono_ts_ok")).count() should be > 0L
+    // agrees with the window-based turn-level check on conversations whose
+    // turn indexes are unique (duplicate-idx ties make window order
+    // arbitrary; the fold breaks ties by ts)
+    val uniqueIdx = turns.groupBy("conv_id")
+      .agg(countDistinct("turn_idx").as("d"), count(lit(1)).as("n"))
+      .where(col("d") === col("n")).select("conv_id")
+    val viaWindow = TableChecks.monotoneTs(turns)
+      .join(uniqueIdx, "conv_id").select("conv_id").distinct()
+    val viaFold = bad.where(!col("mono_ts_ok"))
+      .join(uniqueIdx, "conv_id").select("conv_id").distinct()
+    viaWindow.exceptAll(viaFold).count() shouldBe 0L
+    viaFold.exceptAll(viaWindow).count() shouldBe 0L
+  }
+
   test("drift: identical distributions have ~zero PSI, shifted ones do not") {
     val base = Drift.sketch(turns, fn_length(col("text")).cast("double"), 0, 200, 20)
     val same = Drift.sketch(turns, fn_length(col("text")).cast("double"), 0, 200, 20)
