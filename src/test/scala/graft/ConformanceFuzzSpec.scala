@@ -244,11 +244,13 @@ class ConformanceFuzzSpec extends SparkTestBase {
   }
 
   test("weak-mode fuzz: native, variant and typed paths agree (seeded)") {
-    val (cases, failures) = runFuzz(nSchemas = 60, docsPerSchema = 25,
+    // budget raised to match the strict pass (round-3's 15k sweep found two
+    // real weak-mode bugs; weak typing deserves the same in-suite depth)
+    val (cases, failures) = runFuzz(nSchemas = 120, docsPerSchema = 25,
       seed = 88880817L, opts = CompileOptions(strictTypes = false), typed = true)
     info(s"weak fuzz: $cases cases, ${failures.size} disagreements")
     failures.take(10).foreach(f => info(s"  DISAGREE $f"))
     failures shouldBe empty
-    cases should be >= 1000
+    cases should be >= 2500
   }
 }
