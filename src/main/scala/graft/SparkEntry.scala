@@ -623,6 +623,32 @@ object SparkEntry {
           col("v.description").as("description"))
     }),
 
+    "q_conversation_checks" -> ((s, dir) => { implicit val sp = s
+      // conversation-level checks (§2.3 group-level recasts): size bounds,
+      // dense turn indexing and ts monotonicity — all three flags from ONE
+      // aggregation pass (PlanSpec asserts a single Exchange). Input is a
+      // transcript derived from events with closed-form injected anomalies
+      // (duplicate turn_idx every 101st event, a 500000s backwards ts jump
+      // every 97th), so DuckDB recomputes every flag exactly.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val rn = (row_number().over(w) - 1).cast("long")
+      val turns = t(dir, "events")
+        .select(format_string("c%07d", col("user_id")).as("conv_id"),
+          col("event_id"), rn.as("rn"))
+        .withColumn("turn_idx",
+          when(pmod(col("event_id"), lit(101)) === 0, greatest(col("rn") - 1, lit(0L)))
+            .otherwise(col("rn")))
+        .withColumn("ts",
+          (lit(1704067200L) + col("event_id") -
+            when(pmod(col("event_id"), lit(97)) === 0, lit(500000L)).otherwise(lit(0L)))
+            .cast("timestamp"))
+        .select("conv_id", "turn_idx", "ts")
+      TableChecks.conversationChecks(turns, minTurns = 1, maxTurns = 60)
+        .select(col("conv_id"), col("n_turns"), col("n_distinct_idx"),
+          col("size_ok"), col("dense_ok"), col("mono_ts_ok"))
+    }),
+
     "q_metaschema" -> ((s, dir) => { implicit val sp = s
       // meta-schema self-validation — the reference validates every schema
       // document against the bundled draft meta-schemas before use
@@ -1283,6 +1309,38 @@ object SparkEntry {
 
     "q_metaschema" ->
       """SELECT event_id, (event_id % 8) IN (0, 2, 4, 6) AS valid FROM events""",
+
+    "q_conversation_checks" ->
+      """WITH t AS (
+           SELECT printf('c%07d', user_id) AS conv_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,
+                  event_id
+           FROM events),
+         t2 AS (
+           SELECT conv_id,
+                  CASE WHEN event_id % 101 = 0 THEN greatest(rn - 1, 0) ELSE rn END AS turn_idx,
+                  to_timestamp(1704067200 + event_id -
+                               CASE WHEN event_id % 97 = 0 THEN 500000 ELSE 0 END) AS ts
+           FROM t),
+         o AS (
+           SELECT conv_id, turn_idx, ts,
+                  max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM t2),
+         agg AS (
+           SELECT conv_id, count(*) AS n_turns,
+                  count(DISTINCT turn_idx) AS n_distinct_idx,
+                  min(turn_idx) AS mn, max(turn_idx) AS mx,
+                  count(*) FILTER (WHERE ts < pm) AS descents
+           FROM o GROUP BY conv_id)
+         SELECT conv_id, n_turns, n_distinct_idx,
+                (n_turns BETWEEN 1 AND 60) AS size_ok,
+                (n_distinct_idx = n_turns AND mn = 0 AND mx = n_turns - 1) AS dense_ok,
+                (descents = 0) AS mono_ts_ok
+         FROM agg
+         WHERE NOT (n_turns BETWEEN 1 AND 60)
+            OR NOT (n_distinct_idx = n_turns AND mn = 0 AND mx = n_turns - 1)
+            OR descents > 0""",
 
     "q_video_meta" ->
       """SELECT event_id, 'mp4' AS format,

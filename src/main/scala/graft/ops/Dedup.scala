@@ -192,6 +192,11 @@ object Dedup {
       .select(col("id"), col("sig"), col("norm"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
       .withColumn("bhp", pmod(col("bh"), lit(64)).cast("int"))
+      // cluster rows of one (band, bhp) directory into one writer task:
+      // without this every input task writes a sliver into every directory
+      // (bands×64×tasks small files — the classic partitioned-write
+      // explosion); with it each directory holds O(1) well-sized files
+      .repartition(col("band"), col("bhp"))
       .write.mode("overwrite").partitionBy("band", "bhp").parquet(path)
   }
 

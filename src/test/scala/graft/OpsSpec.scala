@@ -312,6 +312,27 @@ class OpsSpec extends SparkTestBase {
       ("mp4", 5000L, 1280, 720)
   }
 
+  test("header parsers never throw on arbitrary bytes (malformed payloads must not kill a 100TB job)") {
+    import graft.functions.{AudioMetaExpr, ImageDimsExpr, VideoMetaExpr}
+    // deterministic xorshift byte soup, plus adversarial prefixes that enter
+    // each parser's main loop with hostile lengths/sizes
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = { s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27; s * 0x2545F4914F6CDD1DL }
+    val prefixes = Seq(
+      Array[Byte](), "RIFF".getBytes, "RIFFxxxxWAVE".getBytes,
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      "GIF89a".getBytes, "BM".getBytes, Array[Byte](0xFF.toByte, 0xD8.toByte),
+      Array[Byte](0, 0, 0, 0x10, 'f', 't', 'y', 'p'))
+    (0 until 400).foreach { i =>
+      val len = (next() & 0x7F).toInt + (i % 4) * 16
+      val body = Array.fill[Byte](len)((next() & 0xFF).toByte)
+      val payload = prefixes(i % prefixes.size) ++ body
+      noException should be thrownBy ImageDimsExpr.parse(payload)
+      noException should be thrownBy AudioMetaExpr.parse(payload)
+      noException should be thrownBy VideoMetaExpr.parse(payload)
+    }
+  }
+
   test("hyperplane signature: ragged vector (length != plane dim) leaves bits unset like the HOF form") {
     import spark.implicits._
     val dim = 4

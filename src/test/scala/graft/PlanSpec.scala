@@ -82,7 +82,8 @@ class PlanSpec extends SparkTestBase {
   test("new constraint queries stay shuffle-free and codegen'd") {
     for (q <- Seq("q_type_violations", "q_items_tuple", "q_propertynames",
                   "q_multipleof_int", "q_allof", "q_uniqueitems_row",
-                  "q_custom_keyword", "q_image_meta")) {
+                  "q_custom_keyword", "q_image_meta", "q_video_meta",
+                  "q_metaschema")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       withClue(q) {
         p should not include "Exchange"
