@@ -106,6 +106,52 @@ object SparkEntry {
     }
   }
 
+  private def rmTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Streaming-dedup working dirs under one per-sf base: landing (staged
+    * once), layout/pairs/checkpoint (reset per query run so every
+    * invocation processes the same two files deterministically). */
+  def streamingDedupBase(dir: String): String =
+    "/tmp/graft_oracle_aux/sdedup_" +
+      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Stage the documents table into a two-file landing dir: the even
+    * doc_ids arrive first (the seed corpus), the odd ids 60s later (the
+    * increment) — file-source ordering is by (mtime, path), so the batch
+    * order is deterministic. */
+  private def stageStreamingDedupLanding(s: SparkSession, dir: String, force: Boolean): Unit = {
+    val base = streamingDedupBase(dir)
+    val landing = s"$base/landing"
+    if (force || !stagedFor(base, dir)) { implicit val sp = s
+      rmTree(base)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+      val t0 = System.currentTimeMillis() - 600000
+      def one(name: String, parityKeep: Int, mtime: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        t(dir, "documents").where(pmod(col("doc_id"), lit(2)) === parityKeep)
+          .select("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(landing, name)
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(mtime)
+        rmTree(tmp)
+      }
+      one("a_even.parquet", 0, t0)
+      one("b_odd.parquet", 1, t0 + 60000)
+      stamp(base, dir)
+    }
+  }
+
   /** Stage every oracle side-channel for `dir`. Verify calls this before
     * running the queries so no timed query body pays a staging write. */
   def stageOracleAux(s: SparkSession, dir: String): Unit = {
@@ -113,6 +159,7 @@ object SparkEntry {
     stageEmbedBuckets(s, dir, force = true)
     stageIvfTable(s, dir, force = true)
     stageMinhashLshTable(s, dir, force = true)
+    stageStreamingDedupLanding(s, dir, force = true)
   }
 
   /** Stage the single-file events fixture into a per-dir landing DIRECTORY
@@ -839,6 +886,30 @@ object SparkEntry {
           col("kind"))
     }),
 
+    "q_streaming_dedup" -> ((s, dir) => { implicit val sp = s
+      // streaming incremental dedup (§2.5 streaming × the append-only dedup
+      // shape): two files land in order (even doc_ids, then odd); each
+      // micro-batch probes the persisted LSH layout built from the batches
+      // before it, then appends itself. The emitted pairs are exactly the
+      // odd-probing-even near-dups, end-to-end SQL-oracleable. Layout,
+      // sink and checkpoint are reset so every invocation reprocesses the
+      // same two files deterministically (the resume-from-checkpoint path
+      // itself is asserted in StreamingSpec).
+      stageStreamingDedupLanding(s, dir, force = false)
+      val base = streamingDedupBase(dir)
+      Seq("layout", "pairs", "ckpt").foreach(d => rmTree(s"$base/$d"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val docs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/landing")
+      graft.streaming.StreamingDedup.start(docs, "doc_id", "text",
+        s"$base/layout", s"$base/pairs", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/pairs").select(col("id_a"), col("id_b"))
+    }),
+
     "q_verdict_diff" -> ((s, dir) => { implicit val sp = s
       // set-ops regression diff (§2.5): the same table validated under the
       // previous and current specs; exceptAll both ways yields partitions
@@ -1298,6 +1369,14 @@ object SparkEntry {
          SELECT a.id AS id_a, c.id AS id_b
          FROM capped a JOIN capped c ON a.bucket = c.bucket AND a.id < c.id
          WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.95""",
+
+    "q_streaming_dedup" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(norm)-6, 2)),
+                 i -> substr(norm, i::INT, 8))) AS sh FROM n)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5""",
 
     "q_dedup_incremental" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),

@@ -181,7 +181,27 @@ object Dedup {
     * the layout for a small increment. */
   def writeMinhashLshTable(df: DataFrame, idCol: String, textCol: String,
                            path: String, numHashes: Int = 32, bands: Int = 8,
-                           shingleK: Int = 8): Unit = {
+                           shingleK: Int = 8): Unit =
+    writeMinhashLshTableMode(df, idCol, textCol, path, "overwrite",
+      numHashes, bands, shingleK)
+
+  /** Append an increment's banded signatures INTO an existing layout — the
+    * append-only step after [[incrementalNearDups]] has probed it, so later
+    * increments dedup against this one without any corpus rebuild. */
+  def appendMinhashLshTable(df: DataFrame, idCol: String, textCol: String,
+                            path: String, numHashes: Int = 32, bands: Int = 8,
+                            shingleK: Int = 8): Unit =
+    writeMinhashLshTableMode(df, idCol, textCol, path, "append",
+      numHashes, bands, shingleK)
+
+  /** Does a layout exist at `path` (written by [[writeMinhashLshTable]])? */
+  def lshTableExists(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
+
+  private def writeMinhashLshTableMode(df: DataFrame, idCol: String, textCol: String,
+                                       path: String, mode: String,
+                                       numHashes: Int, bands: Int,
+                                       shingleK: Int): Unit = {
     val rowsPerBand = numHashes / bands
     df.select(col(idCol).as("id"), TextAnalysis.normalizeText(col(textCol)).as("norm"))
       .withColumn("sig",
@@ -197,7 +217,7 @@ object Dedup {
       // (bands×64×tasks small files — the classic partitioned-write
       // explosion); with it each directory holds O(1) well-sized files
       .repartition(col("band"), col("bhp"))
-      .write.mode("overwrite").partitionBy("band", "bhp").parquet(path)
+      .write.mode(mode).partitionBy("band", "bhp").parquet(path)
   }
 
   /** Near-dup pairs of an INCREMENT against a persisted corpus LSH table —

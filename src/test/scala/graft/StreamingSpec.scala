@@ -58,6 +58,56 @@ class StreamingSpec extends SparkTestBase {
     rows(1) shouldBe ((1600000020L, 1L, 0L))
   }
 
+  test("streaming incremental dedup: per-batch probe + layout append; checkpointed resume skips processed files") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import graft.streaming.StreamingDedup
+    val root = java.nio.file.Files.createTempDirectory("graft-sdedup")
+    val landing = root.resolve("landing"); java.nio.file.Files.createDirectories(landing)
+    val layout = root.resolve("layout").toString
+    val sink = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    def stage(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+      val tmp = root.resolve("tmp_" + name)
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = landing.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    val textA = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val textB = "completely different content with no overlap whatsoever in any shingle of eight"
+    stage("a.parquet", Seq((2L, textA), (4L, textB)), t0)
+    stage("b.parquet", Seq((11L, textA),
+      (13L, "unrelated text that matches nothing else in this corpus at all")), t0 + 30000)
+
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      StreamingDedup.start(docs, "doc_id", "text", layout, sink, ckpt).awaitTermination()
+    }
+    run()
+    // batch 0 (file a) probes an empty corpus: zero pairs, layout seeded;
+    // batch 1 (file b) probes {2,4}: 11 duplicates 2
+    val pairs1 = spark.read.parquet(sink).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs1 shouldBe Set((11L, 2L))
+    spark.read.parquet(layout).count() shouldBe 4L * 8 // docs x bands
+
+    // RESUME with the same checkpoint after a new file lands: only the new
+    // file is processed — the earlier pair is not re-emitted, the layout
+    // grows by exactly the new doc's bands
+    stage("c.parquet", Seq((21L, textB)), t0 + 60000)
+    run()
+    val pairs2 = spark.read.parquet(sink).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    pairs2.sorted shouldBe Seq((11L, 2L), (21L, 4L))
+    spark.read.parquet(layout).count() shouldBe 5L * 8
+  }
+
   test("flatMapGroupsWithState flags duplicate/gap turn_idx and non-monotone ts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TurnEvent]
