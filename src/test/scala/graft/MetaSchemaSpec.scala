@@ -66,6 +66,41 @@ class MetaSchemaSpec extends SparkTestBase {
     valid(Seq(MetaSchemas.draft07)) shouldBe Seq(true)
   }
 
+  private lazy val meta04 = Graft.parseSchema(MetaSchemas.draft04)
+  private def valid04(docs: Seq[String]): Seq[Boolean] =
+    Graft.validateJsonColumn(docs.toDF("doc"), "doc", meta04)
+      .select("pass").collect().toSeq.map(_.getBoolean(0))
+
+  test("draft-04 meta-schema: boolean exclusives, top-level dependencies, self-validation") {
+    // draft-4 semantics the draft-07 meta-schema does not express
+    valid04(Seq(
+      """{"maximum": 5, "exclusiveMaximum": true}""",      // paired → ok
+      """{"minimum": 0, "exclusiveMinimum": false}""",
+      """{"type": "integer"}""",
+      """{"required": ["a"]}""",
+      """{"enum": [1]}"""
+    )) shouldBe Seq(true, true, true, true, true)
+    valid04(Seq(
+      """{"exclusiveMaximum": true}""",   // dependency: requires maximum
+      """{"exclusiveMinimum": true}""",   // dependency: requires minimum
+      """{"exclusiveMaximum": 5}""",      // draft-4 form is boolean
+      """{"enum": []}""",                 // draft-4 enum has minItems 1
+      """{"required": []}""",             // draft-4 required has minItems 1
+      """true""",                         // no boolean schemas in draft-4
+      """{"multipleOf": 0}"""             // exclusiveMinimum 0 (boolean form)
+    )) shouldBe Seq(false, false, false, false, false, false, false)
+    // cross-draft divergence: empty enum / empty required are VALID schema
+    // documents under draft-07 but INVALID under draft-04
+    valid(Seq("""{"enum": []}""", """{"required": []}""")) shouldBe Seq(true, true)
+    // and the draft-04 meta-schema validates itself
+    valid04(Seq(MetaSchemas.draft04)) shouldBe Seq(true)
+    // ... but is NOT a valid draft-04 instance of the draft-07 meta-schema?
+    // it IS (draft-07 is laxer about the keywords it shares); assert the
+    // asymmetric direction instead: the draft-07 meta-schema fails the
+    // draft-04 meta-schema (numeric exclusiveMinimum in 'multipleOf')
+    valid04(Seq(MetaSchemas.draft07)) shouldBe Seq(false)
+  }
+
   test("driver query shape: pass flag matches the closed-form oracle") {
     val q = SparkEntry.queries("q_metaschema")(spark, "/root/testdata/sf0.001")
     val bad = q.where(col("valid") =!= (pmod(col("event_id"), lit(8)).isin(0, 2, 4, 6)))
