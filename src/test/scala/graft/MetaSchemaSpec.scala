@@ -101,6 +101,37 @@ class MetaSchemaSpec extends SparkTestBase {
     valid04(Seq(MetaSchemas.draft07)) shouldBe Seq(false)
   }
 
+  private lazy val meta03 = Graft.parseSchema(MetaSchemas.draft03)
+  private def valid03(docs: Seq[String]): Seq[Boolean] =
+    Graft.validateJsonColumn(docs.toDF("doc"), "doc", meta03)
+      .select("pass").collect().toSeq.map(_.getBoolean(0))
+
+  test("draft-03 meta-schema: union types with embedded schemas, string dependencies, divisibleBy") {
+    valid03(Seq(
+      """{"type": "any"}""",
+      """{"required": true, "type": "string"}""",          // draft-3 self-required form
+      """{"dependencies": {"a": "b"}}""",                  // string-form dependency
+      """{"dependencies": {"a": ["b", "c"]}}""",
+      """{"divisibleBy": 2}""",
+      """{"disallow": ["string", {"minimum": 0}]}""",      // union of name + schema
+      """{"extends": {"minimum": 0}}""",
+      """{"extends": [{"minimum": 0}, {"maximum": 9}]}""",
+      """{"additionalProperties": false}""",               // boolean via union type
+      """{"exclusiveMinimum": true, "minimum": 0}"""
+    )) shouldBe Seq(true, true, true, true, true, true, true, true, true, true)
+    valid03(Seq(
+      """{"divisibleBy": 0}""",                 // exclusiveMinimum 0
+      """{"type": ["string", 5]}""",            // 5 is neither a name nor a schema
+      """{"dependencies": {"a": 5}}""",         // dep must be string/array/schema
+      """{"exclusiveMinimum": true}""",         // string-form dependency unmet
+      """{"enum": []}""",
+      """{"required": "yes"}""",                // draft-3 required is boolean
+      """true"""                                // no boolean root schemas in draft-3
+    )) shouldBe Seq(false, false, false, false, false, false, false)
+    // the draft-03 meta-schema validates itself
+    valid03(Seq(MetaSchemas.draft03)) shouldBe Seq(true)
+  }
+
   test("driver query shape: pass flag matches the closed-form oracle") {
     val q = SparkEntry.queries("q_metaschema")(spark, "/root/testdata/sf0.001")
     val bad = q.where(col("valid") =!= (pmod(col("event_id"), lit(8)).isin(0, 2, 4, 6)))
