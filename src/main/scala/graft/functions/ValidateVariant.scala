@@ -159,7 +159,17 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
   def validateRow(vv: VariantVal): InternalRow = {
     val v = new Variant(vv.getValue, vv.getMetadata)
     val sink: Sink = mutable.ArrayBuffer.empty
-    val pass = validateSchema(spec, v, "", Some(sink))
+    val pass =
+      try validateSchema(spec, v, "", Some(sink))
+      catch { case _: StackOverflowError =>
+        // belt-and-braces behind the MaxWalkDepth guard: deep-equality
+        // recursions (enum/const/uniqueItems over deep values) are bounded
+        // by the parser's own nesting cap, but a crash here must degrade
+        // to a violation, never kill the task
+        sink.clear()
+        sink += (("", VariantValidator.depthExceededMsg, "depth"))
+        false
+      }
     val arr = new GenericArrayData(sink.map { case (p, d, k) =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(p),
         UTF8String.fromString(d), UTF8String.fromString(k)))
@@ -325,17 +335,27 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
   // --- schema walk -------------------------------------------------------------
 
   private def validateSchema(s: SchemaSpec, v: Variant, path: String,
-                             sink: Option[Sink]): Boolean = s match {
-    case r: RefSchema => validateSchema(r.target, v, path, sink) // cycle: finite doc ⇒ terminates
+                             sink: Option[Sink], depth: Int = 0): Boolean = s match {
+    // explicit nesting bound: a hostile/pathological document must fail
+    // with a violation, not kill the task with a StackOverflowError. The
+    // walk recurses once per document level (plus finite schema nesting);
+    // the variant PARSER already rejects very deep documents, but the band
+    // between walker stack exhaustion and the parser cap crashed before
+    // this guard (found by the deep-document probe; the reference has no
+    // such guard — its C++ recursion is equally unbounded).
+    case _ if depth > VariantValidator.MaxWalkDepth =>
+      push(sink, path, VariantValidator.depthExceededMsg, "depth"); false
+    case r: RefSchema => validateSchema(r.target, v, path, sink, depth) // cycle: finite doc ⇒ terminates
     case TrueSchema  => true
     case FalseSchema => false // no error of its own (VV:107-109)
     case ConstraintSchema(cs, _, _) =>
       var ok = true
-      cs.foreach { c => if (!visit(c, v, path, sink)) { ok = false; if (sink.isEmpty) return false } }
+      cs.foreach { c => if (!visit(c, v, path, sink, depth)) { ok = false; if (sink.isEmpty) return false } }
       ok
   }
 
-  private def visit(c: Constraint, v: Variant, path: String, sink: Option[Sink]): Boolean = c match {
+  private def visit(c: Constraint, v: Variant, path: String, sink: Option[Sink],
+                    depth: Int): Boolean = c match {
 
     case TypeC(types, schemas) =>
       // Weak mode affects only bool/integer/null/number; string, array and
@@ -350,7 +370,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
         case JsonType.JArray   => isArray(v)
         case JsonType.JObject  => isObject(v)
       }
-      val ok = named || schemas.exists(validateSchema(_, v, path, None))
+      val ok = named || schemas.exists(validateSchema(_, v, path, None, depth + 1))
       if (!ok) push(sink, path, Messages.typeNotPermitted, "type")
       ok
 
@@ -486,7 +506,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
           val f = fieldByKeyW(v, name)
           if (f != null) {
             matched += name
-            if (!validateSchema(s, f, s"$path/${escSeg(name)}", sink)) {
+            if (!validateSchema(s, f, s"$path/${escSeg(name)}", sink, depth + 1)) {
               push(sink, path, Messages.propertySchemaFail(name), "properties")
               ok = false
             }
@@ -498,7 +518,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
             val f = v.getFieldAtIndex(i)
             if (regexFind(pat, f.key)) {
               matched += f.key
-              if (!validateSchema(s, f.value, s"$path/${escSeg(f.key)}", sink)) {
+              if (!validateSchema(s, f.value, s"$path/${escSeg(f.key)}", sink, depth + 1)) {
                 push(sink, path, Messages.patternPropertySchemaFail(pat), "patternProperties")
                 ok = false
               }
@@ -513,7 +533,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
             while (i < objSizeW(v)) {
               val f = v.getFieldAtIndex(i)
               if (!matched.contains(f.key)) {
-                if (!validateSchema(s, f.value, s"$path/${escSeg(f.key)}", sink)) {
+                if (!validateSchema(s, f.value, s"$path/${escSeg(f.key)}", sink, depth + 1)) {
                   push(sink, path, Messages.additionalPropertiesSchemaFail, "additionalProperties")
                   ok = false
                 }
@@ -565,7 +585,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
         var i = 0
         while (i < objSizeW(v)) {
           val key = v.getFieldAtIndex(i).key
-          if (!validateSchema(s, VariantValidator.stringVariant(key), path, None)) {
+          if (!validateSchema(s, VariantValidator.stringVariant(key), path, None, depth + 1)) {
             push(sink, path, s"Failed to validate against 'propertyNames' constraint.", "propertyNames")
             ok = false
           }
@@ -590,7 +610,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
         }
         schemaDeps.foreach { case (p, s) =>
           if (fieldByKeyW(v, p) != null) {
-            if (!validateSchema(s, v, path, sink)) {
+            if (!validateSchema(s, v, path, sink, depth + 1)) {
               push(sink, path, Messages.dependentSchemaFail, "dependencies")
               ok = false
             }
@@ -605,7 +625,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
         var ok = true
         var i = 0
         while (i < arrSizeW(v)) {
-          if (!validateSchema(s, v.getElementAtIndex(i), s"$path/$i", sink)) {
+          if (!validateSchema(s, v.getElementAtIndex(i), s"$path/$i", sink, depth + 1)) {
             push(sink, path, Messages.itemFail(i), "items")
             ok = false
           }
@@ -629,14 +649,14 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
         var i = 0
         while (i < n) {
           if (i < items.length) {
-            if (!validateSchema(items(i), v.getElementAtIndex(i), s"$path/$i", sink)) {
+            if (!validateSchema(items(i), v.getElementAtIndex(i), s"$path/$i", sink, depth + 1)) {
               push(sink, s"$path/$i", Messages.tupleItemFail(i), "items")
               ok = false
             }
           } else additional match {
             case Some(TrueSchema) =>
             case Some(s) =>
-              if (!validateSchema(s, v.getElementAtIndex(i), s"$path/$i", sink)) {
+              if (!validateSchema(s, v.getElementAtIndex(i), s"$path/$i", sink, depth + 1)) {
                 push(sink, path, Messages.additionalItemFail(i), "items")
                 ok = false
               }
@@ -691,7 +711,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
         var found = false
         var i = 0
         while (i < arrSizeW(v) && !found) {
-          if (validateSchema(s, v.getElementAtIndex(i), path, None)) found = true
+          if (validateSchema(s, v.getElementAtIndex(i), path, None, depth + 1)) found = true
           i += 1
         }
         if (!found) push(sink, path, Messages.containsFail, "contains")
@@ -701,7 +721,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
     case AllOfC(schemas) =>
       var ok = true
       schemas.zipWithIndex.foreach { case (s, i) =>
-        if (!validateSchema(s, v, path, sink)) {
+        if (!validateSchema(s, v, path, sink, depth + 1)) {
           push(sink, path, Messages.allOfChildFail(i), "allOf")
           ok = false
         }
@@ -710,7 +730,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
 
     case AnyOfC(schemas) =>
       val child: Sink = mutable.ArrayBuffer.empty
-      val ok = schemas.exists(validateSchema(_, v, path, Some(child)))
+      val ok = schemas.exists(validateSchema(_, v, path, Some(child), depth + 1))
       if (!ok) {
         sink.foreach(_ ++= child)
         push(sink, path, Messages.anyOfFail, "anyOf")
@@ -719,7 +739,7 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
 
     case OneOfC(schemas) =>
       val child: Sink = mutable.ArrayBuffer.empty
-      val n = schemas.count(validateSchema(_, v, path, Some(child)))
+      val n = schemas.count(validateSchema(_, v, path, Some(child), depth + 1))
       if (n == 1) true
       else if (n == 0) {
         sink.foreach(_ ++= child)
@@ -731,14 +751,14 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
       }
 
     case NotC(s) =>
-      val ok = !validateSchema(s, v, path, None)
+      val ok = !validateSchema(s, v, path, None, depth + 1)
       if (!ok) push(sink, path, Messages.notFail, "not")
       ok
 
     case CondC(ifS, thenS, elseS) =>
-      val branch = if (validateSchema(ifS, v, path, None)) thenS else elseS
+      val branch = if (validateSchema(ifS, v, path, None, depth + 1)) thenS else elseS
       val child: Sink = mutable.ArrayBuffer.empty
-      val ok = branch.forall(validateSchema(_, v, path, Some(child)))
+      val ok = branch.forall(validateSchema(_, v, path, Some(child), depth + 1))
       if (!ok) {
         sink.foreach(_ ++= child)
         push(sink, path, Messages.conditionalFail, "conditional")
@@ -826,6 +846,14 @@ private[graft] object Formats {
 }
 
 object VariantValidator {
+
+  /** Maximum schema-walk nesting (document levels + finite schema
+    * nesting). 256 is far above any sane document (and the variant parser
+    * rejects very deep documents outright) while keeping the recursion
+    * safely inside a default 1 MiB task-thread stack. Documents deeper
+    * than this fail with a `depth` violation instead of crashing. */
+  val MaxWalkDepth = 256
+  val depthExceededMsg = "Document nesting depth exceeds the evaluator limit."
 
   /** Strict deep equality between two RUNTIME variants — the reference's
     * `equalTo(strict=true)` with numbers in DOUBLE space (getNumber casts

@@ -32,6 +32,35 @@ class JsonColumnSpec extends SparkTestBase {
     rows(4L)._2 shouldBe empty
   }
 
+  test("pathologically deep documents fail with a depth violation, never a crashed task") {
+    // a recursive schema makes the walk recurse once per document level;
+    // depths between the walker's stack tolerance and the variant parser's
+    // own nesting cap used to StackOverflowError the task before the
+    // MaxWalkDepth guard (the very-deep cases are rejected by the parser
+    // with a parse violation — also asserted here)
+    val spec = Graft.parseSchema("""{"items": {"$ref": "#"}, "type": ["array", "integer"]}""")
+    val docs = Seq(12, 200, 400, 900, 5000, 50000).map(d => "[" * d + "1" + "]" * d)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.zipWithIndex.map { case (doc, i) => Row(i.toLong, doc) }),
+      StructType(Seq(StructField("id", LongType), StructField("doc", StringType))))
+    val rows = Graft.validateJsonColumn(df, "doc", spec)
+      .select("id", "pass", "violations").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        r.getSeq[Row](2).headOption.map(_.getString(2)).getOrElse(""))).toMap
+    rows(0L) shouldBe ((true, ""))                  // shallow: validates
+    // depth 200 is under the MaxWalkDepth guard: validates on a default
+    // task stack (the StackOverflowError backstop may demote it to a depth
+    // violation on unusually small stacks — either way, no crash)
+    if (!rows(1L)._1) rows(1L)._2 shouldBe "depth"
+    Seq(2L, 3L).foreach { i =>                      // guard band (256 < d < parser cap)
+      rows(i) shouldBe ((false, "depth"))
+    }
+    Seq(4L, 5L).foreach { i =>                      // beyond the parser's nesting cap
+      rows(i)._1 shouldBe false
+      rows(i)._2 should (be("parse") or be("depth"))
+    }
+  }
+
   test("driver entry() smoke: violations present") {
     SparkEntry.entry(spark).count() should be > 0L
   }
