@@ -163,6 +163,13 @@ object SpecParser {
                 "would recurse forever on the same value")
           placeholders.getOrElseUpdate(key, new RefSchema(s"$docKey#$path"))
         case None =>
+          // explicit nesting bound: a pathologically deep schema document
+          // must fail with a clear error, not a StackOverflowError (Jackson
+          // itself rejects nesting beyond ~1000; this catches the band in
+          // between, mirroring the walker's MaxWalkDepth guard)
+          if (building.size > 512)
+            throw new IllegalArgumentException(
+              "schema nesting exceeds the parser limit (512 levels)")
           building(key) = descentDepth
           val s =
             try build(docKey, node, path, scope, selfReqOk)

@@ -197,4 +197,25 @@ class RefSpec extends SparkTestBase {
     val c = graft.compile.Compiler.compileRow(spec, df.schema)
     df.select(c.pass).collect().toSeq.map(_.getBoolean(0)) shouldBe Seq(true, false)
   }
+
+  test("pathologically deep schema documents fail with a clear error, not a crash") {
+    def deep(n: Int): String =
+      ("""{"properties":{"p":""" * n) + """{"type":"integer"}""" + ("}}" * n)
+    // moderate nesting parses fine
+    SpecParser.parse(deep(100)) should not be null
+    // a single deep document is bounded by Jackson's own nesting cap
+    intercept[Exception](SpecParser.parse(deep(800)))
+    intercept[Exception](SpecParser.parse(deep(5000)))
+    // the band Jackson cannot see: unbounded nesting assembled from a CHAIN
+    // of shallow external documents — the parser's own 512-level guard
+    // rejects it instead of recursing to a StackOverflowError
+    val n = 700
+    val ext = (0 until n).map { i =>
+      s"http://deep.test/s$i.json" ->
+        s"""{"properties":{"p":{"$$ref":"http://deep.test/s${i + 1}.json"}}}"""
+    }.toMap + (s"http://deep.test/s$n.json" -> """{"type":"integer"}""")
+    val e = intercept[IllegalArgumentException](
+      SpecParser.parse("""{"$ref": "http://deep.test/s0.json"}""", ext))
+    e.getMessage should include("nesting exceeds the parser limit")
+  }
 }
