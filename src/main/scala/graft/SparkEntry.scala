@@ -696,6 +696,27 @@ object SparkEntry {
           col("size_ok"), col("dense_ok"), col("mono_ts_ok"))
     }),
 
+    "q_weak_typing" -> ((s, dir) => { implicit val sp = s
+      // kWeakTypes driver surface (§2.7, basic_adapter.hpp maybe/as
+      // conversions): the SAME documents carry v as a STRING of digits;
+      // strict mode skips the numeric bound on non-numbers (zero
+      // violations), weak mode coerces and checks it. Both modes run and
+      // the outputs are unioned with a mode tag, so the oracle pins the
+      // divergence itself, not just the weak rows.
+      val doc = concat(lit("""{"v":""""), pmod(col("event_id"), lit(150)), lit("\"}"))
+      val spec = Graft.parseSchema("""{"properties":{"v":{"maximum":100}}}""")
+      val df = t(dir, "events").withColumn("__doc", doc)
+      def run(strict: Boolean, tag: String) =
+        Graft.validateJsonColumn(df, "__doc", spec,
+            graft.compile.CompileOptions(strictTypes = strict))
+          .select(col("event_id"), explode(col("violations")).as("v"))
+          .where(col("v.kind") === "maximum")
+          .select(lit(tag).as("mode"), col("event_id"),
+            col("v.json_pointer").as("json_pointer"),
+            col("v.description").as("description"))
+      run(strict = true, "strict").unionAll(run(strict = false, "weak"))
+    }),
+
     "q_metaschema" -> ((s, dir) => { implicit val sp = s
       // meta-schema self-validation — the reference validates every schema
       // document against the bundled draft meta-schemas before use
@@ -1388,6 +1409,11 @@ object SparkEntry {
 
     "q_metaschema" ->
       """SELECT event_id, (event_id % 8) IN (0, 2, 4, 6) AS valid FROM events""",
+
+    "q_weak_typing" ->
+      """SELECT 'weak' AS mode, event_id, '/v' AS json_pointer,
+                'Expected number less than or equal to 100.000000' AS description
+         FROM events WHERE event_id % 150 > 100""",
 
     "q_conversation_checks" ->
       """WITH t AS (
