@@ -98,4 +98,25 @@ class DriverQuerySpec extends SparkTestBase {
     got should not be empty
     got shouldBe expected
   }
+
+  test("q_streaming_dedup equals the batch cross-parity pair set and is rerun-safe") {
+    def run() = SparkEntry.queries("q_streaming_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run()
+    got should not be empty
+    // deterministic: every invocation resets layout/sink/checkpoint
+    run() shouldBe got
+    // equivalence: the stream's odd-probing-even pairs equal the batch
+    // verified near-dup pairs restricted to (odd, even) orientation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = graft.ops.Dedup.minhashNearDupsVerified(docs, "doc_id", "text",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (a % 2 == 1 && b % 2 == 0) Some((a, b))
+        else if (b % 2 == 1 && a % 2 == 0) Some((b, a))
+        else None
+      }.toSet
+    got shouldBe batch
+  }
 }
