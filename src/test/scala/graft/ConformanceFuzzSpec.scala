@@ -234,9 +234,15 @@ class ConformanceFuzzSpec extends SparkTestBase {
     (cases, failures.toSeq)
   }
 
+  // sweep knobs: CI runs the committed defaults; a larger fresh-seed hunt
+  // (the round-3 15k sweep found two real divergences) is one env var away:
+  //   SPARK_GRAFT_FUZZ_SCHEMAS=400 SPARK_GRAFT_FUZZ_SEED=12345 sbt "testOnly graft.ConformanceFuzzSpec"
+  private val fuzzSchemas = sys.env.get("SPARK_GRAFT_FUZZ_SCHEMAS").map(_.toInt).getOrElse(120)
+  private val fuzzSeed = sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong)
+
   test("strict-mode fuzz: native, variant and typed paths agree (seeded)") {
-    val (cases, failures) = runFuzz(nSchemas = 120, docsPerSchema = 25,
-      seed = 99990817L, opts = CompileOptions(), typed = true)
+    val (cases, failures) = runFuzz(nSchemas = fuzzSchemas, docsPerSchema = 25,
+      seed = fuzzSeed.getOrElse(99990817L), opts = CompileOptions(), typed = true)
     info(s"strict fuzz: $cases cases, ${failures.size} disagreements")
     failures.take(10).foreach(f => info(s"  DISAGREE $f"))
     failures shouldBe empty
@@ -246,8 +252,9 @@ class ConformanceFuzzSpec extends SparkTestBase {
   test("weak-mode fuzz: native, variant and typed paths agree (seeded)") {
     // budget raised to match the strict pass (round-3's 15k sweep found two
     // real weak-mode bugs; weak typing deserves the same in-suite depth)
-    val (cases, failures) = runFuzz(nSchemas = 120, docsPerSchema = 25,
-      seed = 88880817L, opts = CompileOptions(strictTypes = false), typed = true)
+    val (cases, failures) = runFuzz(nSchemas = fuzzSchemas, docsPerSchema = 25,
+      seed = fuzzSeed.map(_ + 1).getOrElse(88880817L),
+      opts = CompileOptions(strictTypes = false), typed = true)
     info(s"weak fuzz: $cases cases, ${failures.size} disagreements")
     failures.take(10).foreach(f => info(s"  DISAGREE $f"))
     failures shouldBe empty
