@@ -93,9 +93,9 @@ object MetaSchemas {
           "items": { "$ref": "#" },
           "default": {}
         },
-        "id": { "type": "string" },
-        "$ref": { "type": "string" },
-        "$schema": { "type": "string" }
+        "id": { "type": "string", "format": "uri" },
+        "$ref": { "type": "string", "format": "uri" },
+        "$schema": { "type": "string", "format": "uri" }
       },
       "dependencies": {
         "exclusiveMinimum": "minimum",
@@ -109,8 +109,9 @@ object MetaSchemas {
     * standard. Differs from draft-07 in ways that exercise distinct engine
     * paths: draft-4 `id` scoping, BOOLEAN `exclusiveMinimum`/`Maximum`
     * forms, top-level `dependencies` (exclusive bounds require their base
-    * bound), `enum`/`required` with `minItems: 1`, and NO boolean root
-    * schemas (`"type": "object"`). */
+    * bound), `required` with `minItems: 1`, and NO boolean root schemas
+    * (`"type": "object"`). All three drafts here are structurally
+    * identical to the copies the reference bundles in `doc/schema/`. */
   val draft04: String =
     """{
       "id": "http://json-schema.org/draft-04/schema#",
@@ -144,8 +145,8 @@ object MetaSchemas {
       },
       "type": "object",
       "properties": {
-        "id": { "type": "string" },
-        "$schema": { "type": "string" },
+        "id": { "type": "string", "format": "uri" },
+        "$schema": { "type": "string", "format": "uri" },
         "title": { "type": "string" },
         "description": { "type": "string" },
         "default": {},
@@ -228,7 +229,6 @@ object MetaSchemas {
             }
           ]
         },
-        "format": { "type": "string" },
         "allOf": { "$ref": "#/definitions/schemaArray" },
         "anyOf": { "$ref": "#/definitions/schemaArray" },
         "oneOf": { "$ref": "#/definitions/schemaArray" },
@@ -282,7 +282,6 @@ object MetaSchemas {
         "description": { "type": "string" },
         "default": true,
         "readOnly": { "type": "boolean", "default": false },
-        "writeOnly": { "type": "boolean", "default": false },
         "examples": { "type": "array", "items": true },
         "multipleOf": { "type": "number", "exclusiveMinimum": 0 },
         "maximum": { "type": "number" },
@@ -337,7 +336,9 @@ object MetaSchemas {
         "const": true,
         "enum": {
           "type": "array",
-          "items": true
+          "items": true,
+          "minItems": 1,
+          "uniqueItems": true
         },
         "type": {
           "anyOf": [

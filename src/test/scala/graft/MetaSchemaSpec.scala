@@ -89,9 +89,10 @@ class MetaSchemaSpec extends SparkTestBase {
       """true""",                         // no boolean schemas in draft-4
       """{"multipleOf": 0}"""             // exclusiveMinimum 0 (boolean form)
     )) shouldBe Seq(false, false, false, false, false, false, false)
-    // cross-draft divergence: empty enum / empty required are VALID schema
-    // documents under draft-07 but INVALID under draft-04
-    valid(Seq("""{"enum": []}""", """{"required": []}""")) shouldBe Seq(true, true)
+    // cross-draft divergence (per the reference's bundled copies): an empty
+    // required array is VALID under draft-07 (stringArray has no minItems
+    // there) but INVALID under draft-04; empty enum is invalid under both
+    valid(Seq("""{"enum": []}""", """{"required": []}""")) shouldBe Seq(false, true)
     // and the draft-04 meta-schema validates itself
     valid04(Seq(MetaSchemas.draft04)) shouldBe Seq(true)
     // ... but is NOT a valid draft-04 instance of the draft-07 meta-schema?
