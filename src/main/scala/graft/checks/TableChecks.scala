@@ -85,34 +85,44 @@ object TableChecks {
     * per-conversation ts monotonicity — one shuffle on conv_id for all of
     * them. Returns one row per failing conversation with boolean flags. */
   def conversationChecks(df: DataFrame, minTurns: Long = 1, maxTurns: Long = 4096): DataFrame = {
-    df.groupBy(col("conv_id"))
+    import org.apache.spark.sql.expressions.Window
+    // Skew-safe formulation: ONE hash exchange on conv_id feeds a window
+    // sort (UnsafeExternalSorter — SPILLS to disk, so a single 10^7-turn
+    // hot conversation never buffers in memory), then lag()-derived
+    // adjacent-pair facts reduce in a final aggregation whose per-group
+    // state is O(1) scalars (count/min/max/sum). The earlier
+    // sort_array(collect_list(...)) buffered an entire conversation in one
+    // agg ArrayBuffer, which cannot spill within a group — the classic
+    // skewed-key executor OOM at 100x. The final groupBy reuses the
+    // window's hash partitioning, so the whole check is still one Exchange
+    // (PlanSpec-asserted).
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"), col("ts"))
+    df.select(col("conv_id"), col("turn_idx"), col("ts"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prev_idx", lag(col("turn_idx"), 1).over(w))
+      .withColumn("_prev_ts", lag(col("ts"), 1).over(w))
+      .groupBy(col("conv_id"))
       .agg(
         count(lit(1)).as("n_turns"),
         min(col("turn_idx")).as("min_idx"),
         max(col("turn_idx")).as("max_idx"),
-        // ts monotonicity in turn order, inside the SAME aggregation pass:
-        // collect (turn_idx, ts), sort by idx, then check the ts sequence is
-        // non-decreasing. Partial collect_list merges associatively, so this
-        // stays one shuffle; per-group memory is O(turns) — bounded by
-        // maxTurns for any conversation this check would pass anyway.
-        sort_array(collect_list(struct(col("turn_idx"), col("ts")))).as("_seq"),
+        // sorted by turn_idx within the group ⇒ duplicate indices are
+        // ADJACENT, so exact distinct-count is "rows where idx changed"
+        // (null-safe so a null turn_idx still counts once) — no
+        // countDistinct rewrite, no second exchange, O(1) state
+        sum(when(col("_rn") === 1 || !(col("_prev_idx") <=> col("turn_idx")), 1L)
+          .otherwise(0L)).as("n_distinct_idx"),
+        // ts monotonicity in (turn_idx, ts) order: any adjacent descent
+        // fails; null comparisons are null → not violations (matches
+        // monotoneTs)
+        sum(when(col("ts") < col("_prev_ts"), 1L).otherwise(0L)).as("_descents"),
         sum(when(col("ts").isNull, 1).otherwise(0)).as("null_ts"))
-      // derived from the collected sequence rather than countDistinct: a
-      // distinct aggregate alongside the others would plan a second exchange
-      .withColumn("n_distinct_idx",
-        size(array_distinct(transform(col("_seq"), e => e.getField("turn_idx")))).cast("long"))
       .withColumn("size_ok", col("n_turns") >= minTurns && col("n_turns") <= maxTurns)
       .withColumn("dense_ok",
         col("n_distinct_idx") === col("n_turns") &&
           col("min_idx") === 0 && col("max_idx") === col("n_turns") - 1)
-      .withColumn("mono_ts_ok", {
-        val ts = transform(col("_seq"), e => e.getField("ts"))
-        // adjacent-pair scan: any later ts strictly below its predecessor
-        // fails (nulls compare to null → filtered out, matching monotoneTs)
-        size(filter(zip_with(ts, slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
-          (prev, next) => next < prev), x => x)) === 0
-      })
-      .drop("_seq")
+      .withColumn("mono_ts_ok", col("_descents") === 0L)
+      .drop("_descents")
       .where(!col("size_ok") || !col("dense_ok") || !col("mono_ts_ok"))
   }
 

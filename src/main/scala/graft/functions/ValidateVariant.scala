@@ -161,14 +161,22 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
     val sink: Sink = mutable.ArrayBuffer.empty
     val pass =
       try validateSchema(spec, v, "", Some(sink))
-      catch { case _: StackOverflowError =>
-        // belt-and-braces behind the MaxWalkDepth guard: deep-equality
-        // recursions (enum/const/uniqueItems over deep values) are bounded
-        // by the parser's own nesting cap, but a crash here must degrade
-        // to a violation, never kill the task
-        sink.clear()
-        sink += (("", VariantValidator.depthExceededMsg, "depth"))
-        false
+      catch {
+        case VariantValidator.DepthExceeded =>
+          // the MaxWalkDepth guard fires out-of-band so no enclosing
+          // not/oneOf/if can invert it into a pass: the ROW always fails
+          // with the depth violation
+          sink.clear()
+          sink += (("", VariantValidator.depthExceededMsg, "depth"))
+          false
+        case _: StackOverflowError =>
+          // belt-and-braces behind the MaxWalkDepth guard: deep-equality
+          // recursions (enum/const/uniqueItems over deep values) are bounded
+          // by the parser's own nesting cap, but a crash here must degrade
+          // to a violation, never kill the task
+          sink.clear()
+          sink += (("", VariantValidator.depthExceededMsg, "depth"))
+          false
       }
     val arr = new GenericArrayData(sink.map { case (p, d, k) =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(p),
@@ -343,8 +351,14 @@ final class VariantValidator(spec: SchemaSpec, strictDateTime: Boolean,
     // between walker stack exhaustion and the parser cap crashed before
     // this guard (found by the deep-document probe; the reference has no
     // such guard — its C++ recursion is equally unbounded).
+    //
+    // Depth exhaustion propagates OUT-OF-BAND (an exception caught only in
+    // validateRow), never as an in-band `false`: a plain `false` would be
+    // logically inverted by an enclosing NotC (and mis-counted by OneOfC /
+    // misread by CondC if-probes), making a hostile-deep document PASS
+    // inside `not` — fail-open on exactly the inputs the guard targets.
     case _ if depth > VariantValidator.MaxWalkDepth =>
-      push(sink, path, VariantValidator.depthExceededMsg, "depth"); false
+      throw VariantValidator.DepthExceeded
     case r: RefSchema => validateSchema(r.target, v, path, sink, depth) // cycle: finite doc ⇒ terminates
     case TrueSchema  => true
     case FalseSchema => false // no error of its own (VV:107-109)
@@ -854,6 +868,14 @@ object VariantValidator {
     * than this fail with a `depth` violation instead of crashing. */
   val MaxWalkDepth = 256
   val depthExceededMsg = "Document nesting depth exceeds the evaluator limit."
+
+  /** Out-of-band signal for MaxWalkDepth exhaustion. A control-flow
+    * singleton (no stack trace) caught ONLY in validateRow, so depth
+    * failure can never be inverted by an enclosing not/oneOf/if into a
+    * pass. Extends ControlThrowable so incidental NonFatal catches don't
+    * swallow it. */
+  private[functions] case object DepthExceeded
+      extends scala.util.control.ControlThrowable
 
   /** Strict deep equality between two RUNTIME variants — the reference's
     * `equalTo(strict=true)` with numbers in DOUBLE space (getNumber casts

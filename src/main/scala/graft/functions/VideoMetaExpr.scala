@@ -101,6 +101,11 @@ object VideoMetaExpr {
         (be32(mv + 20), be64(mv + 24))
       } else return null
     if (timescale <= 0 || duration < 0) return null
+    // v0 all-ones duration is the ISO-BMFF "unknown" sentinel, not ~49 days
+    if (mvVer == 0 && duration == 0xFFFFFFFFL) return null
+    // duration*1000 must not overflow Long (a crafted v1 64-bit duration
+    // > ~9.2e15 would wrap negative AFTER the sign check above)
+    if (duration > Long.MaxValue / 1000L) return null
     val durationMs = duration * 1000L / timescale
 
     // first trak's tkhd → 16.16 fixed-point display dims (absent → null dims)

@@ -96,7 +96,11 @@ object ScalingProbe {
       ) else Nil
       checks.foreach(Await.result(_, Duration.Inf))
       val rows = Await.result(rowDerived, Duration.Inf)
-      (rows, stepNames.flatMap(n => Option(stepT.get(n)).map(n -> _.toDouble)).toMap)
+      // containsKey guard: stepT.get on a ConcurrentHashMap[String, Double]
+      // unboxes the missing-key null to 0.0 BEFORE Option wraps it, so
+      // Option(...) alone would emit never-run steps as 0.000s
+      (rows, stepNames.filter(stepT.containsKey)
+        .map(n => n -> stepT.get(n).toDouble).toMap)
     }
 
     (1 to reps).foreach { i =>

@@ -61,6 +61,31 @@ class JsonColumnSpec extends SparkTestBase {
     }
   }
 
+  test("depth exhaustion is not invertible by not/oneOf/anyOf (fail-open guard)") {
+    // the depth guard propagates OUT-OF-BAND: a too-deep document probed
+    // inside `not` must NOT make the inner walk 'fail' and thereby let the
+    // row PASS — the row always fails with the depth violation. Same for
+    // oneOf counting and anyOf suppression.
+    val deep = "[" * 400 + "1" + "]" * 400 // past MaxWalkDepth, inside parser cap
+    val recursiveArray = """{"items": {"$ref": "#"}, "type": ["array", "integer"]}"""
+    val specs = Seq(
+      s"""{"not": $recursiveArray}""",
+      s"""{"oneOf": [$recursiveArray, {"type": "string"}]}""",
+      s"""{"anyOf": [$recursiveArray, {"if": $recursiveArray, "then": {}, "else": {}}]}""")
+    specs.foreach { schemaJson =>
+      val spec = Graft.parseSchema(schemaJson)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(0L, deep))),
+        StructType(Seq(StructField("id", LongType), StructField("doc", StringType))))
+      val r = Graft.validateJsonColumn(df, "doc", spec)
+        .select("pass", "violations").collect().head
+      withClue(schemaJson) {
+        r.getBoolean(0) shouldBe false
+        r.getSeq[Row](1).map(_.getString(2)) should contain("depth")
+      }
+    }
+  }
+
   test("driver entry() smoke: violations present") {
     SparkEntry.entry(spark).count() should be > 0L
   }

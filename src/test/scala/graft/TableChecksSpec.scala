@@ -63,6 +63,41 @@ class TableChecksSpec extends SparkTestBase {
     bad.where(!col("dense_ok")).count() should be > 0L
   }
 
+  test("conversationChecks survives one 10^6-turn hot conversation with spilling forced") {
+    // skew-safety evidence: force the window buffer to SPILL (tiny
+    // thresholds stand in for a small executor heap — the pre-r5
+    // sort_array(collect_list) formulation had no spill path at all, its
+    // per-group ArrayBuffer simply grew to the conversation size). One
+    // conversation with 10^6 turns, dense idx, monotone ts except one
+    // injected descent at idx 500000.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.windowExecBufferInMemoryThreshold",
+                   "spark.sql.windowExecBufferSpillThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    keys.foreach(k => conf.set(k, "128"))
+    try {
+      import spark.implicits._
+      val n = 1000000
+      val hot = spark.range(n).select(
+        lit("hotconv").as("conv_id"),
+        col("id").as("turn_idx"),
+        (lit(1704067200L) + col("id") -
+          when(col("id") === 500000L, lit(999L)).otherwise(lit(0L)))
+          .cast("timestamp").as("ts"))
+      val out = TableChecks.conversationChecks(hot, minTurns = 1, maxTurns = 4096)
+        .collect()
+      out.length shouldBe 1
+      val r = out.head
+      r.getAs[Long]("n_turns") shouldBe n.toLong
+      r.getAs[Long]("n_distinct_idx") shouldBe n.toLong
+      r.getAs[Boolean]("size_ok") shouldBe false   // 10^6 > maxTurns
+      r.getAs[Boolean]("dense_ok") shouldBe true
+      r.getAs[Boolean]("mono_ts_ok") shouldBe false // the injected descent
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("monotoneTs finds injected non-monotone timestamps") {
     TableChecks.monotoneTs(turns).count() should be > 0L
   }
