@@ -229,6 +229,11 @@ object Bench {
     val qs = (queryTimes :+ ("validation_pass_full" -> tFull)
         :+ ("validation_pass_4n" -> t4n) :+ ("validation_pass_n" -> tLo))
       .map { case (k, v) => "\"" + k + "\":" + jNum(v) }.mkString("{", ",", "}")
+    // Compact headline only — the per-rep `steps` arrays live in a SIBLING
+    // file (BENCH_STEPS.json), never on stdout: in round 4 they pushed the
+    // headline fields outside the driver's bounded tail capture, so
+    // BENCH_r04.json shipped "parsed": null. The machine-readable line must
+    // be the LAST stdout line and stay small.
     val json =
       s"""{"metric":"total","value":${jNum(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","turns":$rowsFull,"cores_n":$scaleN,"cores_4n":${scaleN * 4},""" +
@@ -239,11 +244,14 @@ object Bench {
       s""""scaling_efficiency":${jNum(eff)},""" +
       s""""scaling_efficiency_median":${jNum((median(tLoRuns) / median(t4nRuns)) / 4.0)},""" +
       s""""top_pair_ratio":${jNum((t4n / tFull) / 4.0)},""" +
-      s""""steps_median":{"full":${jStepMedian(fullRuns)},"4n":${jStepMedian(t4nRuns)},"n":${jStepMedian(tLoRuns)}},""" +
-      s""""steps":{"full":${jSteps(fullRuns)},"4n":${jSteps(t4nRuns)},"n":${jSteps(tLoRuns)}}}"""
-    // stdout (sole line, unprefixed via build.sbt outputStrategy) + file copy
-    println(json)
+      s""""steps_median":{"full":${jStepMedian(fullRuns)},"4n":${jStepMedian(t4nRuns)},"n":${jStepMedian(tLoRuns)}}}"""
+    val stepsJson =
+      s"""{"steps":{"full":${jSteps(fullRuns)},"4n":${jSteps(t4nRuns)},"n":${jSteps(tLoRuns)}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STEPS.json"),
+      (stepsJson + "\n").getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
       (json + "\n").getBytes("UTF-8"))
+    // stdout LAST line (unprefixed via build.sbt outputStrategy)
+    println(json)
   }
 }

@@ -215,8 +215,14 @@ object Dedup {
       // cluster rows of one (band, bhp) directory into one writer task:
       // without this every input task writes a sliver into every directory
       // (bands×64×tasks small files — the classic partitioned-write
-      // explosion); with it each directory holds O(1) well-sized files
-      .repartition(col("band"), col("bhp"))
+      // explosion); with it each directory holds O(1) well-sized files.
+      // The partition count is EXPLICIT: a keyed repartition() without one
+      // is an AQE coalesce target, and on a small append AQE collapses it
+      // to a single task that then creates all bands×64 directory files
+      // serially (~4-6s of pure file-open overhead); pinning the count
+      // keeps the writers parallel at every scale.
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("bhp"))
       .write.mode(mode).partitionBy("band", "bhp").parquet(path)
   }
 
@@ -232,13 +238,18 @@ object Dedup {
     * similarity gap; `maxBucketSize` caps the CORPUS side of a band bucket,
     * auditable via [[overfullBuckets]] on the table).
     *
-    * Output: (id_a = increment id, id_b = corpus id, true J >= threshold). */
+    * Output: (id_a = increment id, id_b = corpus id, true J >= threshold);
+    * with `includeWithinIncrement` also (id_a < id_b) pairs WITHIN the
+    * increment — sharing the banded frame and the verification pass, so
+    * intra-increment recall costs one extra bucket self-join, not a second
+    * normalize/signature/shingle pipeline. */
   def incrementalNearDups(increment: DataFrame, idCol: String, textCol: String,
                           lshTablePath: String,
                           numHashes: Int = 32, bands: Int = 8,
                           jaccardThreshold: Double = 0.5,
                           shingleK: Int = 8,
-                          maxBucketSize: Int = 256): DataFrame = {
+                          maxBucketSize: Int = 256,
+                          includeWithinIncrement: Boolean = false): DataFrame = {
     val spark = increment.sparkSession
     val rowsPerBand = numHashes / bands
     val base = increment.select(col(idCol).as("id"),
@@ -259,13 +270,31 @@ object Dedup {
     val corpus0 = spark.read.parquet(lshTablePath)
       .where((col("band") * 64 + col("bhp")).isin(probeKeys: _*))
     val corpus = capBuckets(corpus0, Seq("band", "bh"), maxBucketSize)
-    val cands = banded.as("a")
+    def estOk(a: Column, b: Column): Column =
+      (aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numHashes) >= jaccardThreshold / 2
+    val probeCands = banded.as("a")
       .join(corpus.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-      .where((aggregate(zip_with(col("a.sig"), col("b.sig"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes) >= jaccardThreshold / 2)
+      .where(estOk(col("a.sig"), col("b.sig")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("b.norm").as("_nb"))
-      .dropDuplicates("id_a", "id_b")
+    val cands0 =
+      if (!includeWithinIncrement) probeCands
+      else {
+        // intra-increment candidates from the SAME banded frame (capped
+        // like the corpus side), oriented id_a < id_b; the b-side norm for
+        // verification joins in from `base` (no recomputation)
+        val bandedCapped = capBuckets(banded, Seq("band", "bh"), maxBucketSize)
+        val within = bandedCapped.as("a")
+          .join(bandedCapped.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.id") < col("b.id"))
+          .where(estOk(col("a.sig"), col("b.sig")))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .join(base.select(col("id").as("id_b"), col("norm").as("_nb")), "id_b")
+          .select(col("id_a"), col("id_b"), col("_nb"))
+        probeCands.unionAll(within)
+      }
+    val cands = cands0.dropDuplicates("id_a", "id_b")
     // exact shingle verification: increment shingles computed only for
     // candidate ids; corpus norms already rode along from the pruned read
     val incSh = base.select(col("id").as("id_a"),

@@ -28,7 +28,15 @@ import graft.ops.Dedup
   * at-least-once on batch RETRY after a mid-batch crash; the emitted
   * `batch_id` column makes downstream dedup of replayed batches trivial,
   * and a transactional table format would make both writes exactly-once
-  * without changing this code's shape. */
+  * without changing this code's shape.
+  *
+  * Within-batch recall: because a batch is appended only AFTER it is
+  * probed, two near-identical documents arriving in the SAME micro-batch
+  * would never be compared by the probe alone (bursty arrivals and the
+  * first seed batch especially). `withinBatch = true` (the default) closes
+  * that gap by also running the verified self-join on each batch before
+  * the append — those pairs are emitted `id_a < id_b`, probe pairs stay
+  * `(new doc, corpus doc)`. */
 object StreamingDedup {
 
   private def pairsSchema: StructType = StructType(Seq(
@@ -43,24 +51,34 @@ object StreamingDedup {
             lshTablePath: String, pairsSink: String, checkpoint: String,
             numHashes: Int = 32, bands: Int = 8,
             jaccardThreshold: Double = 0.5, shingleK: Int = 8,
-            maxBucketSize: Int = 256): StreamingQuery =
+            maxBucketSize: Int = 256, withinBatch: Boolean = true): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // the batch is read twice (probe + append): pin it
+        // the batch is read multiple times (probe + self-join + append): pin it
         val b = batch.persist()
         try {
           val pairs =
             if (Dedup.lshTableExists(lshTablePath))
+              // probe + (fused) intra-batch self-join: one banded frame,
+              // one verification pass — the within pairs come out
+              // id_a < id_b, probe pairs (new doc, corpus doc)
               Dedup.incrementalNearDups(b, idCol, textCol, lshTablePath,
+                  numHashes, bands, jaccardThreshold, shingleK, maxBucketSize,
+                  includeWithinIncrement = withinBatch)
+                .select(col("id_a").cast("long"), col("id_b").cast("long"))
+                .withColumn("batch_id", lit(batchId))
+            else if (withinBatch)
+              // first batch: no corpus to probe, but intra-batch near-dups
+              // (the seed batch's blind spot) still need the self-join
+              Dedup.minhashNearDupsVerified(b, idCol, textCol,
                   numHashes, bands, jaccardThreshold, shingleK, maxBucketSize)
                 .select(col("id_a").cast("long"), col("id_b").cast("long"))
                 .withColumn("batch_id", lit(batchId))
-            else // first batch: nothing to probe, still materialize the sink
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[Row], pairsSchema)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], pairsSchema)
           pairs.write.mode("append").parquet(pairsSink)
           Dedup.appendMinhashLshTable(b, idCol, textCol, lshTablePath,
             numHashes, bands, shingleK)

@@ -106,17 +106,21 @@ class DriverQuerySpec extends SparkTestBase {
     got should not be empty
     // deterministic: every invocation resets layout/sink/checkpoint
     run() shouldBe got
-    // equivalence: the stream's odd-probing-even pairs equal the batch
-    // verified near-dup pairs restricted to (odd, even) orientation
+    // equivalence: the stream's pair set equals the batch verified
+    // near-dup pairs — cross-parity oriented (odd probing even), the
+    // same-parity within-batch pairs kept (id_a < id_b)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val batch = graft.ops.Dedup.minhashNearDupsVerified(docs, "doc_id", "text",
         jaccardThreshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .flatMap { case (a, b) =>
-        if (a % 2 == 1 && b % 2 == 0) Some((a, b))
-        else if (b % 2 == 1 && a % 2 == 0) Some((b, a))
-        else None
+      .map { case (a, b) =>
+        if (a % 2 == 1 && b % 2 == 0) (a, b)
+        else if (b % 2 == 1 && a % 2 == 0) (b, a)
+        else (math.min(a, b), math.max(a, b))
       }.toSet
     got shouldBe batch
+    // within-batch (same-parity) pairs are present: the probe alone is
+    // blind to them
+    got.exists { case (a, b) => a % 2 == b % 2 } shouldBe true
   }
 }

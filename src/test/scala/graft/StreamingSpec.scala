@@ -108,6 +108,36 @@ class StreamingSpec extends SparkTestBase {
     spark.read.parquet(layout).count() shouldBe 5L * 8
   }
 
+  test("streaming dedup finds intra-batch near-dups the probe alone is blind to") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import graft.streaming.StreamingDedup
+    val root = java.nio.file.Files.createTempDirectory("graft-sdedup-wb")
+    val landing = root.resolve("landing"); java.nio.file.Files.createDirectories(landing)
+    val textA = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val tmp = root.resolve("tmp")
+    Seq((2L, textA), (11L, textA),
+        (13L, "unrelated text that matches nothing else in this corpus at all"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, landing.resolve("a.parquet"))
+
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    def run(withinBatch: Boolean, tag: String): Set[(Long, Long)] = {
+      val docs = spark.readStream.schema(schema).parquet(landing.toString)
+      StreamingDedup.start(docs, "doc_id", "text",
+        root.resolve(s"layout_$tag").toString, root.resolve(s"pairs_$tag").toString,
+        root.resolve(s"ckpt_$tag").toString, withinBatch = withinBatch)
+        .awaitTermination()
+      spark.read.parquet(root.resolve(s"pairs_$tag").toString)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // both near-identical docs arrive in the SAME (seed) batch: the probe
+    // path sees an empty corpus and emits nothing — withinBatch closes that
+    run(withinBatch = false, "off") shouldBe Set.empty
+    run(withinBatch = true, "on") shouldBe Set((2L, 11L))
+  }
+
   test("flatMapGroupsWithState flags duplicate/gap turn_idx and non-monotone ts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TurnEvent]
