@@ -30,6 +30,15 @@ object Graft {
   def parseSchema(json: String, externalDocs: Map[String, String]): SchemaSpec =
     SpecParser.parse(json, externalDocs)
 
+  /** Parse with custom-keyword builders registered (the
+    * `SchemaParser::addConstraintBuilder` analog, schema_parser.hpp:91-94):
+    * a schema DOCUMENT carrying a registered keyword compiles — the builder
+    * maps the keyword's value node to the [[graft.spec.CustomC]] that runs
+    * on all three evaluation paths. */
+  def parseSchema(json: String, externalDocs: Map[String, String],
+                  builders: Map[String, SpecParser.ConstraintBuilder]): SchemaSpec =
+    SpecParser.parse(json, externalDocs, builders)
+
   final case class RowValidation(flagged: DataFrame, violations: DataFrame,
                                  partitionVerdicts: DataFrame)
 

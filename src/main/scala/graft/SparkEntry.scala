@@ -415,6 +415,17 @@ object SparkEntry {
         numHashes = 32, bands = 8, jaccardThreshold = 0.5)
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => { implicit val sp = s
+      // near-dup CLUSTERING (pairs → min-label connected components, the
+      // survivor-selection step of a dedup pipeline): iterative label
+      // propagation with localCheckpoint lineage cuts. Components here are
+      // near-dup groups — tiny by construction — so DuckDB recomputes the
+      // same labels with a recursive transitive-closure CTE.
+      val pairs = Dedup.minhashNearDupsVerified(t(dir, "documents"),
+        "doc_id", "text", numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+      Dedup.clusters(pairs).select(col("id"), col("cluster"))
+    }),
+
     "q_dedup_incremental" -> ((s, dir) => { implicit val sp = s
       // the production append-only dedup shape: the corpus half
       // (doc_id % 10 != 0) lives in a persisted MinHash-LSH banded layout
@@ -753,6 +764,25 @@ object SparkEntry {
       run(strict = true, "strict").unionAll(run(strict = false, "weak"))
     }),
 
+    "q_yaml_ingest" -> ((s, dir) => { implicit val sp = s
+      // multi-format document ingest (the reference's yaml_cpp_adapter,
+      // adapters/yaml_cpp_adapter.hpp): a YAML payload column converts to
+      // canonical JSON text (codegen'd YamlToJsonExpr) and validates
+      // through the SAME walker — one engine, adapters at the edge. The
+      // YAML is synthesized key-driven, so DuckDB recomputes the expected
+      // violations without parsing YAML at all.
+      val yaml = format_string("kind: yaml\nv: %d",
+        pmod(col("event_id"), lit(150)))
+      val spec = Graft.parseSchema("""{"properties":{"v":{"maximum":100}}}""")
+      val out = Graft.validateJsonColumn(
+        t(dir, "events").withColumn("__doc",
+          graft.functions.YamlToJsonExpr.yamlToJson(yaml)), "__doc", spec)
+      out.select(col("event_id"), explode(col("violations")).as("v"))
+        .where(col("v.kind") === "maximum")
+        .select(col("event_id"), col("v.json_pointer").as("json_pointer"),
+          col("v.description").as("description"))
+    }),
+
     "q_metaschema" -> ((s, dir) => { implicit val sp = s
       // meta-schema self-validation — the reference validates every schema
       // document against the bundled draft meta-schemas before use
@@ -920,6 +950,31 @@ object SparkEntry {
           col("rows"), col("fail_rows"))
     }),
 
+    "q_streaming_sessions" -> ((s, dir) => { implicit val sp = s
+      // session-window streaming verdicts (§2.5's named shape): per-user
+      // sessions close after 12h of event-time silence. Session boundaries
+      // are closed-form for deterministic event times (a session breaks
+      // exactly where ts >= prev_ts + gap), so DuckDB recomputes every
+      // session span and its verdict counts with window functions.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(stageStreamEvents(dir))
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val spec = graft.spec.SpecParser.parse(
+        """{"properties":{"event_type":{"enum":["signup","click","view","purchase"]}}}""")
+      val agg = graft.streaming.StreamingValidator.sessionVerdicts(
+        stream, spec, keyCol = "user_id", tsCol = "ts",
+        watermark = "1 hour", gap = "12 hours")
+      val q = agg.writeStream.format("memory").queryName("graft_stream_sessions")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_stream_sessions")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("rows"), col("fail_rows"))
+    }),
+
     "q_streaming_anomalies" -> ((s, dir) => { implicit val sp = s
       import s.implicits._
       // stateful streaming (§2.5): per-conversation running checks via
@@ -1015,8 +1070,17 @@ object SparkEntry {
         pmod(pmod(n, lit(10)) + pmod(floor(n / lit(10)).cast("long"), lit(10)),
           lit(2)) === 0
       }
-      val spec = graft.spec.ConstraintSchema(Vector(graft.spec.CustomC(
-        "digit_sum_even", colP, "digit sum must be even", Some(nativeP))))
+      // the custom keyword arrives IN the schema document and compiles via
+      // the registered builder (ConstraintBuilder analog,
+      // constraint_builder.hpp:13-19 / schema_parser.hpp:1151-1167) — not
+      // by assembling the spec programmatically
+      val spec = Graft.parseSchema(
+        """{"digit_sum_even": true}""", Map.empty,
+        Map("digit_sum_even" -> { n =>
+          require(n.isBoolean && n.asBoolean(), "digit_sum_even must be true")
+          graft.spec.CustomC(
+            "digit_sum_even", colP, "digit sum must be even", Some(nativeP))
+        }))
       val doc = concat(lit("""{"v":"""), pmod(col("event_id"), lit(100)), lit("}"))
       val out = Graft.validateJsonColumn(
         t(dir, "events").withColumn("__doc", doc), "__doc", spec)
@@ -1227,6 +1291,23 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5""",
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(norm)-6, 2)),
+                 i -> substr(norm, i::INT, 8))) AS sh FROM n),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         walk(id, lbl) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b)
+         SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""",
 
     "q_transcript_validation" ->
       """WITH turns AS (
@@ -1463,6 +1544,11 @@ object SparkEntry {
                 'Expected number less than or equal to 100.000000' AS description
          FROM events WHERE event_id % 150 > 100""",
 
+    "q_yaml_ingest" ->
+      """SELECT event_id, '/v' AS json_pointer,
+                'Expected number less than or equal to 100.000000' AS description
+         FROM events WHERE event_id % 150 > 100""",
+
     "q_conversation_checks" ->
       """WITH t AS (
            SELECT printf('c%07d', user_id) AS conv_id,
@@ -1539,6 +1625,25 @@ object SparkEntry {
                 CAST(count(*) FILTER (WHERE event_type NOT IN
                   ('signup','click','view','purchase')) AS BIGINT) AS fail_rows
          FROM events GROUP BY 1""",
+
+    "q_streaming_sessions" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_type,
+                  CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (
+           SELECT user_id, ts, event_type,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM e)
+         SELECT user_id,
+                epoch_us(min(ts)) AS session_start_us,
+                epoch_us(max(ts) + INTERVAL 12 HOUR) AS session_end_us,
+                count(*) AS "rows",
+                CAST(count(*) FILTER (WHERE event_type NOT IN
+                  ('signup','click','view','purchase')) AS BIGINT) AS fail_rows
+         FROM s GROUP BY user_id, sid""",
 
     "q_streaming_anomalies" ->
       """WITH t AS (

@@ -565,9 +565,10 @@ object Compiler {
                   j.cast(StringType), lit(" violate uniqueness constraint.")).as("description"),
                 lit("uniqueItems").as("kind"))).otherwise(lit(null).cast(violationStructType))),
             v => v.isNotNull)))
-        val ok =
-          if (et == VariantType) value.isNull || size(pairViols) === 0
-          else value.isNull || size(cmp) === size(array_distinct(cmp))
+        // ok comes from the SAME pairwise equality on every path —
+        // array_distinct hashes raw double bits, so it calls 0.0 and -0.0
+        // distinct while <=> (like the reference's equalTo) calls them equal
+        val ok = value.isNull || size(pairViols) === 0
         Compiled(b(ok), when(value.isNull, emptyViols).otherwise(pairViols.cast(violationArrayType)))
       case _ => alwaysTrue
     }

@@ -52,9 +52,15 @@ object ThompsonRegexEngine extends RegexEngine {
 
 final class ThompsonRegex(pattern: String) extends Serializable {
 
+  // The engine operates on CODE POINTS, not UTF-16 units: the JDK engine
+  // treats a supplementary character as a single atom (a literal U+1F432
+  // quantifies as one unit, '.' consumes a whole surrogate pair, class
+  // ranges span astral endpoints), and the two engines must agree on every
+  // input — the official suite's non-BMP-regex inventory asserts exactly
+  // this ("proper UTF-16 surrogate pair handling").
   // ---- AST -----------------------------------------------------------------
   private sealed trait Node
-  private case class Chr(f: Char => Boolean) extends Node
+  private case class Chr(f: Int => Boolean) extends Node
   private case class Cat(a: Node, b: Node) extends Node
   private case class Alt(a: Node, b: Node) extends Node
   private case class Star(a: Node) extends Node
@@ -68,8 +74,12 @@ final class ThompsonRegex(pattern: String) extends Serializable {
     throw new java.util.regex.PatternSyntaxException(msg, pattern, -1)
 
   // ---- recursive-descent parser ---------------------------------------------
+  // `pos` is a char (UTF-16) index; `peek` reads the full code point there.
+  // Metacharacter lookaheads via charAt stay correct: no surrogate equals an
+  // ASCII char.
   private var pos = 0
-  private def peek: Char = pattern.charAt(pos)
+  private def peek: Int = pattern.codePointAt(pos)
+  private def skip(cp: Int): Unit = pos += Character.charCount(cp)
   private def more: Boolean = pos < pattern.length
 
   private def parseAlt(): Node = {
@@ -98,7 +108,7 @@ final class ThompsonRegex(pattern: String) extends Serializable {
         fail("possessive / stacked quantifiers not supported")
       quantified = true
     }
-    while (more && cont) peek match {
+    while (more && cont) pattern.charAt(pos) match {
       case '*' if quantified => fail("stacked quantifiers not supported")
       case '+' if quantified => fail("possessive / stacked quantifiers not supported")
       case '*' => pos += 1; a = Star(a); post()
@@ -135,7 +145,7 @@ final class ThompsonRegex(pattern: String) extends Serializable {
   }
   private def parseAtom(): Node = {
     if (!more) return Empty
-    peek match {
+    pattern.charAt(pos) match {
       case '(' =>
         pos += 1
         if (more && peek == '?') {
@@ -148,7 +158,7 @@ final class ThompsonRegex(pattern: String) extends Serializable {
         pos += 1
         n
       case '[' => parseClass()
-      case '.' => pos += 1 // JDK '.': any char except line terminators
+      case '.' => pos += 1 // JDK '.': any code point except line terminators
         Chr(ch => ch != '\n' && ch != '\r' && ch != '' && ch != ' ' && ch != ' ')
       case '^' => pos += 1; Start
       case '$' => pos += 1; End
@@ -156,22 +166,29 @@ final class ThompsonRegex(pattern: String) extends Serializable {
       case ')' | '|' => Empty
       case '*' | '+' | '?' => fail(s"dangling quantifier at $pos")
       case '{' => fail(s"illegal repetition at $pos") // JDK: '{' with no preceding atom
-      case c => pos += 1; Chr(_ == c)
+      case _ => val c = peek; skip(c); Chr(_ == c)
     }
   }
-  private def parseEscape(): Char => Boolean = {
+  private def parseEscape(): Int => Boolean = {
     if (!more) fail("trailing backslash")
-    val c = peek; pos += 1
+    val cp = peek; skip(cp)
+    // escaped astral punctuation: a literal single-code-point atom (the JDK
+    // treats backslash + non-alphanumeric as the literal character)
+    if (cp > 0xFFFF) {
+      if (!Character.isLetterOrDigit(cp)) return (ch: Int) => ch == cp
+      else fail(s"unsupported escape")
+    }
+    val c = cp.toChar
     // ASCII-only predicate classes, byte-matching the JDK defaults (no
     // UNICODE_CHARACTER_CLASS): \d=[0-9], \w=[a-zA-Z0-9_], \s=[ \t\n\x0B\f\r].
     // Character.isDigit / isWhitespace would accept non-ASCII code points the
     // JDK engine (and the codegen'd rlike path) reject — the two engines must
     // agree on every input.
-    def asciiDigit(ch: Char): Boolean = ch >= '0' && ch <= '9'
-    def asciiWord(ch: Char): Boolean =
+    def asciiDigit(ch: Int): Boolean = ch >= '0' && ch <= '9'
+    def asciiWord(ch: Int): Boolean =
       (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') || asciiDigit(ch) || ch == '_'
-    def asciiSpace(ch: Char): Boolean =
-      ch == ' ' || ch == '\t' || ch == '\n' || ch == 11.toChar || ch == '\f' || ch == '\r'
+    def asciiSpace(ch: Int): Boolean =
+      ch == ' ' || ch == '\t' || ch == '\n' || ch == 11 || ch == '\f' || ch == '\r'
     c match {
       case 'd' => asciiDigit
       case 'D' => ch => !asciiDigit(ch)
@@ -184,7 +201,7 @@ final class ThompsonRegex(pattern: String) extends Serializable {
       case 't' => _ == '\t'
       case 'f' => _ == '\f'
       case 'b' | 'B' => fail("word boundaries not supported") // zero-width
-      case x if !x.isLetterOrDigit => (_: Char) == x // escaped punctuation
+      case x if !x.isLetterOrDigit => (_: Int) == x.toInt // escaped punctuation
       case x => fail(s"unsupported escape \\$x")
     }
   }
@@ -192,20 +209,22 @@ final class ThompsonRegex(pattern: String) extends Serializable {
     pos += 1 // '['
     val negate = more && peek == '^'
     if (negate) pos += 1
-    val preds = mutable.ArrayBuffer[Char => Boolean]()
+    val preds = mutable.ArrayBuffer[Int => Boolean]()
     var first = true
     while (more && (peek != ']' || first)) {
       first = false
-      val lo: Either[Char => Boolean, Char] =
+      val lo: Either[Int => Boolean, Int] =
         if (peek == '\\') { pos += 1; Left(parseEscape()) }
-        else { val c = peek; pos += 1; Right(c) }
+        else { val c = peek; skip(c); Right(c) }
       lo match {
         case Left(f) => preds += f
         case Right(c) =>
+          // range lookahead: '-' then not-']' — charAt is safe, no surrogate
+          // equals either ASCII char; ranges span code points (JDK semantics)
           if (more && peek == '-' && pos + 1 < pattern.length && pattern.charAt(pos + 1) != ']') {
             pos += 1
             val hi = if (peek == '\\') { pos += 1; fail("range to escape") }
-                     else { val h = peek; pos += 1; h }
+                     else { val h = peek; skip(h); h }
             preds += (ch => ch >= c && ch <= hi)
           } else preds += (_ == c)
       }
@@ -213,13 +232,13 @@ final class ThompsonRegex(pattern: String) extends Serializable {
     if (!more) fail("unclosed [")
     pos += 1 // ']'
     val ps = preds.toIndexedSeq
-    val f: Char => Boolean = ch => ps.exists(_(ch))
+    val f: Int => Boolean = ch => ps.exists(_(ch))
     Chr(if (negate) ch => !f(ch) else f)
   }
 
   // ---- compile to a Pike-VM program ------------------------------------------
   private sealed trait Inst
-  private case class IChar(f: Char => Boolean) extends Inst
+  private case class IChar(f: Int => Boolean) extends Inst
   private case class ISplit(a: Int, b: Int) extends Inst
   private case class IJmp(t: Int) extends Inst
   private case object IStart extends Inst
@@ -300,22 +319,25 @@ final class ThompsonRegex(pattern: String) extends Serializable {
     var gen = 0
     curLen = add(cur, 0, 0, 0, gen)
     while (at < len && !matched) {
-      val c = input.charAt(at)
+      // one step consumes one CODE POINT (surrogate pair = one atom), like
+      // the JDK engine; `at` stays a char index so End anchors compare to len
+      val c = input.codePointAt(at)
+      val w = Character.charCount(c)
       gen += 1
       nxtLen = 0
       var i = 0
       while (i < curLen) {
         prog(cur(i)) match {
-          case IChar(f) if f(c) => nxtLen = add(nxt, nxtLen, cur(i) + 1, at + 1, gen)
+          case IChar(f) if f(c) => nxtLen = add(nxt, nxtLen, cur(i) + 1, at + w, gen)
           case _ => ()
         }
         i += 1
       }
       // unanchored search: re-inject the start state at the next position
-      if (!matched) nxtLen = add(nxt, nxtLen, 0, at + 1, gen)
+      if (!matched) nxtLen = add(nxt, nxtLen, 0, at + w, gen)
       val t = cur; cur = nxt; nxt = t
       curLen = nxtLen
-      at += 1
+      at += w
     }
     matched
   }

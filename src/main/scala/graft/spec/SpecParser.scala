@@ -36,6 +36,16 @@ object SpecParser {
 
   private val mapper = new ObjectMapper()
 
+  /** Parse-time custom-keyword builder — the `ConstraintBuilder` analog
+    * (valijson `constraint_builder.hpp:13-19`, registered via
+    * `SchemaParser::addConstraintBuilder` `schema_parser.hpp:91-94`,
+    * dispatched in the keyword loop `schema_parser.hpp:1151-1167`): the
+    * builder receives the keyword's VALUE node from the schema document and
+    * produces the [[CustomC]] to append. Registering one makes a schema
+    * DOCUMENT carrying the keyword compile on all three evaluation paths
+    * (tests/test_poly_constraint.cpp is the reference's usage shape). */
+  type ConstraintBuilder = JsonNode => CustomC
+
   def parse(json: String): SchemaSpec = parse(json, Map.empty[String, String])
 
   /** Parse with external documents available for URI `$ref`s (offline
@@ -43,10 +53,21 @@ object SpecParser {
   def parse(json: String, externalDocs: Map[String, String]): SchemaSpec =
     parseNode(mapper.readTree(json), externalDocs)
 
+  /** Parse with custom-keyword builders registered (ConstraintBuilder
+    * analog): any subschema object carrying a registered keyword gets the
+    * builder's CustomC appended, in document keyword order. */
+  def parse(json: String, externalDocs: Map[String, String],
+            builders: Map[String, ConstraintBuilder]): SchemaSpec =
+    parseNode(mapper.readTree(json), externalDocs, builders)
+
   def parseNode(root: JsonNode): SchemaSpec = parseNode(root, Map.empty[String, String])
 
   def parseNode(root: JsonNode, externalDocs: Map[String, String]): SchemaSpec =
-    new Parser(root, externalDocs).rootSpec()
+    parseNode(root, externalDocs, Map.empty[String, ConstraintBuilder])
+
+  def parseNode(root: JsonNode, externalDocs: Map[String, String],
+                builders: Map[String, ConstraintBuilder]): SchemaSpec =
+    new Parser(root, externalDocs, builders).rootSpec()
 
   /** Freeze a JSON constant (FrozenValue analog,
     * `internal/frozen_value.hpp:22-49`). */
@@ -61,7 +82,8 @@ object SpecParser {
 
   // -------------------------------------------------------------------------
 
-  private final class Parser(rootNode: JsonNode, externalDocs: Map[String, String]) {
+  private final class Parser(rootNode: JsonNode, externalDocs: Map[String, String],
+                             builders: Map[String, ConstraintBuilder] = Map.empty) {
 
     /** JSON Pointer token escaping for memo/cycle keys built from property
       * names — mirrors the reference's `escapeJsonPointerToken` on child
@@ -106,7 +128,12 @@ object SpecParser {
           s"external $$ref not resolvable offline: '$uri' — supply it via the externalDocs map " +
             "(the offline analog of the reference's fetchDoc callback, schema_parser.hpp:106-124)"))
       val node = mapper.readTree(text)
-      scanIds(uri, node, idOf(node).map(resolveUri(uri, _)).getOrElse(uri))
+      // scope INVARIANT (everywhere below): a scope handed to scanIds/
+      // schemaFor/resolvePointer is the scope OUTSIDE the node — each layer
+      // applies a node's own $id exactly once. Double application is
+      // idempotent for absolute $ids but compounds relative FOLDER $ids
+      // ("baseUriChange/" applied twice = nested twice).
+      scanIds(uri, node, uri)
       node
     })
 
@@ -115,7 +142,9 @@ object SpecParser {
     private def scanIds(docKey: String, node: JsonNode, scope: String): Unit = {
       if (node.isObject) {
         val newScope = idOf(node).map(resolveUri(scope, _)).getOrElse(scope)
-        if (idOf(node).isDefined) idIndex.getOrElseUpdate(newScope, (docKey, node, newScope))
+        // registry stores the PARENT scope: consumers re-enter via schemaFor,
+        // whose build applies the node's own $id (once)
+        if (idOf(node).isDefined) idIndex.getOrElseUpdate(newScope, (docKey, node, scope))
         node.properties().asScala.foreach(e => scanIds(docKey, e.getValue, newScope))
       } else if (node.isArray) {
         node.elements().asScala.foreach(scanIds(docKey, _, scope))
@@ -127,25 +156,27 @@ object SpecParser {
       * must resolve against the innermost enclosing $id, not the caller's
       * scope). Returns (target node, its resolution scope). */
     private def resolvePointer(docKey: String, root: JsonNode, ptr: String,
-                               rootScope: String): (JsonNode, String) = {
+                               outerScope: String): (JsonNode, String) = {
       var node = root
-      var scope = idOf(root).map(resolveUri(rootScope, _)).getOrElse(rootScope)
+      var scope = outerScope
       if (ptr.nonEmpty) ptr.split("/").drop(1).foreach { raw =>
+        // descending INTO node's subtree: apply node's own $id now; the
+        // final target's own $id is NOT applied here — schemaFor/build
+        // applies it (scope invariant: returned scope is OUTSIDE the target)
+        if (node.isObject) scope = idOf(node).map(resolveUri(scope, _)).getOrElse(scope)
         val seg = raw.replace("~1", "/").replace("~0", "~")
         node = if (node != null && node.isArray) node.get(seg.toInt)
                else if (node != null) node.get(seg) else null
         if (node == null)
           throw new IllegalArgumentException(s"unresolvable JSON Pointer in $$ref: $docKey#$ptr")
-        if (node.isObject) scope = idOf(node).map(resolveUri(scope, _)).getOrElse(scope)
       }
       (node, scope)
     }
 
     def rootSpec(): SchemaSpec = {
       docs("") = rootNode
-      val rootScope = idOf(rootNode).getOrElse("")
-      scanIds("", rootNode, rootScope)
-      schemaFor("", rootNode, "", rootScope)
+      scanIds("", rootNode, "")
+      schemaFor("", rootNode, "", "")
     }
 
     /** makeOrReuseSchema analog: memoize by (docKey, path); re-entry while
@@ -199,36 +230,43 @@ object SpecParser {
 
       /** Pointer or plain-name-anchor fragment within a resolved document/
         * subschema. */
-      def within(dk: String, base: JsonNode, baseScope: String, pathPrefix: String): SchemaSpec =
+      /** `outerScope` = scope OUTSIDE `base` (pointer descent applies $ids
+        * on the way down); `anchorScope` = the scope a plain-name anchor
+        * resolves against (the scope INSIDE the enclosing document). */
+      def within(dk: String, base: JsonNode, outerScope: String, anchorScope: String,
+                 pathPrefix: String): SchemaSpec =
         if (frag.isEmpty || frag.startsWith("/")) {
-          val (target, targetScope) = resolvePointer(dk, base, frag, baseScope)
-          schemaFor(dk, target, s"$pathPrefix$frag", targetScope)
+          val (target, targetOuter) = resolvePointer(dk, base, frag, outerScope)
+          schemaFor(dk, target, s"$pathPrefix$frag", targetOuter)
         } else {
           // plain-name fragment: $id anchor resolved against the TARGET
           // document's scope
-          val abs = resolveUri(baseScope, "#" + frag)
+          val abs = resolveUri(anchorScope, "#" + frag)
           idIndex.get(abs) match {
-            case Some((adk, anode, asc)) => schemaFor(adk, anode, s"id:$abs", asc)
+            // registry holds the anchor node's PARENT scope; build re-applies
+            // the "#frag" $id (fragment change only — same resolved scope)
+            case Some((adk, anode, aParent)) => schemaFor(adk, anode, s"id:$abs", aParent)
             case None => throw new IllegalArgumentException(
               s"unresolvable $$ref anchor '#$frag' in '$dk'")
           }
         }
 
       if (uriPart.isEmpty) {
-        // a same-document POINTER is relative to the document root, so the
-        // scope walk starts from the ROOT's scope; a plain-name anchor
-        // resolves against the CURRENT scope
+        // a same-document POINTER is relative to the document root (descent
+        // re-applies the root's own $id); a plain-name anchor resolves
+        // against the CURRENT scope
         val baseUri = if (docKey == "") "" else docKey
-        val docScope = idOf(docs(docKey)).map(resolveUri(baseUri, _)).getOrElse(baseUri)
-        within(docKey, docs(docKey), if (frag.startsWith("/")) docScope else scope, "")
+        within(docKey, docs(docKey), baseUri, scope, "")
       } else {
         val abs = resolveUri(scope, uriPart)
         idIndex.get(abs) match {
-          case Some((dk, node, sc)) => within(dk, node, sc, s"id:$abs")
+          // parent scope from the registry; anchors inside the registered
+          // subschema resolve against its own resolved scope (= abs)
+          case Some((dk, node, parentScope)) => within(dk, node, parentScope, abs, s"id:$abs")
           case None =>
             val doc = loadDoc(abs)
             val docScope = idOf(doc).map(resolveUri(abs, _)).getOrElse(abs)
-            within(abs, doc, docScope, "")
+            within(abs, doc, abs, docScope, "")
         }
       }
     }
@@ -417,6 +455,15 @@ object SpecParser {
         } else cs += RequiredC(r.elements().asScala.map(_.asText()).toVector)
       }
       sub("uniqueItems").foreach { u => if (u.asBoolean()) cs += UniqueItemsC }
+
+      // registered custom keywords — dispatched like the reference's
+      // constraint-builder hook at the end of the keyword loop
+      // (schema_parser.hpp:1151-1167), in DOCUMENT keyword order so
+      // violation ordering is deterministic
+      if (builders.nonEmpty)
+        node.properties().asScala.foreach { e =>
+          builders.get(e.getKey).foreach(mk => cs += mk(e.getValue))
+        }
 
       ConstraintSchema(cs.toVector,
         id = idOf(node),

@@ -46,6 +46,23 @@ object StreamingValidator {
         sum(when(col("pass"), 0L).otherwise(1L)).as("fail_rows"))
   }
 
+  /** Session-window verdicts (SURVEY §2.5's named streaming shape): per-key
+    * sessions close after `gap` of event-time silence —
+    * `session_window(ts, gap)` is declarative, so sessions MERGE
+    * associatively across micro-batches and state is evicted once the
+    * watermark passes a session's end; no custom state code. A session
+    * spans [first event, last event + gap). */
+  def sessionVerdicts(stream: DataFrame, spec: SchemaSpec, keyCol: String,
+                      tsCol: String = "ts", watermark: String = "10 minutes",
+                      gap: String = "30 minutes"): DataFrame = {
+    val flagged = validateStream(stream, spec)
+    flagged
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("pass"), 0L).otherwise(1L)).as("fail_rows"))
+  }
+
   final case class TurnEvent(conv_id: String, turn_idx: Int, ts: Timestamp)
   final case class ConvState(maxTurnIdx: Int, seen: Long, lastTs: Long)
   final case class ConvAnomaly(conv_id: String, turn_idx: Int, kind: String)

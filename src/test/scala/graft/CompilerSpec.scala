@@ -49,6 +49,41 @@ class CompilerSpec extends SparkTestBase {
     }
   }
 
+  test("custom keyword in a schema DOCUMENT compiles via a registered builder") {
+    // ConstraintBuilder analog (constraint_builder.hpp:13-19, dispatched
+    // schema_parser.hpp:1151-1167): the keyword arrives in JSON — nested
+    // under properties, mixed with standard keywords — and the registered
+    // builder turns its value node into the CustomC
+    val builders: Map[String, graft.spec.SpecParser.ConstraintBuilder] = Map(
+      "multipleOfDigits" -> { n =>
+        val div = n.asLong() // keyword VALUE parameterizes the constraint
+        CustomC(s"multipleOfDigits",
+          c => c.cast("long") % div === 0,
+          s"digit count must be multiple of $div",
+          nativePredicate = Some { v: org.apache.spark.types.variant.Variant =>
+            v.getType == org.apache.spark.types.variant.VariantUtil.Type.LONG &&
+              v.getLong % div == 0
+          })
+      })
+    val spec = Graft.parseSchema(
+      """{"properties": {"n": {"type": "integer", "multipleOfDigits": 3}}}""",
+      Map.empty, builders)
+    val out = Graft.validateJsonColumn(
+      Seq("""{"n": 9}""", """{"n": 10}""", """{"n": "x"}""").toDF("doc"), "doc", spec)
+      .select("pass", "violations").collect()
+    out(0).getBoolean(0) shouldBe true
+    out(1).getBoolean(0) shouldBe false
+    out(1).getSeq[Row](1).map(_.getString(1)) should contain(
+      "digit count must be multiple of 3")
+    out(2).getBoolean(0) shouldBe false // fails type AND the custom predicate
+    // an UNregistered keyword in the same position is ignored (standard
+    // JSON-Schema behavior — no builder, no constraint)
+    val ignored = Graft.parseSchema(
+      """{"properties": {"n": {"someUnknownKeyword": 3}}}""")
+    Graft.validateJsonColumn(Seq("""{"n": 10}""").toDF("doc"), "doc", ignored)
+      .select("pass").collect()(0).getBoolean(0) shouldBe true
+  }
+
   /** Run a compiled spec over a single-column DF, return (pass, descriptions). */
   private def run(spec: SchemaSpec, df: DataFrame): Seq[(Boolean, Seq[String])] = {
     val schema = df.schema

@@ -86,6 +86,45 @@ class JsonColumnSpec extends SparkTestBase {
     }
   }
 
+  test("YAML ingest: yamlToJson feeds the same walker as JSON documents") {
+    import spark.implicits._
+    import graft.functions.YamlToJsonExpr.yamlToJson
+    val spec = Graft.parseSchema(
+      """{"properties": {"v": {"maximum": 100}, "tags": {"type": "array", "minItems": 2}},
+         "required": ["v"]}""")
+    val docs = Seq(
+      (0L, "v: 42\ntags: [a, b]"),          // valid
+      (1L, "v: 250\ntags: [a, b]"),         // maximum violation
+      (2L, "tags: [only]"),                 // required + minItems violations
+      (3L, "v: [unclosed"),                 // unreadable YAML -> parse violation
+      (4L, null.asInstanceOf[String]))      // absent document -> pass
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (i, y) => Row(i, y) }),
+      StructType(Seq(StructField("id", LongType), StructField("yaml", StringType))))
+      .withColumn("__doc", yamlToJson(col("yaml")))
+    val out = Graft.validateJsonColumn(df, "__doc", spec)
+      .select("id", "pass", "violations").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        r.getSeq[Row](2).map(_.getString(2)))).toMap
+    out(0L) shouldBe ((true, Seq()))
+    out(1L)._1 shouldBe false
+    out(1L)._2 should contain("maximum")
+    out(2L)._1 shouldBe false
+    out(2L)._2 should contain allOf ("required", "minItems")
+    out(3L) shouldBe ((false, Seq("parse")))
+    out(4L) shouldBe ((true, Seq()))
+    // equivalence: the YAML path and the handwritten-JSON path agree bit
+    // for bit on violations
+    val json = Seq("""{"v":250,"tags":["a","b"]}""").toDF("doc")
+    val a = Graft.validateJsonColumn(json, "doc", spec)
+      .select("violations").collect()(0).getSeq[Row](0)
+    val b = Graft.validateJsonColumn(
+        Seq("v: 250\ntags: [a, b]").toDF("yaml")
+          .withColumn("doc", yamlToJson(col("yaml"))), "doc", spec)
+      .select("violations").collect()(0).getSeq[Row](0)
+    a shouldBe b
+  }
+
   test("driver entry() smoke: violations present") {
     SparkEntry.entry(spark).count() should be > 0L
   }

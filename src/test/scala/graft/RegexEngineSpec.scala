@@ -20,7 +20,11 @@ class RegexEngineSpec extends SparkTestBase {
     "^\\d+$", "^\\w+$", "\\s", "\\D", "\\W+", "^\\S+$",
     // JDK-valid class edge forms: ']' first in a class; range-like '-' after
     // an escape class parses as a literal '-'
-    "[]]", "[^]]", "[\\d-x]")
+    "[]]", "[^]]", "[\\d-x]",
+    // non-BMP: the JDK engine treats a surrogate pair as ONE atom (quantifier
+    // binds the code point, '.' consumes the pair, class ranges span astral
+    // endpoints) — the Thompson engine must agree code-point-for-code-point
+    "^🐲*$", "🐲+", "^.$", "^[🐉-🐲]$", "^[^🐲]$", "^🐲{2}$", "a.c")
 
   private val inputs = Seq(
     "c0000000042", "c00000000", "tool_07", "tool_7", "Brand#13", "Brand#23",
@@ -32,7 +36,12 @@ class RegexEngineSpec extends SparkTestBase {
     // non-ASCII probes: Arabic-Indic digits, NBSP, accented letters, CJK,
     // fullwidth digit, plus class-edge probes ']' and '-'
     "٠١٢", "x\u00a0y", "äöü", "日本語1",
-    "１２", "a\u2003b", "]", "-", "2-x", "]]")
+    "１２", "a\u2003b", "]", "-", "2-x", "]]",
+    // astral probes: dragons/relatives in and out of the class range, mixed
+    // BMP/astral adjacency, and a lone (unpaired) high surrogate
+    "🐲", "🐲🐲", "🐲🐲🐲",
+    "🐉", "🐊", "🦄", "🐲🐉",
+    "a🐲c", "x🐲y", "\uD83D")
 
   test("Thompson NFA agrees with the JDK engine across the battery") {
     for (p <- patterns; s <- inputs) {
