@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.{FormatCheckExpr, MinHashExpr, RegexSearchExpr,
-  SimHashExpr, ThompsonRegexEngine, ValidateJsonExpr}
+  SimHashExpr, ThompsonRegexEngine, ValidateJsonExpr, YamlToJsonExpr}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -16,7 +16,7 @@ import graft.functions.{FormatCheckExpr, MinHashExpr, RegexSearchExpr,
   * {{{
   * SELECT minhash(norm_text, 8, 32),
   *        simhash(norm_text),
-  *        validate_json(doc, '{"type":"object"}').pass
+  *        validate_json(yaml_to_json(doc), '{"type":"object"}').pass
   * FROM docs
   * }}}
   */
@@ -84,6 +84,12 @@ object GraftExtensions {
         }
         // linear-time Thompson NFA: safe against catastrophic backtracking
         RegexSearchExpr(args.head, pat, ThompsonRegexEngine)
+      }),
+    (new FunctionIdentifier("yaml_to_json"),
+      new ExpressionInfo(classOf[YamlToJsonExpr].getName, "yaml_to_json"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "yaml_to_json(yamlText)")
+        YamlToJsonExpr(args.head)
       }))
 
   /** Register on an existing session (tests, shells). */

@@ -32,20 +32,27 @@ class ConformanceFuzzSpec extends SparkTestBase {
   private val F = JsonNodeFactory.instance
 
   // ---- shared vocabulary ----------------------------------------------------
-  private val propNames = Vector("a", "b", "c", "p~q", "x/y")
+  private val propNames = Vector("a", "b", "c", "p~q", "x/y", "\ud83d\udc32")
   private val stringPool = Vector("", "a", "ab", "abc", "foo", "bar", "0", "12",
     "true", "2024-01-15", "2024-02-30", "12:30:00Z", "23:59:60Z", "04:00:60Z",
     "1985-04-12T23:20:50.52Z", "1.2.3.4", "256.1.1.1", "αβγ", "💩x",
     // code-point edges: NFC vs NFD e-acute, astral clef, embedded NUL
-    "\u00e9", "e\u0301", "\ud834\udd1e", "a\u0000b")
+    "\u00e9", "e\u0301", "\ud834\udd1e", "a\u0000b",
+    // astral runs: quantifier/class behavior over surrogate pairs must agree
+    // across paths (and both regex engines)
+    "\ud83d\udc32", "\ud83d\udc32\ud83d\udc32", "\ud83d\udc32\ud83d\udc09")
   // includes the 2^53 boundary and int64 extremes to stress double-space
   // number equality (getNumber collapse, basic_adapter.hpp:516,633-651)
   private val longPool = Vector(-2L, -1L, 0L, 1L, 2L, 3L, 5L, 10L,
     9007199254740992L, 9007199254740993L, Long.MaxValue, Long.MinValue)
   private val doublePool = Vector(-1.5, 0.5, 1.5, 2.5, 7.0, 7.5, 10.0,
-    9.007199254740992e15, 1e300, -1e300, 1e-300, java.lang.Double.MIN_VALUE)
+    9.007199254740992e15, 1e300, -1e300, 1e-300, java.lang.Double.MIN_VALUE,
+    // signed zero: equal in double space everywhere, distinct in raw bits —
+    // the r5 typed-uniqueItems bug class
+    -0.0, 0.0)
   private val patternPool = Vector("^a", "b$", "[0-9]+", "^[a-z]{2,4}$",
-    "foo|bar", "x.z", "\\d\\d", "^\\w+$", "a{2,3}")
+    "foo|bar", "x.z", "\\d\\d", "^\\w+$", "a{2,3}",
+    "^\ud83d\udc32*$", "[\ud83d\udc09-\ud83d\udc32]")
   private val formatPool = Vector("date", "time", "date-time", "ipv4", "custom-thing")
 
   // ---- document generator ---------------------------------------------------
@@ -193,7 +200,11 @@ class ConformanceFuzzSpec extends SparkTestBase {
     val lifted: Seq[(Int, DataType, Any)] = docs.flatMap { case (i, d) =>
       val n = mapper.readTree(d)
       if (n.isNull) None
-      else TypedLift.infer(n).map { case (dt, v) => (i, dt, v) }
+      // mixed long/double arrays only lift under strict typing: weak-mode
+      // string conversion is kind-dependent, so the long→double promotion
+      // would change the value the constraints see (found by the r5 sweep)
+      else TypedLift.infer(n, promoteMixedNumeric = opts.strictTypes)
+        .map { case (dt, v) => (i, dt, v) }
     }
     lifted.groupBy(_._2).toSeq.flatMap { case (dt, rows) =>
       val st = StructType(Seq(StructField("i", IntegerType), StructField("doc", dt)))

@@ -36,4 +36,20 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
     (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
       r.getBoolean(4), r.getBoolean(5)) shouldBe ((true, false, true, false, true, false))
   }
+
+  test("yaml_to_json composes with validate_json in SQL") {
+    val spark = SparkTestBase.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT yaml_to_json('v: 250') AS j,
+                validate_json(yaml_to_json('v: 250'),
+                  '{"properties":{"v":{"maximum":100}}}').pass AS bad,
+                validate_json(yaml_to_json('v: 42'),
+                  '{"properties":{"v":{"maximum":100}}}').pass AS ok,
+                yaml_to_json(CAST(NULL AS STRING)) AS n""").collect()(0)
+    r.getString(0) shouldBe """{"v":250}"""
+    r.getBoolean(1) shouldBe false
+    r.getBoolean(2) shouldBe true
+    r.isNullAt(3) shouldBe true
+  }
 }

@@ -152,6 +152,20 @@ class WeakTypingSpec extends SparkTestBase {
     }
   }
 
+  test("weak string form of a number is KIND-dependent, consistently on every path") {
+    // long 2 renders "2" (length 1); double 2.0 renders "2.000000" (%.6f,
+    // std::to_string semantics) — so maxLength 1 under contains passes
+    // [2.5, 2] but fails [2.5, 2.0]. This is why the fuzz harness refuses
+    // to lift mixed long/double arrays in weak mode: array<double>
+    // promotion would silently turn the first doc into the second.
+    val schema = """{"contains": {"maxLength": 1}}"""
+    passesNative(schema, Seq("[2.5, 2]", "[2.5, 2.0]")) shouldBe Seq(true, false)
+    passesVariant(schema, Seq("[2.5, 2]", "[2.5, 2.0]")) shouldBe Seq(true, false)
+    // typed path: same-kind arrays agree with the walker kind-for-kind
+    passes(schema, Seq(Seq(2L)).toDF("doc")) shouldBe Seq(true)
+    passes(schema, Seq(Seq(2.0)).toDF("doc")) shouldBe Seq(false)
+  }
+
   test("weak container aliases apply to object/array CONSTRAINTS (not type)") {
     // empty array is maybeObject: required/minProperties see 0 properties
     passesNative("""{"required":["a"]}""", Seq("[]", "[1]")) shouldBe Seq(false, true)
