@@ -47,6 +47,17 @@ object SparkEntry {
     "/tmp/graft_oracle_aux/minhash_lsh_" +
       dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** LSH-layout prefix fan-out for the sandbox scale factors. The layout
+    * knob ([[graft.ops.Dedup.writeMinhashLshTable]]) is sized so each
+    * (band, bhp) directory holds well-sized files: the production default
+    * (64 → bands×64 dirs) is right at 100 TB, but at these corpus sizes
+    * (≤50k docs) each parquet file costs ~3-6ms of pure open/create
+    * overhead, so a 512-dir layout spends seconds on per-file fixed costs.
+    * 8 → 64 dirs keeps the identical partition-pruned probe/append shape
+    * (asserted in PlanSpec) at an order of magnitude less file overhead.
+    * Pair output is invariant to this knob. */
+  val lshPrefixBuckets: Int = 8
+
   // --- oracle-aux staging ----------------------------------------------------
   // The writes above are ORACLE SIDE-CHANNELS (and, for the bucketed
   // layouts, the one-time build of a persisted serving table) — not part of
@@ -97,12 +108,13 @@ object SparkEntry {
 
   private def stageMinhashLshTable(s: SparkSession, dir: String, force: Boolean): Unit = {
     val path = minhashLshTablePath(dir)
-    if (force || !stagedFor(path, dir)) { implicit val sp = s
+    if (force || !stagedFor(path, s"$dir#b$lshPrefixBuckets")) { implicit val sp = s
       // corpus half = doc_id % 10 != 0 (the increment is the rest)
       Dedup.writeMinhashLshTable(
         t(dir, "documents").where(pmod(col("doc_id"), lit(10)) =!= 0),
-        "doc_id", "text", path, numHashes = 32, bands = 8, shingleK = 8)
-      stamp(path, dir)
+        "doc_id", "text", path, numHashes = 32, bands = 8, shingleK = 8,
+        prefixBuckets = lshPrefixBuckets)
+      stamp(path, s"$dir#b$lshPrefixBuckets")
     }
   }
 
@@ -135,6 +147,31 @@ object SparkEntry {
     }
   }
 
+  /** Like [[copyTree]] but hard-links data files (same-filesystem, O(1) per
+    * file) instead of copying bytes. Safe ONLY for trees whose files are
+    * never modified in place after creation — parquet part files and
+    * streaming-sink output qualify (appends create NEW uniquely-named
+    * files; the only re-created name is the 0-byte _SUCCESS marker, which
+    * is skipped and re-created fresh so no inode is shared with a writer). */
+  private def linkTree(src: String, dst: String): Unit = {
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(sp).iterator().asScala.foreach { p =>
+      val target = dp.resolve(sp.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(target)
+      else if (p.getFileName.toString == "_SUCCESS")
+        java.nio.file.Files.copy(p, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else
+        try java.nio.file.Files.createLink(target, p)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(p, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+    }
+  }
+
   /** Stage the documents table into a two-file landing dir: the even
     * doc_ids arrive first (the seed corpus), the odd ids 60s later (the
     * increment) — file-source ordering is by (mtime, path), so the batch
@@ -150,9 +187,9 @@ object SparkEntry {
   private def stageStreamingDedupLanding(s: SparkSession, dir: String, force: Boolean): Unit = {
     val base = streamingDedupBase(dir)
     val landing = s"$base/landing"
-    // v2 stamp: the staged shape gained layout0/ckpt0 (pre-run seed batch);
+    // v4 stamp: layout0/ckpt0 pre-run seed batch + prefix-bucket fan-out;
     // a v1 stamp from an earlier round must not satisfy the check
-    if (force || !stagedFor(base, s"$dir#v3")) { implicit val sp = s
+    if (force || !stagedFor(base, s"$dir#v4-b${lshPrefixBuckets}")) { implicit val sp = s
       rmTree(base)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
       val t0 = System.currentTimeMillis() - 600000
@@ -180,11 +217,12 @@ object SparkEntry {
       val seedDocs = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)
       graft.streaming.StreamingDedup.start(seedDocs, "doc_id", "text",
-        s"$base/layout0", s"$base/pairs0", s"$base/ckpt0").awaitTermination()
+        s"$base/layout0", s"$base/pairs0", s"$base/ckpt0",
+        prefixBuckets = lshPrefixBuckets).awaitTermination()
       // the increment lands AFTER the staged checkpoint: a resumed stream
       // sees exactly one new file
       one("b_odd.parquet", 1, t0 + 60000)
-      stamp(base, s"$dir#v3")
+      stamp(base, s"$dir#v4-b${lshPrefixBuckets}")
     }
   }
 
@@ -439,7 +477,8 @@ object SparkEntry {
       Dedup.incrementalNearDups(
         t(dir, "documents").where(pmod(col("doc_id"), lit(10)) === 0),
         "doc_id", "text", minhashLshTablePath(dir),
-        numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+        numHashes = 32, bands = 8, jaccardThreshold = 0.5,
+        prefixBuckets = lshPrefixBuckets)
     }),
 
     "q_simhash_neardups" -> ((s, dir) => { implicit val sp = s
@@ -1016,7 +1055,13 @@ object SparkEntry {
       stageStreamingDedupLanding(s, dir, force = false)
       val base = streamingDedupBase(dir)
       Seq("layout", "pairs", "ckpt").foreach(d => rmTree(s"$base/$d"))
-      copyTree(s"$base/layout0", s"$base/layout")
+      // layout/pairs reset = hard links to the pristine staged trees
+      // (parquet files are never modified in place; appends only add new
+      // uniquely-named files). Seeding `pairs` from pairs0 also means the
+      // result below reads ONE sink directory — the exact frame a
+      // downstream consumer of the sink would read.
+      linkTree(s"$base/layout0", s"$base/layout")
+      linkTree(s"$base/pairs0", s"$base/pairs")
       copyTree(s"$base/ckpt0", s"$base/ckpt")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -1026,11 +1071,11 @@ object SparkEntry {
       val docs = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/landing")
       graft.streaming.StreamingDedup.start(docs, "doc_id", "text",
-        s"$base/layout", s"$base/pairs", s"$base/ckpt").awaitTermination()
-      // the full stream's pair set: seed-batch within-batch pairs landed in
-      // the staged pairs0 sink; the replayed probing batch wrote to pairs
-      s.read.parquet(s"$base/pairs0").select(col("id_a"), col("id_b"))
-        .unionAll(s.read.parquet(s"$base/pairs").select(col("id_a"), col("id_b")))
+        s"$base/layout", s"$base/pairs", s"$base/ckpt",
+        prefixBuckets = lshPrefixBuckets).awaitTermination()
+      // the full stream's pair set: seed-batch within-batch pairs (linked in
+      // from pairs0) plus the replayed probing batch's appends
+      s.read.parquet(s"$base/pairs").select(col("id_a"), col("id_b"))
     }),
 
     "q_verdict_diff" -> ((s, dir) => { implicit val sp = s

@@ -176,23 +176,32 @@ object Dedup {
     * append-only dedup shape: signatures, band keys and the normalized text
     * needed for exact verification are written ONCE; each increment then
     * probes only the directories matching its own band keys instead of
-    * rescanning (or re-hashing) the corpus. bands × 64 directories keeps
-    * per-directory file counts sane at 100 TB while still pruning ~98% of
-    * the layout for a small increment. */
+    * rescanning (or re-hashing) the corpus.
+    *
+    * `prefixBuckets` sizes the directory fan-out: bands × prefixBuckets
+    * directories total. It is a pure layout knob — `bhp = bh mod buckets`
+    * carries no semantics, so any value yields identical pairs — and should
+    * be sized so each directory holds well-sized files: 64 (the default)
+    * keeps per-directory file counts sane at 100 TB while still pruning
+    * ~98% of the layout for a small increment; a small corpus wants fewer
+    * (each parquet file costs ~3ms to open and ~6ms to create regardless of
+    * size, so a 512-directory layout over 40k rows spends seconds on pure
+    * per-file overhead). Probe and append must use the layout's value. */
   def writeMinhashLshTable(df: DataFrame, idCol: String, textCol: String,
                            path: String, numHashes: Int = 32, bands: Int = 8,
-                           shingleK: Int = 8): Unit =
+                           shingleK: Int = 8, prefixBuckets: Int = 64): Unit =
     writeMinhashLshTableMode(df, idCol, textCol, path, "overwrite",
-      numHashes, bands, shingleK)
+      numHashes, bands, shingleK, prefixBuckets)
 
   /** Append an increment's banded signatures INTO an existing layout — the
     * append-only step after [[incrementalNearDups]] has probed it, so later
-    * increments dedup against this one without any corpus rebuild. */
+    * increments dedup against this one without any corpus rebuild.
+    * `prefixBuckets` must match the value the layout was written with. */
   def appendMinhashLshTable(df: DataFrame, idCol: String, textCol: String,
                             path: String, numHashes: Int = 32, bands: Int = 8,
-                            shingleK: Int = 8): Unit =
+                            shingleK: Int = 8, prefixBuckets: Int = 64): Unit =
     writeMinhashLshTableMode(df, idCol, textCol, path, "append",
-      numHashes, bands, shingleK)
+      numHashes, bands, shingleK, prefixBuckets)
 
   /** Does a layout exist at `path` (written by [[writeMinhashLshTable]])? */
   def lshTableExists(path: String): Boolean =
@@ -201,7 +210,7 @@ object Dedup {
   private def writeMinhashLshTableMode(df: DataFrame, idCol: String, textCol: String,
                                        path: String, mode: String,
                                        numHashes: Int, bands: Int,
-                                       shingleK: Int): Unit = {
+                                       shingleK: Int, prefixBuckets: Int): Unit = {
     val rowsPerBand = numHashes / bands
     df.select(col(idCol).as("id"), TextAnalysis.normalizeText(col(textCol)).as("norm"))
       .withColumn("sig",
@@ -211,16 +220,16 @@ object Dedup {
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("norm"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .withColumn("bhp", pmod(col("bh"), lit(64)).cast("int"))
+      .withColumn("bhp", pmod(col("bh"), lit(prefixBuckets)).cast("int"))
       // cluster rows of one (band, bhp) directory into one writer task:
       // without this every input task writes a sliver into every directory
-      // (bands×64×tasks small files — the classic partitioned-write
+      // (bands×buckets×tasks small files — the classic partitioned-write
       // explosion); with it each directory holds O(1) well-sized files.
       // The partition count is EXPLICIT: a keyed repartition() without one
       // is an AQE coalesce target, and on a small append AQE collapses it
-      // to a single task that then creates all bands×64 directory files
-      // serially (~4-6s of pure file-open overhead); pinning the count
-      // keeps the writers parallel at every scale.
+      // to a single task that then creates all bands×buckets directory
+      // files serially (~4-6s of pure file-open overhead); pinning the
+      // count keeps the writers parallel at every scale.
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("bhp"))
       .write.mode(mode).partitionBy("band", "bhp").parquet(path)
@@ -228,8 +237,9 @@ object Dedup {
 
   /** Near-dup pairs of an INCREMENT against a persisted corpus LSH table —
     * without rescanning the corpus. The increment's band keys are computed
-    * in one projection; its distinct (band, bhp) prefix set (≤ bands×64
-    * values, collected driver-side — tiny by construction, this is the
+    * in one projection; its distinct (band, bhp) prefix set (≤
+    * bands×prefixBuckets values, collected driver-side — tiny by
+    * construction, this is the
     * probe's partition-pruning predicate, not data) restricts the corpus
     * read to matching directories (PartitionFilters asserted in PlanSpec).
     * Candidates join on the exact (band, bh) key, est-Jaccard prunes at
@@ -249,26 +259,33 @@ object Dedup {
                           jaccardThreshold: Double = 0.5,
                           shingleK: Int = 8,
                           maxBucketSize: Int = 256,
-                          includeWithinIncrement: Boolean = false): DataFrame = {
+                          includeWithinIncrement: Boolean = false,
+                          prefixBuckets: Int = 64): DataFrame = {
     val spark = increment.sparkSession
     val rowsPerBand = numHashes / bands
+    // ONE cached frame carries everything derived from the increment scan
+    // (norm for verification, sig for banding): a single lazy checkpoint
+    // materialized by the probe-key job below. The banded explode is
+    // recomputed from it on use — array slicing of a cached sig, not a
+    // re-normalize/re-minhash — so a second checkpoint would only add a
+    // materialization job's fixed cost.
     val base = increment.select(col(idCol).as("id"),
         TextAnalysis.normalizeText(col(textCol)).as("norm"))
-      .localCheckpoint(false) // one scan of the increment, reused for verify
-    val banded = base
       .withColumn("sig",
         graft.functions.MinHashExpr.minhash(col("norm"), shingleK, numHashes))
+      .localCheckpoint(false)
+    val banded = base
       .where(col("sig").isNotNull)
       .select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .localCheckpoint(false)
-    // the probe's pruning key set: ≤ bands × 64 (band, prefix) values
+    // the probe's pruning key set: ≤ bands × prefixBuckets (band, prefix) values
     val probeKeys = banded
-      .select((col("band") * 64 + pmod(col("bh"), lit(64))).cast("int").as("k"))
+      .select((col("band") * prefixBuckets + pmod(col("bh"), lit(prefixBuckets)))
+        .cast("int").as("k"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val corpus0 = spark.read.parquet(lshTablePath)
-      .where((col("band") * 64 + col("bhp")).isin(probeKeys: _*))
+      .where((col("band") * prefixBuckets + col("bhp")).isin(probeKeys: _*))
     val corpus = capBuckets(corpus0, Seq("band", "bh"), maxBucketSize)
     def estOk(a: Column, b: Column): Column =
       (aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),

@@ -51,12 +51,19 @@ object StreamingDedup {
             lshTablePath: String, pairsSink: String, checkpoint: String,
             numHashes: Int = 32, bands: Int = 8,
             jaccardThreshold: Double = 0.5, shingleK: Int = 8,
-            maxBucketSize: Int = 256, withinBatch: Boolean = true): StreamingQuery =
+            maxBucketSize: Int = 256, withinBatch: Boolean = true,
+            prefixBuckets: Int = 64): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        val dbg = sys.env.contains("GRAFT_SDEDUP_TIMING")
+        def tm[T](n: String)(f: => T): T =
+          if (!dbg) f else {
+            val t0 = System.nanoTime(); val r = f
+            System.err.println(f"[sdedup] $n ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+          }
         // the batch is read multiple times (probe + self-join + append): pin it
         val b = batch.persist()
         try {
@@ -67,7 +74,8 @@ object StreamingDedup {
               // id_a < id_b, probe pairs (new doc, corpus doc)
               Dedup.incrementalNearDups(b, idCol, textCol, lshTablePath,
                   numHashes, bands, jaccardThreshold, shingleK, maxBucketSize,
-                  includeWithinIncrement = withinBatch)
+                  includeWithinIncrement = withinBatch,
+                  prefixBuckets = prefixBuckets)
                 .select(col("id_a").cast("long"), col("id_b").cast("long"))
                 .withColumn("batch_id", lit(batchId))
             else if (withinBatch)
@@ -79,9 +87,9 @@ object StreamingDedup {
                 .withColumn("batch_id", lit(batchId))
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], pairsSchema)
-          pairs.write.mode("append").parquet(pairsSink)
-          Dedup.appendMinhashLshTable(b, idCol, textCol, lshTablePath,
-            numHashes, bands, shingleK)
+          tm("pairs_write") { pairs.write.mode("append").parquet(pairsSink) }
+          tm("append") { Dedup.appendMinhashLshTable(b, idCol, textCol, lshTablePath,
+            numHashes, bands, shingleK, prefixBuckets) }
         } finally { b.unpersist(); () }
       }
       .start()
