@@ -172,12 +172,15 @@ object SparkEntry {
     }
   }
 
-  /** Stage the documents table into a two-file landing dir: the even
-    * doc_ids arrive first (the seed corpus), the odd ids 60s later (the
-    * increment) — file-source ordering is by (mtime, path), so the batch
-    * order is deterministic.
+  /** Stage the documents table into a two-file landing dir in the
+    * production increment shape: the seed corpus (doc_id % 10 != 0, 90%)
+    * arrives first, the small increment (doc_id % 10 == 0) 60s later —
+    * file-source ordering is by (mtime, path), so the batch order is
+    * deterministic, and each replayed micro-batch is SMALL relative to
+    * the corpus it probes (the ratio a continuously-arriving pipeline
+    * actually runs at).
     *
-    * Staging also PRE-RUNS the seed batch: with only the even file landed,
+    * Staging also PRE-RUNS the seed batch: with only the seed file landed,
     * the stream is run to completion once, leaving a pristine layout
     * (`layout0`) and a checkpoint that has consumed the seed file
     * (`ckpt0`). The timed `q_streaming_dedup` body then copies these and
@@ -189,13 +192,13 @@ object SparkEntry {
     val landing = s"$base/landing"
     // v4 stamp: layout0/ckpt0 pre-run seed batch + prefix-bucket fan-out;
     // a v1 stamp from an earlier round must not satisfy the check
-    if (force || !stagedFor(base, s"$dir#v4-b${lshPrefixBuckets}")) { implicit val sp = s
+    if (force || !stagedFor(base, s"$dir#v5-b${lshPrefixBuckets}")) { implicit val sp = s
       rmTree(base)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
       val t0 = System.currentTimeMillis() - 600000
-      def one(name: String, parityKeep: Int, mtime: Long): Unit = {
+      def one(name: String, keep: Column, mtime: Long): Unit = {
         val tmp = s"$base/tmp_$name"
-        t(dir, "documents").where(pmod(col("doc_id"), lit(2)) === parityKeep)
+        t(dir, "documents").where(keep)
           .select("doc_id", "text").coalesce(1)
           .write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -206,9 +209,9 @@ object SparkEntry {
         dst.toFile.setLastModified(mtime)
         rmTree(tmp)
       }
-      one("a_even.parquet", 0, t0)
-      // seed batch: consume the even file into layout0/ckpt0 (pairs output
-      // of the seed batch is empty by construction — nothing to probe)
+      one("a_seed.parquet", pmod(col("doc_id"), lit(10)) =!= 0, t0)
+      // seed batch: consume the seed file into layout0/ckpt0 (its pairs —
+      // the within-seed self-join — land in pairs0)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -221,8 +224,8 @@ object SparkEntry {
         prefixBuckets = lshPrefixBuckets).awaitTermination()
       // the increment lands AFTER the staged checkpoint: a resumed stream
       // sees exactly one new file
-      one("b_odd.parquet", 1, t0 + 60000)
-      stamp(base, s"$dir#v4-b${lshPrefixBuckets}")
+      one("b_inc.parquet", pmod(col("doc_id"), lit(10)) === 0, t0 + 60000)
+      stamp(base, s"$dir#v5-b${lshPrefixBuckets}")
     }
   }
 
@@ -1039,11 +1042,12 @@ object SparkEntry {
 
     "q_streaming_dedup" -> ((s, dir) => { implicit val sp = s
       // streaming incremental dedup (§2.5 streaming × the append-only dedup
-      // shape): two files land in order (even doc_ids, then odd); each
+      // shape): two files land in order (the 90% seed corpus, then the
+      // small increment — the batch:corpus ratio production runs at); each
       // micro-batch probes the persisted LSH layout built from the batches
       // before it, runs the within-batch verified self-join (intra-batch
       // arrivals the probe is blind to), then appends itself. The emitted
-      // pairs are the odd-probing-even near-dups PLUS same-parity
+      // pairs are the increment-probing-corpus near-dups PLUS same-group
       // within-batch pairs (id_a < id_b) — end-to-end SQL-oracleable.
       //
       // The seed batch (layout build + first AvailableNow startup) is
@@ -1569,8 +1573,8 @@ object SparkEntry {
          s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(norm)-6, 2)),
                  i -> substr(norm, i::INT, 8))) AS sh FROM n)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM s a JOIN s b ON (a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
-                           OR (a.doc_id % 2 = b.doc_id % 2 AND a.doc_id < b.doc_id)
+         FROM s a JOIN s b ON (a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+                           OR ((a.doc_id % 10 = 0) = (b.doc_id % 10 = 0) AND a.doc_id < b.doc_id)
          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5""",
 
     "q_dedup_incremental" ->

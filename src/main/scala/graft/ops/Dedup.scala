@@ -131,26 +131,45 @@ object Dedup {
     * `maxBucketSize` near-identical members lose pairs; audit with
     * [[overfullBuckets]] or raise the cap when exactness matters more than
     * the O(bucket²) join cost. */
+  /** The one-scan substrate every MinHash operation shares: `(id, norm,
+    * sig)` — normalized text plus the signature. Probe, self-join,
+    * verification and layout append all derive from this frame; computing
+    * it ONCE per increment (pin with a lazy localCheckpoint) halves the
+    * normalize+minhash cost of a probe-then-append cycle, which at corpus
+    * scale is the dominant per-increment compute. */
+  def minhashBase(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 32, shingleK: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.normalizeText(col(textCol)).as("norm"))
+      .withColumn("sig",
+        graft.functions.MinHashExpr.minhash(col("norm"), shingleK, numHashes))
+
   def minhashNearDupsVerified(df: DataFrame, idCol: String, textCol: String,
                               numHashes: Int = 32, bands: Int = 8,
                               jaccardThreshold: Double = 0.5,
                               shingleK: Int = 8,
-                              maxBucketSize: Int = 256): DataFrame = {
-    // SINGLE corpus scan: the normalized text is projected once and pinned
-    // with a lazy localCheckpoint; the signature pass, the banded candidate
-    // join, and the verification shingles all derive from the pinned
-    // blocks — the corpus parquet is never read twice (round-2's second
-    // full text scan). Shingle sets — the expensive O(len) array per doc —
-    // are computed ONLY for documents that appear in a candidate pair
-    // (broadcast semi-join on the candidate id set), so verification cost
-    // is O(candidates), not O(corpus). The banding explode still carries
-    // only (id, sig).
-    val base = df.select(col(idCol).as("id"),
-        TextAnalysis.normalizeText(col(textCol)).as("_norm"))
-      .localCheckpoint(false) // lazy: materialized by the first action, reused after
-    val sigd = base.select(col("id"),
-        graft.functions.MinHashExpr.minhash(col("_norm"), shingleK, numHashes).as("sig"))
-      .where(col("sig").isNotNull)
+                              maxBucketSize: Int = 256): DataFrame =
+    minhashNearDupsVerifiedFromBase(
+      minhashBase(df, idCol, textCol, numHashes, shingleK).localCheckpoint(false),
+      numHashes, bands, jaccardThreshold, shingleK, maxBucketSize)
+
+  /** [[minhashNearDupsVerified]] over a precomputed [[minhashBase]] frame
+    * (pin it with persist/localCheckpoint so the signature pass runs once
+    * even though the candidate join and verification both read it). */
+  def minhashNearDupsVerifiedFromBase(base: DataFrame,
+                                      numHashes: Int = 32, bands: Int = 8,
+                                      jaccardThreshold: Double = 0.5,
+                                      shingleK: Int = 8,
+                                      maxBucketSize: Int = 256): DataFrame = {
+    // SINGLE corpus scan: (id, norm, sig) is projected once and pinned by
+    // the caller; the banded candidate join and the verification shingles
+    // all derive from the pinned blocks — the corpus parquet is never read
+    // twice (round-2's second full text scan). Shingle sets — the
+    // expensive O(len) array per doc — are computed ONLY for documents
+    // that appear in a candidate pair (broadcast semi-join on the
+    // candidate id set), so verification cost is O(candidates), not
+    // O(corpus). The banding explode still carries only (id, sig).
+    val sigd = base.select(col("id"), col("sig")).where(col("sig").isNotNull)
     val cands = estCandidates(sigd, numHashes, bands,
         jaccardThreshold = jaccardThreshold / 2, maxBucketSize)
       .select(col("id_a"), col("id_b"))
@@ -159,7 +178,7 @@ object Dedup {
       .unionAll(cands.select(col("id_b").as("id"))).distinct()
     val sh = base.join(broadcast(candIds), "id")
       .select(col("id"),
-        array_distinct(TextAnalysis.shinglesOfNorm(col("_norm"), shingleK)).as("_sh"))
+        array_distinct(TextAnalysis.shinglesOfNorm(col("norm"), shingleK)).as("_sh"))
     cands
       .join(sh.select(col("id").as("id_a"), col("_sh").as("_sa")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("_sh").as("_sb")), "id_b")
@@ -207,14 +226,26 @@ object Dedup {
   def lshTableExists(path: String): Boolean =
     new java.io.File(path, "_SUCCESS").exists()
 
+  /** Append a precomputed [[minhashBase]] frame into an existing layout —
+    * the signature-sharing form of [[appendMinhashLshTable]] for callers
+    * (e.g. streaming probe-then-append) that already hold the base. */
+  def appendMinhashLshTableFromBase(base: DataFrame, path: String,
+                                    numHashes: Int = 32, bands: Int = 8,
+                                    prefixBuckets: Int = 64): Unit =
+    writeBandedFromBase(base, path, "append", numHashes, bands, prefixBuckets)
+
   private def writeMinhashLshTableMode(df: DataFrame, idCol: String, textCol: String,
                                        path: String, mode: String,
                                        numHashes: Int, bands: Int,
-                                       shingleK: Int, prefixBuckets: Int): Unit = {
+                                       shingleK: Int, prefixBuckets: Int): Unit =
+    writeBandedFromBase(minhashBase(df, idCol, textCol, numHashes, shingleK),
+      path, mode, numHashes, bands, prefixBuckets)
+
+  private def writeBandedFromBase(base: DataFrame, path: String, mode: String,
+                                  numHashes: Int, bands: Int,
+                                  prefixBuckets: Int): Unit = {
     val rowsPerBand = numHashes / bands
-    df.select(col(idCol).as("id"), TextAnalysis.normalizeText(col(textCol)).as("norm"))
-      .withColumn("sig",
-        graft.functions.MinHashExpr.minhash(col("norm"), shingleK, numHashes))
+    base
       .where(col("sig").isNotNull)
       .select(col("id"), col("sig"), col("norm"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -230,7 +261,7 @@ object Dedup {
       // to a single task that then creates all bands×buckets directory
       // files serially (~4-6s of pure file-open overhead); pinning the
       // count keeps the writers parallel at every scale.
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(base.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("bhp"))
       .write.mode(mode).partitionBy("band", "bhp").parquet(path)
   }
@@ -260,20 +291,32 @@ object Dedup {
                           shingleK: Int = 8,
                           maxBucketSize: Int = 256,
                           includeWithinIncrement: Boolean = false,
-                          prefixBuckets: Int = 64): DataFrame = {
-    val spark = increment.sparkSession
-    val rowsPerBand = numHashes / bands
+                          prefixBuckets: Int = 64): DataFrame =
     // ONE cached frame carries everything derived from the increment scan
     // (norm for verification, sig for banding): a single lazy checkpoint
     // materialized by the probe-key job below. The banded explode is
     // recomputed from it on use — array slicing of a cached sig, not a
     // re-normalize/re-minhash — so a second checkpoint would only add a
     // materialization job's fixed cost.
-    val base = increment.select(col(idCol).as("id"),
-        TextAnalysis.normalizeText(col(textCol)).as("norm"))
-      .withColumn("sig",
-        graft.functions.MinHashExpr.minhash(col("norm"), shingleK, numHashes))
-      .localCheckpoint(false)
+    incrementalNearDupsFromBase(
+      minhashBase(increment, idCol, textCol, numHashes, shingleK)
+        .localCheckpoint(false),
+      lshTablePath, numHashes, bands, jaccardThreshold, shingleK,
+      maxBucketSize, includeWithinIncrement, prefixBuckets)
+
+  /** [[incrementalNearDups]] over a precomputed pinned [[minhashBase]]
+    * frame — the probe half of a probe-then-append cycle that computes
+    * signatures exactly once (pair with
+    * [[appendMinhashLshTableFromBase]]). */
+  def incrementalNearDupsFromBase(base: DataFrame, lshTablePath: String,
+                                  numHashes: Int = 32, bands: Int = 8,
+                                  jaccardThreshold: Double = 0.5,
+                                  shingleK: Int = 8,
+                                  maxBucketSize: Int = 256,
+                                  includeWithinIncrement: Boolean = false,
+                                  prefixBuckets: Int = 64): DataFrame = {
+    val spark = base.sparkSession
+    val rowsPerBand = numHashes / bands
     val banded = base
       .where(col("sig").isNotNull)
       .select(col("id"), col("sig"),
@@ -429,16 +472,21 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate label per node: min over own label and neighbors' labels
+      // candidate label per node: min over own label and neighbors' labels.
+      // The node's OLD label rides the same union as a tagged column, so
+      // the convergence check is a filter over the one groupBy shuffle —
+      // not a second join-shuffle against the previous frame (each id
+      // appears exactly once in `labels`, so max(_old) recovers it).
       val viaNeighbors = edges.join(labels, edges("b") === labels("id"))
         .select(edges("a").as("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster"))
-        .unionAll(viaNeighbors)
-        .groupBy("id").agg(min("cluster").as("cluster"))
+      val next = labels.select(col("id"), col("cluster"),
+          col("cluster").as("_old"))
+        .unionAll(viaNeighbors.withColumn("_old",
+          when(lit(false), col("cluster")))) // typed null: neighbor rows carry no old label
+        .groupBy("id").agg(min("cluster").as("cluster"), max("_old").as("_old"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("l"), col("n.id") === col("l.id"))
-        .where(col("n.cluster") =!= col("l.cluster")).count()
-      labels = next
+      val changed = next.where(col("cluster") =!= col("_old")).count()
+      labels = next.select(col("id"), col("cluster"))
       converged = changed == 0
       iter += 1
     }

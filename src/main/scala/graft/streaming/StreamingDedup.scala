@@ -64,15 +64,18 @@ object StreamingDedup {
             val t0 = System.nanoTime(); val r = f
             System.err.println(f"[sdedup] $n ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
           }
-        // the batch is read multiple times (probe + self-join + append): pin it
-        val b = batch.persist()
+        // normalize+minhash the batch ONCE: probe, intra-batch self-join
+        // and the layout append all derive from this pinned (id, norm,
+        // sig) frame — the dominant per-increment compute is not repeated
+        val base = Dedup.minhashBase(batch, idCol, textCol, numHashes, shingleK)
+          .localCheckpoint(false)
         try {
           val pairs =
             if (Dedup.lshTableExists(lshTablePath))
               // probe + (fused) intra-batch self-join: one banded frame,
               // one verification pass — the within pairs come out
               // id_a < id_b, probe pairs (new doc, corpus doc)
-              Dedup.incrementalNearDups(b, idCol, textCol, lshTablePath,
+              Dedup.incrementalNearDupsFromBase(base, lshTablePath,
                   numHashes, bands, jaccardThreshold, shingleK, maxBucketSize,
                   includeWithinIncrement = withinBatch,
                   prefixBuckets = prefixBuckets)
@@ -81,16 +84,16 @@ object StreamingDedup {
             else if (withinBatch)
               // first batch: no corpus to probe, but intra-batch near-dups
               // (the seed batch's blind spot) still need the self-join
-              Dedup.minhashNearDupsVerified(b, idCol, textCol,
+              Dedup.minhashNearDupsVerifiedFromBase(base,
                   numHashes, bands, jaccardThreshold, shingleK, maxBucketSize)
                 .select(col("id_a").cast("long"), col("id_b").cast("long"))
                 .withColumn("batch_id", lit(batchId))
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], pairsSchema)
           tm("pairs_write") { pairs.write.mode("append").parquet(pairsSink) }
-          tm("append") { Dedup.appendMinhashLshTable(b, idCol, textCol, lshTablePath,
-            numHashes, bands, shingleK, prefixBuckets) }
-        } finally { b.unpersist(); () }
+          tm("append") { Dedup.appendMinhashLshTableFromBase(base, lshTablePath,
+            numHashes, bands, prefixBuckets) }
+        } finally { base.unpersist(); () }
       }
       .start()
 }

@@ -99,7 +99,7 @@ class DriverQuerySpec extends SparkTestBase {
     got shouldBe expected
   }
 
-  test("q_streaming_dedup equals the batch cross-parity pair set and is rerun-safe") {
+  test("q_streaming_dedup equals the batch seed/increment pair set and is rerun-safe") {
     def run() = SparkEntry.queries("q_streaming_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = run()
@@ -107,20 +107,20 @@ class DriverQuerySpec extends SparkTestBase {
     // deterministic: every invocation resets layout/sink/checkpoint
     run() shouldBe got
     // equivalence: the stream's pair set equals the batch verified
-    // near-dup pairs — cross-parity oriented (odd probing even), the
-    // same-parity within-batch pairs kept (id_a < id_b)
+    // near-dup pairs — cross-group oriented (increment probing the seed
+    // corpus), the within-group pairs kept (id_a < id_b)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val batch = graft.ops.Dedup.minhashNearDupsVerified(docs, "doc_id", "text",
         jaccardThreshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .map { case (a, b) =>
-        if (a % 2 == 1 && b % 2 == 0) (a, b)
-        else if (b % 2 == 1 && a % 2 == 0) (b, a)
+        if (a % 10 == 0 && b % 10 != 0) (a, b)
+        else if (b % 10 == 0 && a % 10 != 0) (b, a)
         else (math.min(a, b), math.max(a, b))
       }.toSet
     got shouldBe batch
-    // within-batch (same-parity) pairs are present: the probe alone is
+    // within-batch (same-group) pairs are present: the probe alone is
     // blind to them
-    got.exists { case (a, b) => a % 2 == b % 2 } shouldBe true
+    got.exists { case (a, b) => (a % 10 == 0) == (b % 10 == 0) } shouldBe true
   }
 }
