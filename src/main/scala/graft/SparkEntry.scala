@@ -237,6 +237,53 @@ object SparkEntry {
     stageIvfTable(s, dir, force = true)
     stageMinhashLshTable(s, dir, force = true)
     stageStreamingDedupLanding(s, dir, force = true)
+    stageMediaFixtures(s, dir, force = true)
+  }
+
+  /** Media-decode fixture table: one REAL PNG and one REAL WAV payload per
+    * event_id, with pixel/sample values that are a CLOSED FORM of
+    * (asset_id, x, y, channel) / (asset_id, i) — so DuckDB can recompute
+    * the decoded statistics without any media library. PNG fixtures cycle
+    * scanline filters 0-4 (every unfilter branch executes on the driver
+    * path); payload bytes are built distributed at staging time, never in
+    * a timed query body. */
+  def mediaFixturesPath(dir: String): String =
+    "/tmp/graft_oracle_aux/media_fixtures_" +
+      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def stageMediaFixtures(s: SparkSession, dir: String, force: Boolean): Unit = {
+    val path = mediaFixturesPath(dir)
+    if (force || !stagedFor(path, dir)) { implicit val sp = s
+      import s.implicits._
+      import graft.ops.MediaCodecs
+      t(dir, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val nc = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+          val w = 9; val h = 7
+          val px = new Array[Byte](w * h * nc)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < nc) {
+                px((y * w + x) * nc + c) =
+                  (((id * 13 + x * 7 + y * 3 + c * 5) % 256) & 0xFF).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val png = MediaCodecs.encodePng(MediaCodecs.DecodedImage(w, h, nc, px))
+          val samples = Array.tabulate(256)(i => (((id * 31 + i * 17) % 65536) - 32768).toInt)
+          val wav = MediaCodecs.encodeWavPcm(MediaCodecs.DecodedAudio(1, 16000, 16, samples))
+          Seq((id, "png", png), (id, "wav", wav))
+        })
+        .toDF("asset_id", "kind", "bytes")
+        .write.mode("overwrite").parquet(path)
+      stamp(path, dir)
+    }
   }
 
   /** Stage the single-file events fixture into a per-dir landing DIRECTORY
@@ -695,6 +742,48 @@ object SparkEntry {
         format_string("%02d:30:00Z", pmod(col("event_id"), lit(30))))
       Graft.violations(df, """{"properties":{"tm":{"format":"time"}}}""",
         Seq("event_id", "tm"), kinds = Seq("format"))
+    }),
+
+    "q_png_decode" -> ((s, dir) => { implicit val sp = s
+      // REAL PNG pixel decode (ops/MediaCodecs: pure-JVM zlib inflate +
+      // full scanline unfiltering, chunk CRCs): the staged fixtures are
+      // valid PNGs (grey/RGB/RGBA by asset_id%3, filters cycling 0-4 per
+      // scanline) whose pixel values are a closed form of (asset_id, x, y,
+      // channel), so DuckDB recomputes dims, channel count AND the decoded
+      // pixel sum with no image library — decode is oracle-checked end to
+      // end. A decode failure drops the row → row-count mismatch.
+      stageMediaFixtures(s, dir, force = false)
+      import s.implicits._
+      s.read.parquet(mediaFixturesPath(dir)).where(col("kind") === "png")
+        .select(col("asset_id").cast("long"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, b) =>
+          graft.ops.MediaCodecs.decodePng(b).map { img =>
+            var sum = 0L; var i = 0
+            while (i < img.pixels.length) { sum += (img.pixels(i) & 0xFF); i += 1 }
+            (id, img.channels, img.width, img.height, sum)
+          }
+        })
+        .toDF("asset_id", "channels", "width", "height", "pixel_sum")
+    }),
+
+    "q_wav_decode" -> ((s, dir) => { implicit val sp = s
+      // REAL WAV PCM sample decode (ops/MediaCodecs): 16-bit mono fixtures
+      // whose samples are a closed form of (asset_id, i); DuckDB recomputes
+      // the decoded sample sum directly.
+      stageMediaFixtures(s, dir, force = false)
+      import s.implicits._
+      s.read.parquet(mediaFixturesPath(dir)).where(col("kind") === "wav")
+        .select(col("asset_id").cast("long"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, b) =>
+          graft.ops.MediaCodecs.decodeWavPcm(b).map { a =>
+            var sum = 0L; var i = 0
+            while (i < a.samples.length) { sum += a.samples(i); i += 1 }
+            (id, a.channels, a.sampleRate, a.samples.length, sum)
+          }
+        })
+        .toDF("asset_id", "channels", "sample_rate", "n_samples", "sample_sum")
     }),
 
     "q_multimodal" -> ((s, dir) => { implicit val sp = s
@@ -1660,6 +1749,22 @@ object SparkEntry {
                 CAST(16 + event_id % 2000 AS INT) AS width,
                 CAST(16 + (event_id * 7) % 1000 AS INT) AS height
          FROM events""",
+
+    "q_png_decode" ->
+      """SELECT e.event_id AS asset_id,
+                CAST(CASE e.event_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels,
+                CAST(9 AS INT) AS width, CAST(7 AS INT) AS height,
+                CAST((SELECT SUM((e.event_id*13 + x.x*7 + y.y*3 + c.c*5) % 256)
+                      FROM range(0,9) x(x), range(0,7) y(y), range(0,4) c(c)
+                      WHERE c.c < CASE e.event_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS BIGINT) AS pixel_sum
+         FROM events e""",
+
+    "q_wav_decode" ->
+      """SELECT e.event_id AS asset_id, CAST(1 AS INT) AS channels,
+                CAST(16000 AS INT) AS sample_rate, CAST(256 AS INT) AS n_samples,
+                CAST((SELECT SUM(((e.event_id*31 + i.i*17) % 65536) - 32768)
+                      FROM range(0,256) i(i)) AS BIGINT) AS sample_sum
+         FROM events e""",
 
     "q_audio_meta" ->
       """SELECT event_id, 'wav' AS format,

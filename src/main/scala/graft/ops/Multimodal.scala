@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata.
   *
   * The Spark-side machinery — schema, partitioning, batched per-partition
-  * processing shape, output contract — is real and tested. The actual codec
-  * work is STUBBED behind [[DecodeStub]] (this container has no image/audio
-  * libraries): the stub is a deterministic pure function of the bytes, so
-  * tests are stable and the pipeline shape (columnar in → typed features
-  * out, executed with `mapPartitions` batching, the Scala analog of
-  * `mapInPandas`) is exactly what a real decoder would drop into.
+  * processing shape, output contract — is real and tested. Decode itself is
+  * split in two:
+  *
+  *  - REAL pure-JVM decode for the formats that need no codec library:
+  *    PNG pixels (zlib + full unfiltering), 24-bit BMP pixels, WAV PCM
+  *    samples — see [[MediaCodecs]]. [[extractFeatures]] computes real
+  *    pixel/sample statistics for these.
+  *  - [[DecodeStub]] remains ONLY for entropy-coded formats (JPEG pixels,
+  *    video frames) whose codecs this container lacks: a deterministic
+  *    pure function of the bytes, so tests are stable and the pipeline
+  *    shape (columnar in → typed features out, executed with
+  *    `mapPartitions` batching, the Scala analog of `mapInPandas`) is
+  *    exactly what a real codec would drop into.
   */
 object Multimodal {
 
@@ -36,14 +43,17 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder: a real implementation would decode the payload with an
-    * image/audio codec. Deterministic fake: 8 float features folded from the
-    * byte stream. Marked clearly; swap the body, keep the signature. */
+  /** STUB decoder for the ENTROPY-CODED formats only (JPEG pixels, video
+    * frames): a real implementation would decode the payload with a codec
+    * library this container lacks. Deterministic fake: 8 float features
+    * folded from the byte stream. Marked clearly; swap the body, keep the
+    * signature. PNG/BMP/WAV payloads never reach this — [[MediaCodecs]]
+    * decodes them for real. */
   object DecodeStub {
     val featDim = 8
     def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
-      // ??? ← real codec goes here; deterministic fake below keeps the
-      // pipeline testable in this container.
+      // ??? ← real entropy codec goes here; deterministic fake below keeps
+      // the pipeline testable in this container.
       val acc = new Array[Float](featDim)
       var i = 0
       while (i < bytes.length) { acc(i % featDim) += (bytes(i) & 0xFF) / 255.0f; i += 1 }
@@ -52,14 +62,65 @@ object Multimodal {
     }
   }
 
+  /** Real per-payload features (dim 8, fixed layout):
+    *  - decodable image (PNG/BMP): [width, height, channels, mean, std,
+    *    min, max, 1f] over all 8-bit samples;
+    *  - decodable audio (WAV PCM): [n_samples, channels, sample_rate,
+    *    mean, rms, min, max, 1f] over sign-normalized samples;
+    *  - anything else: [[DecodeStub]] folding with a trailing 0f flag slot
+    *    overwritten — last slot 1f ⇔ a real codec produced the features. */
+  def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
+    MediaCodecs.decodePng(bytes).orElse(MediaCodecs.decodeBmp(bytes)) match {
+      case Some(img) =>
+        val n = img.pixels.length
+        var sum = 0.0; var sumSq = 0.0; var mn = 255; var mx = 0
+        var i = 0
+        while (i < n) {
+          val v = img.pixels(i) & 0xFF
+          sum += v; sumSq += v.toDouble * v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        val mean = sum / math.max(1, n)
+        val std = math.sqrt(math.max(0.0, sumSq / math.max(1, n) - mean * mean))
+        Array(img.width.toFloat, img.height.toFloat, img.channels.toFloat,
+          mean.toFloat, std.toFloat, mn.toFloat, mx.toFloat, 1f)
+      case None =>
+        MediaCodecs.decodeWavPcm(bytes) match {
+          case Some(a) =>
+            val n = a.samples.length
+            var sum = 0.0; var sumSq = 0.0
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < n) {
+              val v = a.samples(i)
+              sum += v; sumSq += v.toDouble * v
+              if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            val mean = sum / math.max(1, n)
+            val rms = math.sqrt(sumSq / math.max(1, n))
+            Array(n.toFloat, a.channels.toFloat, a.sampleRate.toFloat,
+              mean.toFloat, rms.toFloat,
+              (if (n == 0) 0 else mn).toFloat, (if (n == 0) 0 else mx).toFloat, 1f)
+          case None =>
+            val f = DecodeStub.decodeFeatures(bytes)
+            f(DecodeStub.featDim - 1) = 0f // stub flag: no real codec ran
+            f
+        }
+    }
+  }
+
   /** Batched feature extraction: `mapPartitions` (one JVM-side batch per
     * partition — the Scala analog of `mapInPandas`'s arrow batches). The
-    * partition is the unit of work; repartition upstream to size batches. */
+    * partition is the unit of work; repartition upstream to size batches.
+    * Decodable payloads (PNG/BMP/WAV PCM) get REAL pixel/sample features;
+    * entropy-coded ones fall through to the declared [[DecodeStub]]. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val feat = DecodeStub.decodeFeatures(a.bytes)
+        val feat = decodeFeatures(a.bytes)
         MediaFeatures(a.asset_id, a.kind, feat, feat.nonEmpty)
       }
     }

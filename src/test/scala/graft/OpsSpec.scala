@@ -190,6 +190,141 @@ class OpsSpec extends SparkTestBase {
     rs.agg(max(greatest(col("target_width"), col("target_height")))).head().getInt(0) should be <= 32
   }
 
+  test("media codecs: PNG round-trip across color types, filters and edge dims") {
+    import graft.ops.MediaCodecs
+    import MediaCodecs.DecodedImage
+    def raster(w: Int, h: Int, nc: Int, seed: Int): DecodedImage =
+      DecodedImage(w, h, nc, Array.tabulate(w * h * nc)(i => ((seed * 31 + i * 7) % 256).toByte))
+    for {
+      nc <- Seq(1, 3, 4)
+      (w, h) <- Seq((1, 1), (1, 9), (9, 1), (8, 8), (13, 7), (64, 3))
+      filterOfRow <- Seq[Int => Int](_ % 5, _ => 0, _ => 1, _ => 2, _ => 3, _ => 4)
+    } {
+      val img = raster(w, h, nc, w * 100 + h * 10 + nc)
+      val decoded = MediaCodecs.decodePng(MediaCodecs.encodePng(img, filterOfRow))
+      decoded.isDefined shouldBe true
+      val d = decoded.get
+      (d.width, d.height, d.channels) shouldBe ((w, h, nc))
+      d.pixels.toSeq shouldBe img.pixels.toSeq
+    }
+  }
+
+  test("media codecs: PNG decode is fail-closed on hostile/malformed input") {
+    import graft.ops.MediaCodecs
+    val good = MediaCodecs.encodePng(MediaCodecs.DecodedImage(8, 8, 3,
+      Array.tabulate(8 * 8 * 3)(i => (i % 256).toByte)))
+    MediaCodecs.decodePng(good).isDefined shouldBe true
+    // truncation anywhere → None, never a throw
+    for (cut <- Seq(0, 7, 8, 20, 33, good.length / 2, good.length - 1))
+      MediaCodecs.decodePng(good.take(cut)) shouldBe None
+    // flipped byte inside IDAT → chunk CRC mismatch → None
+    val flipped = good.clone(); flipped(good.length - 20) = (flipped(good.length - 20) ^ 0x55).toByte
+    MediaCodecs.decodePng(flipped) shouldBe None
+    // crafted IHDR claiming a huge raster (allocation bomb) → None
+    val bomb = good.clone()
+    // IHDR data starts at offset 16: width/height big-endian
+    bomb(16) = 0x7F.toByte; bomb(17) = 0xFF.toByte // width ≈ 2^31
+    MediaCodecs.decodePng(bomb) shouldBe None // CRC also fails; either guard rejects
+    // interlaced / 16-bit-depth flags → unsupported → None (valid CRC retained
+    // by re-encoding through chunk surgery is unnecessary: CRC check fires first,
+    // and unsupported-shape checks are exercised via direct header rebuilds)
+    MediaCodecs.decodePng(Array.fill[Byte](64)(0x42)) shouldBe None
+    MediaCodecs.decodePng(null) shouldBe None
+    MediaCodecs.decodePng(Array.emptyByteArray) shouldBe None
+  }
+
+  test("media codecs: PNG dimension/stream disagreement is rejected both ways") {
+    import graft.ops.MediaCodecs
+    import java.util.zip.CRC32
+    // take a valid 8x8 PNG and patch IHDR to claim 4x4 (stream now has
+    // trailing data) and 16x16 (stream now short): both must fail, so a
+    // decompression bomb can never materialize beyond the declared size
+    val base = MediaCodecs.encodePng(MediaCodecs.DecodedImage(8, 8, 1,
+      Array.tabulate(64)(i => (i * 3).toByte)))
+    def patchDims(src: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val b = src.clone()
+      val bb = java.nio.ByteBuffer.wrap(b, 16, 8)
+      bb.putInt(w).putInt(h)
+      val crc = new CRC32(); crc.update(b, 12, 4 + 13) // type + IHDR data
+      val v = crc.getValue
+      java.nio.ByteBuffer.wrap(b, 12 + 4 + 13, 4).putInt(v.toInt)
+      b
+    }
+    MediaCodecs.decodePng(patchDims(base, 4, 4)) shouldBe None
+    MediaCodecs.decodePng(patchDims(base, 16, 16)) shouldBe None
+    MediaCodecs.decodePng(patchDims(base, 8, 8)).isDefined shouldBe true // patch is sound
+  }
+
+  test("media codecs: BMP round-trip, row padding, top-down and hostile input") {
+    import graft.ops.MediaCodecs
+    import MediaCodecs.DecodedImage
+    for ((w, h) <- Seq((1, 1), (3, 5), (4, 4), (7, 2))) { // w=3,7 exercise padding
+      val img = DecodedImage(w, h, 3,
+        Array.tabulate(w * h * 3)(i => ((i * 11 + w) % 256).toByte))
+      val d = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(img))
+      d.isDefined shouldBe true
+      d.get.pixels.toSeq shouldBe img.pixels.toSeq
+    }
+    // top-down variant: negate the height field of a bottom-up encode and
+    // reverse the stored row order → identical decoded raster
+    val img = DecodedImage(3, 2, 3, Array.tabulate(18)(i => (i * 5).toByte))
+    val bu = MediaCodecs.encodeBmp(img)
+    val td = bu.clone()
+    java.nio.ByteBuffer.wrap(td, 22, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2)
+    val rowBytes = (3 * 3 + 3) & ~3
+    for (r <- 0 until 2; i <- 0 until rowBytes)
+      td(54 + r * rowBytes + i) = bu(54 + (1 - r) * rowBytes + i)
+    MediaCodecs.decodeBmp(td).get.pixels.toSeq shouldBe img.pixels.toSeq
+    // hostile: truncated, wrong magic, crafted huge dims
+    MediaCodecs.decodeBmp(bu.take(40)) shouldBe None
+    val badMagic = bu.clone(); badMagic(0) = 'X'.toByte
+    MediaCodecs.decodeBmp(badMagic) shouldBe None
+    val huge = bu.clone()
+    java.nio.ByteBuffer.wrap(huge, 18, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1 << 20)
+    MediaCodecs.decodeBmp(huge) shouldBe None
+    MediaCodecs.decodeBmp(null) shouldBe None
+  }
+
+  test("media codecs: WAV PCM round-trip (8/16-bit) and fail-closed paths") {
+    import graft.ops.MediaCodecs
+    import MediaCodecs.DecodedAudio
+    val s16 = Array.tabulate(300)(i => ((i * 997) % 65536) - 32768)
+    val d16 = MediaCodecs.decodeWavPcm(MediaCodecs.encodeWavPcm(DecodedAudio(2, 44100, 16, s16)))
+    d16.isDefined shouldBe true
+    (d16.get.channels, d16.get.sampleRate, d16.get.bits) shouldBe ((2, 44100, 16))
+    d16.get.samples.toSeq shouldBe s16.toSeq
+    val s8 = Array.tabulate(77)(i => (i % 256) - 128)
+    val d8 = MediaCodecs.decodeWavPcm(MediaCodecs.encodeWavPcm(DecodedAudio(1, 8000, 8, s8)))
+    d8.get.samples.toSeq shouldBe s8.toSeq
+    // non-PCM format tag stays stubbed → None
+    val enc = MediaCodecs.encodeWavPcm(DecodedAudio(1, 8000, 16, s16))
+    val nonPcm = enc.clone()
+    java.nio.ByteBuffer.wrap(nonPcm, 20, 2).order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(3)
+    MediaCodecs.decodeWavPcm(nonPcm) shouldBe None
+    // truncated / wrong magic
+    MediaCodecs.decodeWavPcm(enc.take(30)) shouldBe None
+    val bad = enc.clone(); bad(8) = 'X'.toByte
+    MediaCodecs.decodeWavPcm(bad) shouldBe None
+    MediaCodecs.decodeWavPcm(null) shouldBe None
+  }
+
+  test("multimodal: extractFeatures computes REAL statistics for decodable payloads") {
+    import graft.ops.MediaCodecs
+    // constant-value PNG: mean = the constant, std = 0
+    val img = MediaCodecs.DecodedImage(5, 4, 3, Array.fill[Byte](60)(200.toByte))
+    val f = Multimodal.decodeFeatures(MediaCodecs.encodePng(img))
+    f(0) shouldBe 5f; f(1) shouldBe 4f; f(2) shouldBe 3f
+    f(3) shouldBe 200f; f(4) shouldBe 0f; f(5) shouldBe 200f; f(6) shouldBe 200f
+    f(7) shouldBe 1f // real-decode flag
+    // WAV: constant sample → mean = rms magnitude = the constant
+    val wav = MediaCodecs.encodeWavPcm(MediaCodecs.DecodedAudio(1, 16000, 16, Array.fill(64)(100)))
+    val g = Multimodal.decodeFeatures(wav)
+    g(0) shouldBe 64f; g(1) shouldBe 1f; g(2) shouldBe 16000f
+    g(3) shouldBe 100f; g(4) shouldBe 100f; g(7) shouldBe 1f
+    // garbage bytes fall to the declared stub, flagged 0
+    Multimodal.decodeFeatures(Array.tabulate[Byte](50)(i => (i * 7).toByte)).last shouldBe 0f
+  }
+
   test("multimodal: container header parsing (png/gif/bmp/jpeg, no codec)") {
     import graft.functions.ImageDimsExpr
     def hex(s: String): Array[Byte] =
