@@ -253,7 +253,8 @@ object SparkEntry {
 
   private def stageMediaFixtures(s: SparkSession, dir: String, force: Boolean): Unit = {
     val path = mediaFixturesPath(dir)
-    if (force || !stagedFor(path, dir)) { implicit val sp = s
+    // v2: adds gif + jpeg fixture kinds
+    if (force || !stagedFor(path, s"$dir#v2")) { implicit val sp = s
       import s.implicits._
       import graft.ops.MediaCodecs
       t(dir, "events").select(col("event_id").cast("long")).as[Long]
@@ -278,11 +279,45 @@ object SparkEntry {
           val png = MediaCodecs.encodePng(MediaCodecs.DecodedImage(w, h, nc, px))
           val samples = Array.tabulate(256)(i => (((id * 31 + i * 17) % 65536) - 32768).toInt)
           val wav = MediaCodecs.encodeWavPcm(MediaCodecs.DecodedAudio(1, 16000, 16, samples))
-          Seq((id, "png", png), (id, "wav", wav))
+          // GIF: 40x30 (LZW dictionary grows past several width flips),
+          // 16-color palette; index and palette are closed forms of id
+          val gw = 40; val gh = 30
+          val pal = Array.tabulate[Byte](16 * 3)(i =>
+            (((id * 7 + (i / 3) * 11 + (i % 3) * 13) % 256) & 0xFF).toByte)
+          val gidx = new Array[Byte](gw * gh)
+          var gy = 0
+          while (gy < gh) {
+            var gx = 0
+            while (gx < gw) {
+              gidx(gy * gw + gx) = (((id + gx * 3 + gy * 5) % 16) & 0xFF).toByte
+              gx += 1
+            }
+            gy += 1
+          }
+          val gif = MediaCodecs.encodeGif(gw, gh, gidx, pal)
+          // JPEG: smooth per-channel gradients (r over x, g over y, b
+          // constant per image) — lossy, so the query asserts a tolerance
+          // verdict, not exact pixels
+          val jw = 32; val jh = 24
+          val jpx = new Array[Byte](jw * jh * 3)
+          var jy = 0
+          while (jy < jh) {
+            var jx = 0
+            while (jx < jw) {
+              val d = (jy * jw + jx) * 3
+              jpx(d) = ((30 + jx * 4) & 0xFF).toByte
+              jpx(d + 1) = ((40 + jy * 5) & 0xFF).toByte
+              jpx(d + 2) = ((28 + (id % 200)) & 0xFF).toByte
+              jx += 1
+            }
+            jy += 1
+          }
+          val jpeg = MediaCodecs.encodeJpeg(MediaCodecs.DecodedImage(jw, jh, 3, jpx))
+          Seq((id, "png", png), (id, "wav", wav), (id, "gif", gif), (id, "jpeg", jpeg))
         })
         .toDF("asset_id", "kind", "bytes")
         .write.mode("overwrite").parquet(path)
-      stamp(path, dir)
+      stamp(path, s"$dir#v2")
     }
   }
 
@@ -765,6 +800,62 @@ object SparkEntry {
           }
         })
         .toDF("asset_id", "channels", "width", "height", "pixel_sum")
+    }),
+
+    "q_gif_decode" -> ((s, dir) => { implicit val sp = s
+      // REAL GIF pixel decode (ops/MediaCodecs: full LZW with variable
+      // code widths, clear/end codes, dictionary growth — cross-validated
+      // against the JDK ImageIO codec in both directions in OpsSpec): the
+      // staged 40x30 16-color fixtures have palette AND indices as closed
+      // forms of (asset_id, x, y), so DuckDB recomputes the decoded RGB
+      // sum exactly — GIF is lossless.
+      stageMediaFixtures(s, dir, force = false)
+      import s.implicits._
+      s.read.parquet(mediaFixturesPath(dir)).where(col("kind") === "gif")
+        .select(col("asset_id").cast("long"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, b) =>
+          graft.ops.MediaCodecs.decodeGif(b).map { img =>
+            var sum = 0L; var i = 0
+            while (i < img.pixels.length) { sum += (img.pixels(i) & 0xFF); i += 1 }
+            (id, img.width, img.height, sum)
+          }
+        })
+        .toDF("asset_id", "width", "height", "pixel_sum")
+    }),
+
+    "q_jpeg_decode" -> ((s, dir) => { implicit val sp = s
+      // REAL JPEG pixel decode via the JDK's built-in ImageIO codec
+      // (java.desktop — the JDK itself, no external library). JPEG is
+      // LOSSY, so exact pixel sums are not closed-form; the query decodes
+      // and asserts a tolerance verdict against the closed-form source
+      // gradients (max |err| <= 20 across every pixel/channel — garbage or
+      // mis-decoded output fails it), and the oracle checks dims + verdict.
+      stageMediaFixtures(s, dir, force = false)
+      import s.implicits._
+      s.read.parquet(mediaFixturesPath(dir)).where(col("kind") === "jpeg")
+        .select(col("asset_id").cast("long"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, b) =>
+          graft.ops.MediaCodecs.decodeJdkImage(b).map { img =>
+            var maxErr = 0; var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) {
+                val d = (y * img.width + x) * 3
+                def e(i: Int, expect: Int): Int =
+                  math.abs((img.pixels(d + i) & 0xFF) - expect)
+                val err = math.max(e(0, 30 + x * 4),
+                  math.max(e(1, 40 + y * 5), e(2, 28 + (id % 200).toInt)))
+                if (err > maxErr) maxErr = err
+                x += 1
+              }
+              y += 1
+            }
+            (id, img.width, img.height, maxErr <= 20)
+          }
+        })
+        .toDF("asset_id", "width", "height", "within_tolerance")
     }),
 
     "q_wav_decode" -> ((s, dir) => { implicit val sp = s
@@ -1758,6 +1849,18 @@ object SparkEntry {
                       FROM range(0,9) x(x), range(0,7) y(y), range(0,4) c(c)
                       WHERE c.c < CASE e.event_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS BIGINT) AS pixel_sum
          FROM events e""",
+
+    "q_gif_decode" ->
+      """SELECT e.event_id AS asset_id,
+                CAST(40 AS INT) AS width, CAST(30 AS INT) AS height,
+                CAST((SELECT SUM((e.event_id*7 + ((e.event_id + x.x*3 + y.y*5) % 16)*11 + c.c*13) % 256)
+                      FROM range(0,40) x(x), range(0,30) y(y), range(0,3) c(c)) AS BIGINT) AS pixel_sum
+         FROM events e""",
+
+    "q_jpeg_decode" ->
+      """SELECT event_id AS asset_id, CAST(32 AS INT) AS width,
+                CAST(24 AS INT) AS height, TRUE AS within_tolerance
+         FROM events""",
 
     "q_wav_decode" ->
       """SELECT e.event_id AS asset_id, CAST(1 AS INT) AS channels,

@@ -310,6 +310,295 @@ object MediaCodecs {
     b.array()
   }
 
+  // ---- GIF -----------------------------------------------------------------
+
+  /** Decode the FIRST image of a GIF87a/GIF89a payload to RGB: full LZW
+    * decompression (variable code width, clear/end codes, 4096-entry
+    * dictionary), global/local color tables, interlaced row ordering.
+    * `None` fail-closed on malformed data: bad magic, truncated blocks,
+    * out-of-range codes, oversized rasters, missing color table. */
+  def decodeGif(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length < 13 + 10) return None
+    val magic = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val flags = u8(bytes, 10)
+    var pos = 13
+    var globalTable: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7) // palette entries
+      if (pos + n * 3 > bytes.length) return None
+      globalTable = java.util.Arrays.copyOfRange(bytes, pos, pos + n * 3)
+      pos += n * 3
+    }
+    // walk blocks to the first image descriptor
+    while (pos < bytes.length) {
+      u8(bytes, pos) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 =>             // extension: label + sub-blocks
+          pos += 2
+          var done = false
+          while (!done) {
+            if (pos >= bytes.length) return None
+            val sz = u8(bytes, pos); pos += 1 + sz
+            done = sz == 0
+          }
+        case 0x2C =>
+          if (pos + 10 > bytes.length) return None
+          val w = le16(bytes, pos + 5); val h = le16(bytes, pos + 7)
+          val iFlags = u8(bytes, pos + 9)
+          pos += 10
+          if (w < 1 || h < 1 || w.toLong * h > MaxPixels) return None
+          var table = globalTable
+          if ((iFlags & 0x80) != 0) {
+            val n = 2 << (iFlags & 7)
+            if (pos + n * 3 > bytes.length) return None
+            table = java.util.Arrays.copyOfRange(bytes, pos, pos + n * 3)
+            pos += n * 3
+          }
+          if (table == null) return None
+          val interlaced = (iFlags & 0x40) != 0
+          if (pos >= bytes.length) return None
+          val minCode = u8(bytes, pos); pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (pos >= bytes.length) return None
+            val sz = u8(bytes, pos); pos += 1
+            if (sz == 0) done = true
+            else {
+              if (pos + sz > bytes.length) return None
+              data.write(bytes, pos, sz); pos += sz
+            }
+          }
+          val indices = lzwDecode(data.toByteArray, minCode, w * h).getOrElse(return None)
+          val nColors = table.length / 3
+          val out = new Array[Byte](w * h * 3)
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.range(0, h)
+            else {
+              val o = new Array[Int](h); var k = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+                o(k) = y; k += 1
+              }
+              o
+            }
+          var srcRow = 0
+          while (srcRow < h) {
+            val y = rowOrder(srcRow)
+            var x = 0
+            while (x < w) {
+              val idx = indices(srcRow * w + x) & 0xFF
+              if (idx >= nColors) return None
+              val d = (y * w + x) * 3
+              out(d) = table(idx * 3); out(d + 1) = table(idx * 3 + 1); out(d + 2) = table(idx * 3 + 2)
+              x += 1
+            }
+            srcRow += 1
+          }
+          return Some(DecodedImage(w, h, 3, out))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW decode: `minCode`-sized alphabet, clear/end codes,
+    * growing code width to 12 bits. Exactly `expected` indices or None. */
+  private def lzwDecode(data: Array[Byte], minCode: Int, expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode; val end = clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var next = end + 1; var width = minCode + 1
+    var oldCode = -1; var firstByte = 0.toByte
+    var bitBuf = 0; var bitCnt = 0; var pos = 0
+    var i = 0
+    while (i < clear) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
+    while (outPos < expected) {
+      while (bitCnt < width) {
+        if (pos >= data.length) return None
+        bitBuf |= (data(pos) & 0xFF) << bitCnt; bitCnt += 8; pos += 1
+      }
+      val code = bitBuf & ((1 << width) - 1)
+      bitBuf >>>= width; bitCnt -= width
+      if (code == clear) { next = end + 1; width = minCode + 1; oldCode = -1 }
+      else if (code == end) return if (outPos == expected) Some(out) else None
+      else {
+        if (code > next || (code == next && oldCode < 0)) return None
+        var sp = 0
+        var cur = if (code == next) { stack(sp) = firstByte; sp += 1; oldCode } else code
+        while (cur >= clear + 2) { // walk the prefix chain down to a root
+          stack(sp) = suffix(cur); sp += 1; cur = prefix(cur)
+          if (sp > 4096) return None
+        }
+        // cur is now a root (0..clear-1)
+        if (cur < 0 || cur >= clear) return None
+        firstByte = suffix(cur)
+        stack(sp) = firstByte; sp += 1
+        // emit reversed
+        while (sp > 0 && outPos < expected) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+        if (sp > 0) return None // produced more than the raster holds
+        if (oldCode >= 0 && next < 4096) {
+          prefix(next) = oldCode; suffix(next) = firstByte; next += 1
+          if (next < 4096 && (next & (next - 1)) == 0 && width < 12) width += 1
+        }
+        oldCode = code
+      }
+    }
+    Some(out)
+  }
+
+  /** GIF-flavor LZW encode (fixture support): standard string-table builder
+    * with clear/end codes and growing code width — output decodes with any
+    * conformant GIF reader. */
+  private[ops] def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode; val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0; var bitCnt = 0
+    var width = minCode + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code << bitCnt; bitCnt += width
+      while (bitCnt >= 8) { out.write(bitBuf & 0xFF); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    val table = new java.util.HashMap[Long, Integer]()
+    var next = end + 1
+    emit(clear)
+    var curSeq = -1 // table code of the current sequence
+    var i = 0
+    while (i < indices.length) {
+      val k = indices(i) & 0xFF
+      if (curSeq < 0) curSeq = k
+      else {
+        val key = (curSeq.toLong << 12) | k
+        val hit = table.get(key)
+        if (hit != null) curSeq = hit.intValue()
+        else {
+          emit(curSeq)
+          if (next < 4096) {
+            table.put(key, Integer.valueOf(next))
+            next += 1
+            // width-flip phase: the decoder is always ONE add behind the
+            // encoder when reading a code (the KwKwK gap), so the encoder
+            // grows its width one add LATER — when next passes 1<<width —
+            // while the decoder grows when its own next reaches 1<<width.
+            // Cross-checked empirically against the JDK ImageIO GIF codec
+            // in both directions (GifCodecSpec).
+            if (next == (1 << width) + 1 && width < 12) width += 1
+          } else {
+            emit(clear); table.clear(); next = end + 1; width = minCode + 1
+          }
+          curSeq = k
+        }
+      }
+      i += 1
+    }
+    if (curSeq >= 0) emit(curSeq)
+    emit(end)
+    if (bitCnt > 0) out.write(bitBuf & 0xFF)
+    out.toByteArray
+  }
+
+  /** Encode a palette raster as a minimal non-interlaced GIF89a (fixture
+    * support): global color table + one image block. `indices` are palette
+    * indices; `palette` is RGB-interleaved with a power-of-two entry count
+    * between 4 and 256. */
+  def encodeGif(width: Int, height: Int, indices: Array[Byte], palette: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height)
+    val nColors = palette.length / 3
+    require(nColors >= 4 && nColors <= 256 && (nColors & (nColors - 1)) == 0)
+    require(palette.length % 3 == 0)
+    val sizeBits = Integer.numberOfTrailingZeros(nColors) // 2..8
+    val minCode = math.max(2, sizeBits)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le16w(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le16w(width); le16w(height)
+    out.write(0x80 | (sizeBits - 1)) // global table present
+    out.write(0); out.write(0)       // bg index, aspect
+    out.write(palette, 0, palette.length)
+    out.write(0x2C)                  // image descriptor
+    le16w(0); le16w(0); le16w(width); le16w(height)
+    out.write(0)                     // no local table, not interlaced
+    out.write(minCode)
+    val lzw = lzwEncode(indices, minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  // ---- JDK ImageIO bridge (JPEG et al.) ------------------------------------
+
+  @transient private lazy val imageIoInit: Unit = {
+    // headless + no temp-file disk cache: executor tasks must not write
+    // scratch files or touch a display
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Decode via the JDK's BUILT-IN ImageIO codecs (`java.desktop` — part
+    * of the JDK itself, not an external dependency): notably baseline and
+    * progressive JPEG, which no reasonable pure-Scala reimplementation
+    * should shadow. Output is normalized to RGB-interleaved 8-bit;
+    * deterministic for a fixed JDK. Fail-closed: `None` on anything the
+    * JDK cannot read or that exceeds [[MaxPixels]]. */
+  def decodeJdkImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    imageIoInit
+    if (bytes == null || bytes.length < 4) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w < 1 || h < 1 || w.toLong * h > MaxPixels) return None
+      val out = new Array[Byte](w * h * 3)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val v = row(x); val d = (y * w + x) * 3
+          out(d) = ((v >> 16) & 0xFF).toByte
+          out(d + 1) = ((v >> 8) & 0xFF).toByte
+          out(d + 2) = (v & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(w, h, 3, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode an RGB raster as baseline JPEG via the JDK writer (fixture
+    * support; decode is the serving path). */
+  def encodeJpeg(img: DecodedImage): Array[Byte] = {
+    imageIoInit
+    require(img.channels == 3, "JPEG fixture encoder is RGB")
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        bi.setRGB(x, y, ((img.pixels(s) & 0xFF) << 16) |
+          ((img.pixels(s + 1) & 0xFF) << 8) | (img.pixels(s + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpeg", bos)
+    bos.toByteArray
+  }
+
   // ---- WAV PCM -------------------------------------------------------------
 
   /** Decode a RIFF/WAVE PCM payload's samples (8-bit unsigned or 16-bit

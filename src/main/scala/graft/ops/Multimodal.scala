@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   * processing shape, output contract — is real and tested. Decode itself is
   * split in two:
   *
-  *  - REAL pure-JVM decode for the formats that need no codec library:
-  *    PNG pixels (zlib + full unfiltering), 24-bit BMP pixels, WAV PCM
-  *    samples — see [[MediaCodecs]]. [[extractFeatures]] computes real
-  *    pixel/sample statistics for these.
-  *  - [[DecodeStub]] remains ONLY for entropy-coded formats (JPEG pixels,
-  *    video frames) whose codecs this container lacks: a deterministic
-  *    pure function of the bytes, so tests are stable and the pipeline
-  *    shape (columnar in → typed features out, executed with
+  *  - REAL decode for every image/audio format in reach: PNG pixels
+  *    (pure-JVM zlib + full unfiltering), GIF pixels (pure-JVM LZW),
+  *    24-bit BMP pixels, WAV PCM samples — see [[MediaCodecs]] — plus
+  *    JPEG pixels via the JDK's BUILT-IN ImageIO codec (`java.desktop`,
+  *    part of the JDK, no external dependency). [[extractFeatures]]
+  *    computes real pixel/sample statistics for all of these.
+  *  - [[DecodeStub]] remains ONLY for video FRAME decode (no video codec
+  *    exists in the JDK) and formats outside the set above: a
+  *    deterministic pure function of the bytes, so tests are stable and
+  *    the pipeline shape (columnar in → typed features out, executed with
   *    `mapPartitions` batching, the Scala analog of `mapInPandas`) is
   *    exactly what a real codec would drop into.
   */
@@ -43,12 +45,12 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder for the ENTROPY-CODED formats only (JPEG pixels, video
-    * frames): a real implementation would decode the payload with a codec
-    * library this container lacks. Deterministic fake: 8 float features
-    * folded from the byte stream. Marked clearly; swap the body, keep the
-    * signature. PNG/BMP/WAV payloads never reach this — [[MediaCodecs]]
-    * decodes them for real. */
+  /** STUB decoder for VIDEO FRAMES and out-of-set formats only: a real
+    * implementation would decode the payload with a video codec library
+    * neither this container nor the JDK ships. Deterministic fake: 8 float
+    * features folded from the byte stream. Marked clearly; swap the body,
+    * keep the signature. PNG/BMP/GIF/JPEG/WAV payloads never reach this —
+    * [[MediaCodecs]] decodes them for real. */
   object DecodeStub {
     val featDim = 8
     def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
@@ -63,14 +65,25 @@ object Multimodal {
   }
 
   /** Real per-payload features (dim 8, fixed layout):
-    *  - decodable image (PNG/BMP): [width, height, channels, mean, std,
+    *  - decodable image (PNG/BMP/GIF via the pure-JVM codecs; JPEG via the
+    *    JDK's built-in ImageIO): [width, height, channels, mean, std,
     *    min, max, 1f] over all 8-bit samples;
     *  - decodable audio (WAV PCM): [n_samples, channels, sample_rate,
     *    mean, rms, min, max, 1f] over sign-normalized samples;
     *  - anything else: [[DecodeStub]] folding with a trailing 0f flag slot
     *    overwritten — last slot 1f ⇔ a real codec produced the features. */
   def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
-    MediaCodecs.decodePng(bytes).orElse(MediaCodecs.decodeBmp(bytes)) match {
+    MediaCodecs.decodePng(bytes)
+      .orElse(MediaCodecs.decodeBmp(bytes))
+      .orElse(MediaCodecs.decodeGif(bytes))
+      .orElse {
+        // JDK ImageIO last among images: the pure parsers are cheaper and
+        // fail-closed; ImageIO covers what they don't (JPEG)
+        if (bytes != null && bytes.length > 2 &&
+            (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+          MediaCodecs.decodeJdkImage(bytes)
+        else None
+      } match {
       case Some(img) =>
         val n = img.pixels.length
         var sum = 0.0; var sumSq = 0.0; var mn = 255; var mx = 0

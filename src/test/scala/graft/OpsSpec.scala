@@ -285,6 +285,78 @@ class OpsSpec extends SparkTestBase {
     MediaCodecs.decodeBmp(null) shouldBe None
   }
 
+  test("media codecs: GIF round-trip + JDK ImageIO cross-validation BOTH directions") {
+    import graft.ops.MediaCodecs
+    System.setProperty("java.awt.headless", "true")
+    val rnd = new scala.util.Random(7)
+    // sizes chosen to push LZW through several code-width flips and (at
+    // 200x150 with 256 colors) toward dictionary pressure
+    for ((w, h, pbits) <- Seq((1, 1, 2), (9, 7, 4), (40, 30, 4), (64, 64, 8), (200, 150, 8))) {
+      val n = 1 << pbits
+      val pal = Array.tabulate[Byte](n * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val idx = Array.tabulate[Byte](w * h)(_ => rnd.nextInt(n).toByte)
+      def expected: Array[Byte] = Array.tabulate[Byte](w * h * 3) { i =>
+        val p = i / 3; val c = i % 3; pal((idx(p) & 0xFF) * 3 + c)
+      }
+      // mine -> mine
+      val gif = MediaCodecs.encodeGif(w, h, idx, pal)
+      val d = MediaCodecs.decodeGif(gif)
+      d.isDefined shouldBe true
+      (d.get.width, d.get.height) shouldBe ((w, h))
+      d.get.pixels.toSeq shouldBe expected.toSeq
+      // mine -> JDK ImageIO (my ENCODER is standard)
+      val iio = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+      iio should not be null
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = iio.getRGB(x, y); val j = (idx(y * w + x) & 0xFF) * 3
+        ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF) shouldBe
+          ((pal(j) & 0xFF, pal(j + 1) & 0xFF, pal(j + 2) & 0xFF))
+      }
+      // JDK ImageIO writer -> my DECODER (my decoder is standard)
+      val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = (idx(y * w + x) & 0xFF) * 3
+        bi.setRGB(x, y, ((pal(j) & 0xFF) << 16) | ((pal(j + 1) & 0xFF) << 8) | (pal(j + 2) & 0xFF))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "gif", bos)
+      val mine = MediaCodecs.decodeGif(bos.toByteArray)
+      mine.isDefined shouldBe true
+      mine.get.pixels.toSeq shouldBe expected.toSeq
+    }
+    // hostile: truncation, bad magic, out-of-palette garbage LZW
+    val ok = MediaCodecs.encodeGif(8, 8, Array.fill[Byte](64)(1), Array.fill[Byte](12)(9))
+    for (cut <- Seq(0, 5, 12, 20, ok.length - 2))
+      MediaCodecs.decodeGif(ok.take(cut)) shouldBe None
+    val bad = ok.clone(); bad(0) = 'X'.toByte
+    MediaCodecs.decodeGif(bad) shouldBe None
+    MediaCodecs.decodeGif(null) shouldBe None
+  }
+
+  test("media codecs: JPEG decode via the JDK codec stays within tolerance of the source") {
+    import graft.ops.MediaCodecs
+    val w = 32; val h = 24
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      px(d) = (30 + x * 4).toByte; px(d + 1) = (40 + y * 5).toByte; px(d + 2) = 77.toByte
+    }
+    val jpeg = MediaCodecs.encodeJpeg(MediaCodecs.DecodedImage(w, h, 3, px))
+    // really a JPEG (SOI marker), and the pure parsers correctly refuse it
+    (jpeg(0) & 0xFF, jpeg(1) & 0xFF) shouldBe ((0xFF, 0xD8))
+    MediaCodecs.decodePng(jpeg) shouldBe None
+    MediaCodecs.decodeGif(jpeg) shouldBe None
+    val d = MediaCodecs.decodeJdkImage(jpeg)
+    d.isDefined shouldBe true
+    (d.get.width, d.get.height, d.get.channels) shouldBe ((w, h, 3))
+    val maxErr = (0 until w * h * 3).map(i => math.abs((d.get.pixels(i) & 0xFF) - (px(i) & 0xFF))).max
+    maxErr should be <= 20
+    // fail-closed on garbage
+    MediaCodecs.decodeJdkImage(Array.fill[Byte](64)(0x11)) shouldBe None
+    MediaCodecs.decodeJdkImage(jpeg.take(30)) shouldBe None
+    MediaCodecs.decodeJdkImage(null) shouldBe None
+  }
+
   test("media codecs: WAV PCM round-trip (8/16-bit) and fail-closed paths") {
     import graft.ops.MediaCodecs
     import MediaCodecs.DecodedAudio
