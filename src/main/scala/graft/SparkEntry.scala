@@ -253,8 +253,8 @@ object SparkEntry {
 
   private def stageMediaFixtures(s: SparkSession, dir: String, force: Boolean): Unit = {
     val path = mediaFixturesPath(dir)
-    // v2: adds gif + jpeg fixture kinds
-    if (force || !stagedFor(path, s"$dir#v2")) { implicit val sp = s
+    // v3: adds gif + jpeg + mjpeg-avi fixture kinds
+    if (force || !stagedFor(path, s"$dir#v3")) { implicit val sp = s
       import s.implicits._
       import graft.ops.MediaCodecs
       t(dir, "events").select(col("event_id").cast("long")).as[Long]
@@ -313,11 +313,31 @@ object SparkEntry {
             jy += 1
           }
           val jpeg = MediaCodecs.encodeJpeg(MediaCodecs.DecodedImage(jw, jh, 3, jpx))
-          Seq((id, "png", png), (id, "wav", wav), (id, "gif", gif), (id, "jpeg", jpeg))
+          // MJPEG AVI: 5 frames of the same gradient family, the blue
+          // channel keyed by (id, frame) so each frame is distinguishable
+          val aviFrames = (0 until 5).map { f =>
+            val fpx = new Array[Byte](jw * jh * 3)
+            var fy = 0
+            while (fy < jh) {
+              var fx = 0
+              while (fx < jw) {
+                val d = (fy * jw + fx) * 3
+                fpx(d) = ((30 + fx * 4) & 0xFF).toByte
+                fpx(d + 1) = ((40 + fy * 5) & 0xFF).toByte
+                fpx(d + 2) = ((28 + ((id + f * 9) % 200)) & 0xFF).toByte
+                fx += 1
+              }
+              fy += 1
+            }
+            MediaCodecs.encodeJpeg(MediaCodecs.DecodedImage(jw, jh, 3, fpx))
+          }
+          val avi = MediaCodecs.encodeMjpegAvi(aviFrames, jw, jh)
+          Seq((id, "png", png), (id, "wav", wav), (id, "gif", gif),
+            (id, "jpeg", jpeg), (id, "avi", avi))
         })
         .toDF("asset_id", "kind", "bytes")
         .write.mode("overwrite").parquet(path)
-      stamp(path, s"$dir#v2")
+      stamp(path, s"$dir#v3")
     }
   }
 
@@ -856,6 +876,43 @@ object SparkEntry {
           }
         })
         .toDF("asset_id", "width", "height", "within_tolerance")
+    }),
+
+    "q_mjpeg_frames" -> ((s, dir) => { implicit val sp = s
+      // REAL video frame extraction + decode: MJPEG AVI payloads are
+      // RIFF-walked to the movi stream (ops/MediaCodecs.mjpegFrames), every
+      // 2nd frame comes out as a complete JPEG and is decoded via the JDK
+      // codec; per frame a tolerance verdict against the closed-form
+      // gradients (blue channel keyed by (asset_id, frame_idx)). The
+      // inter-frame codecs the JDK lacks (H.264 …) remain the declared
+      // stub — MJPEG is the honest reachable video codec.
+      stageMediaFixtures(s, dir, force = false)
+      import s.implicits._
+      val frames = graft.ops.Multimodal.sampleMjpegFrames(
+        s.read.parquet(mediaFixturesPath(dir)).where(col("kind") === "avi"),
+        "asset_id", "bytes", everyN = 2)
+      frames.select(col("asset_id").cast("long"), col("frame_idx"), col("frame_jpeg"))
+        .as[(Long, Int, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, f, jb) =>
+          graft.ops.MediaCodecs.decodeJdkImage(jb).map { img =>
+            var maxErr = 0; var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) {
+                val d = (y * img.width + x) * 3
+                def e(i: Int, expect: Int): Int =
+                  math.abs((img.pixels(d + i) & 0xFF) - expect)
+                val err = math.max(e(0, 30 + x * 4),
+                  math.max(e(1, 40 + y * 5), e(2, 28 + ((id + f * 9) % 200).toInt)))
+                if (err > maxErr) maxErr = err
+                x += 1
+              }
+              y += 1
+            }
+            (id, f, img.width, img.height, maxErr <= 20)
+          }
+        })
+        .toDF("asset_id", "frame_idx", "width", "height", "within_tolerance")
     }),
 
     "q_wav_decode" -> ((s, dir) => { implicit val sp = s
@@ -1861,6 +1918,12 @@ object SparkEntry {
       """SELECT event_id AS asset_id, CAST(32 AS INT) AS width,
                 CAST(24 AS INT) AS height, TRUE AS within_tolerance
          FROM events""",
+
+    "q_mjpeg_frames" ->
+      """SELECT e.event_id AS asset_id, CAST(f.f AS INT) AS frame_idx,
+                CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+                TRUE AS within_tolerance
+         FROM events e, (VALUES (0), (2), (4)) f(f)""",
 
     "q_wav_decode" ->
       """SELECT e.event_id AS asset_id, CAST(1 AS INT) AS channels,

@@ -599,6 +599,105 @@ object MediaCodecs {
     bos.toByteArray
   }
 
+  // ---- MJPEG AVI (video frames) ---------------------------------------------
+
+  /** Extract the compressed video frames of an MJPEG AVI payload: walks the
+    * RIFF structure to the `movi` LIST and returns each `..dc`/`..db` chunk
+    * (one JPEG image per frame, decodable with [[decodeJdkImage]]). This is
+    * REAL video-frame extraction for the one video codec whose image layer
+    * the JDK ships; inter-frame codecs (H.264 etc.) remain the declared
+    * stub. Fail-closed `None` on malformed RIFF; the total extracted byte
+    * size is capped (4×[[MaxPixels]]) so a crafted header cannot balloon.
+    * Frames inside `rec ` grouping LISTs are also collected. */
+  def mjpegFrames(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 24) return None
+    def fourCC(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourCC(0) != "RIFF" || fourCC(8) != "AVI ") return None
+    val riffLen = le32(bytes, 4)
+    if (8 + riffLen > bytes.length) return None
+    val limit = (8 + riffLen).toInt
+    val frames = Vector.newBuilder[Array[Byte]]
+    var total = 0L
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "dc" || id.substring(2) == "db")
+    // walk chunks at one level; recurse into LISTs we care about
+    def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = fourCC(pos)
+        val len = le32(bytes, pos + 4)
+        if (len > Int.MaxValue - 8 || pos + 8 + len > end) return false
+        val l = len.toInt
+        if (id == "LIST") {
+          if (l < 4) return false
+          val listType = fourCC(pos + 8)
+          if (listType == "movi" || (inMovi && listType == "rec "))
+            { if (!walk(pos + 12, pos + 8 + l, inMovi = true)) return false }
+          // other LISTs (hdrl etc.): skipped, not validated in depth
+        } else if (inMovi && isFrameChunk(id)) {
+          total += l
+          if (total > 4L * MaxPixels) return false
+          frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + l)
+        }
+        pos += 8 + l + (l & 1) // RIFF chunks are word-aligned
+      }
+      true
+    }
+    if (!walk(12, limit, inMovi = false)) return None
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
+  }
+
+  /** Encode JPEG frames as a minimal MJPEG AVI (fixture support): RIFF →
+    * hdrl (avih + strl/strh/strf) + movi with one `00dc` chunk per frame. */
+  def encodeMjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+                     fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes(ascii)).putInt(data.length).put(data)
+      if (pad == 1) b.put(0.toByte)
+      b.array()
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + children.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes(ascii)).putInt(4 + children.length)
+        .put(listType.getBytes(ascii)).put(children)
+      b.array()
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(1000000 / fps).putInt(maxFrame * fps).putInt(0)
+      .putInt(0) // flags: no idx1 index is written (parsers don't need one)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    val strh = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes(ascii)).put("MJPG".getBytes(ascii))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps).putInt(0).putInt(frames.length)
+      .putInt(maxFrame).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    val strf = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .put("MJPG".getBytes(ascii)).putInt(width * height * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++
+      list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(ascii)).putInt(4 + body.length)
+      .put("AVI ".getBytes(ascii)).put(body)
+    out.array()
+  }
+
   // ---- WAV PCM -------------------------------------------------------------
 
   /** Decode a RIFF/WAVE PCM payload's samples (8-bit unsigned or 16-bit

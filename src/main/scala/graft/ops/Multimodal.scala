@@ -142,7 +142,8 @@ object Multimodal {
   /** Frame sampling plumbing for video payloads: byte-range slicing stands
     * in for codec frame extraction; emits (asset_id, frame_idx, frame_bytes)
     * via a lateral explode — the real decoder swaps the slice for a frame
-    * grab, the distribution shape is identical. */
+    * grab, the distribution shape is identical. For MJPEG AVI payloads use
+    * [[sampleMjpegFrames]], which extracts REAL frames. */
   def sampleFrames(assets: DataFrame, everyN: Int = 4): DataFrame = {
     assets.where(col("kind") === "video")
       .select(col("asset_id"), col("n_frames"),
@@ -152,6 +153,29 @@ object Multimodal {
         // stub: slice a window per frame; real impl decodes frame_idx
         expr("substring(bytes, frame_idx * 4 + 1, 16)"))
       .drop("bytes")
+  }
+
+  /** REAL video frame sampling for MJPEG AVI payloads (`idCol`, `bytesCol`):
+    * every `everyN`-th frame of the `movi` stream comes out as its own row
+    * `(asset_id, frame_idx, frame_jpeg)` — each `frame_jpeg` is a complete
+    * JPEG image, decodable with [[MediaCodecs.decodeJdkImage]]. Payloads
+    * that are not MJPEG AVIs are dropped (fail-closed), making this safe to
+    * point at a mixed binary column. Inter-frame video codecs (H.264 …)
+    * have no JDK decoder and remain [[DecodeStub]] territory. */
+  def sampleMjpegFrames(assets: DataFrame, idCol: String, bytesCol: String,
+                        everyN: Int = 2): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        MediaCodecs.mjpegFrames(b) match {
+          case Some(frames) =>
+            frames.indices.by(everyN).map(i => (id, i, frames(i)))
+          case None => Iterator.empty
+        }
+      })
+      .toDF(idCol, "frame_idx", "frame_jpeg")
   }
 
   /** REAL header metadata (no codec needed): parse PNG/GIF/BMP/JPEG

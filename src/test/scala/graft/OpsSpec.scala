@@ -357,6 +357,36 @@ class OpsSpec extends SparkTestBase {
     MediaCodecs.decodeJdkImage(null) shouldBe None
   }
 
+  test("media codecs: MJPEG AVI frame extraction round-trip + distributed sampling") {
+    import graft.ops.MediaCodecs
+    val w = 16; val h = 12
+    def frame(seed: Int): Array[Byte] = {
+      val px = Array.tabulate[Byte](w * h * 3) { i => (seed + i / 3).toByte }
+      MediaCodecs.encodeJpeg(MediaCodecs.DecodedImage(w, h, 3, px))
+    }
+    val frames = (0 until 7).map(f => frame(f * 40))
+    val avi = MediaCodecs.encodeMjpegAvi(frames, w, h)
+    // byte-exact frame recovery (the container stores the JPEGs verbatim)
+    val got = MediaCodecs.mjpegFrames(avi)
+    got.isDefined shouldBe true
+    got.get.size shouldBe 7
+    got.get.zip(frames).foreach { case (a, b) => a.toSeq shouldBe b.toSeq }
+    got.get.foreach(j => MediaCodecs.decodeJdkImage(j).isDefined shouldBe true)
+    // hostile: truncation, non-AVI RIFF (a WAV), garbage
+    for (cut <- Seq(0, 10, 30, avi.length / 2)) MediaCodecs.mjpegFrames(avi.take(cut)) shouldBe None
+    val wav = MediaCodecs.encodeWavPcm(MediaCodecs.DecodedAudio(1, 8000, 16, Array(1, 2, 3)))
+    MediaCodecs.mjpegFrames(wav) shouldBe None
+    MediaCodecs.mjpegFrames(null) shouldBe None
+    // distributed sampling: every 2nd frame, one row per (asset, frame)
+    import spark.implicits._
+    val assets = Seq((1L, avi), (2L, avi), (3L, wav /*dropped, fail-closed*/))
+      .toDF("asset_id", "bytes")
+    val sampled = Multimodal.sampleMjpegFrames(assets, "asset_id", "bytes", everyN = 2)
+      .collect()
+    sampled.map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq shouldBe
+      Seq((1L, 0), (1L, 2), (1L, 4), (1L, 6), (2L, 0), (2L, 2), (2L, 4), (2L, 6))
+  }
+
   test("media codecs: WAV PCM round-trip (8/16-bit) and fail-closed paths") {
     import graft.ops.MediaCodecs
     import MediaCodecs.DecodedAudio
