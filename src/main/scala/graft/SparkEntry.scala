@@ -253,11 +253,21 @@ object SparkEntry {
 
   private def stageMediaFixtures(s: SparkSession, dir: String, force: Boolean): Unit = {
     val path = mediaFixturesPath(dir)
-    // v3: adds gif + jpeg + mjpeg-avi fixture kinds
-    if (force || !stagedFor(path, s"$dir#v3")) { implicit val sp = s
+    // v4: multi-file layout — the events scan is one small file (one parquet
+    // row group), so without a repartition the whole encode runs on ONE core
+    // and, worse, the staged fixture itself comes out as one row group that
+    // no downstream decode query can split: every decode stage was serial
+    // regardless of its partition count (parquet only splits at row-group
+    // boundaries). Repartitioning the ids before the encode makes the
+    // staging parallel AND yields a 64-file layout every reader scan splits.
+    // Same idiom at 100 TB: binary-heavy decode corpora are written with
+    // row-group-sized files so CPU-bound decode stages parallelize at the
+    // scan, no runtime shuffle needed.
+    if (force || !stagedFor(path, s"$dir#v4")) { implicit val sp = s
       import s.implicits._
       import graft.ops.MediaCodecs
       t(dir, "events").select(col("event_id").cast("long")).as[Long]
+        .repartition(64)
         .mapPartitions(_.flatMap { id =>
           val nc = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
           val w = 9; val h = 7
@@ -337,7 +347,7 @@ object SparkEntry {
         })
         .toDF("asset_id", "kind", "bytes")
         .write.mode("overwrite").parquet(path)
-      stamp(path, s"$dir#v3")
+      stamp(path, s"$dir#v4")
     }
   }
 
