@@ -925,6 +925,45 @@ object SparkEntry {
         .toDF("asset_id", "frame_idx", "width", "height", "within_tolerance")
     }),
 
+    "q_image_resize" -> ((s, dir) => { implicit val sp = s
+      // REAL pixel resize (ops/Multimodal.resizeImages): JPEG fixtures are
+      // decoded, bilinear-downscaled 32x24 -> 16x12, re-encoded as PNG
+      // (lossless, so the output raster IS the resample), decoded back and
+      // checked against the closed-form bilinear of the closed-form source
+      // gradient: pixel-center half-integer sampling of r=30+4x gives
+      // 32+8tx, g=40+5y gives 42.5+10ty, b is constant — exact up to
+      // rounding plus the source's JPEG noise, hence a tolerance verdict.
+      stageMediaFixtures(s, dir, force = false)
+      import s.implicits._
+      val resized = graft.ops.Multimodal.resizeImages(
+        s.read.parquet(mediaFixturesPath(dir)).where(col("kind") === "jpeg"),
+        "asset_id", "bytes", maxSide = 16)
+      resized.select(col("asset_id").cast("long"), col("src_width"),
+          col("src_height"), col("png"))
+        .as[(Long, Int, Int, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, sw, sh, png) =>
+          graft.ops.MediaCodecs.decodePng(png).map { img =>
+            var maxErr = 0; var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) {
+                val d = (y * img.width + x) * 3
+                def e(i: Int, expect: Double): Int =
+                  math.abs((img.pixels(d + i) & 0xFF) - expect).toInt
+                val err = math.max(e(0, 32.0 + 8 * x),
+                  math.max(e(1, 42.5 + 10 * y), e(2, 28.0 + (id % 200))))
+                if (err > maxErr) maxErr = err
+                x += 1
+              }
+              y += 1
+            }
+            (id, sw, sh, img.width, img.height, maxErr <= 20)
+          }
+        })
+        .toDF("asset_id", "src_width", "src_height", "width", "height",
+          "within_tolerance")
+    }),
+
     "q_wav_decode" -> ((s, dir) => { implicit val sp = s
       // REAL WAV PCM sample decode (ops/MediaCodecs): 16-bit mono fixtures
       // whose samples are a closed form of (asset_id, i); DuckDB recomputes
@@ -1934,6 +1973,12 @@ object SparkEntry {
                 CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
                 TRUE AS within_tolerance
          FROM events e, (VALUES (0), (2), (4)) f(f)""",
+
+    "q_image_resize" ->
+      """SELECT event_id AS asset_id, CAST(32 AS INT) AS src_width,
+                CAST(24 AS INT) AS src_height, CAST(16 AS INT) AS width,
+                CAST(12 AS INT) AS height, TRUE AS within_tolerance
+         FROM events""",
 
     "q_wav_decode" ->
       """SELECT e.event_id AS asset_id, CAST(1 AS INT) AS channels,

@@ -741,6 +741,67 @@ object MediaCodecs {
     Some(DecodedAudio(channels, rate, bits, samples))
   }
 
+  /** Decode ANY in-reach image format: the pure-JVM parsers first (cheaper,
+    * fail-closed), then the JDK's built-in ImageIO for JPEG (sniffed by
+    * SOI marker so arbitrary binaries don't pay an ImageIO probe). */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    decodePng(bytes)
+      .orElse(decodeBmp(bytes))
+      .orElse(decodeGif(bytes))
+      .orElse {
+        if (bytes != null && bytes.length > 2 &&
+            (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+          decodeJdkImage(bytes)
+        else None
+      }
+
+  /** REAL bilinear resample (pixel-center aligned, clamped edges) of a
+    * decoded raster, any channel count. Pixel-center mapping
+    * `src = (dst + 0.5) * (srcDim/dstDim) - 0.5` is the standard
+    * convention (what imaging libraries call `align_corners=false`);
+    * on a channelwise-linear gradient the result is exact up to
+    * round-to-nearest, which is what makes closed-form verification of
+    * resized fixtures possible. Upscale works too (callers that only
+    * shrink cap the scale themselves). */
+  def resizeBilinear(img: DecodedImage, targetW: Int, targetH: Int): DecodedImage = {
+    require(targetW >= 1 && targetH >= 1 && targetW.toLong * targetH <= MaxPixels)
+    if (targetW == img.width && targetH == img.height) return img
+    val nc = img.channels
+    val out = new Array[Byte](targetW * targetH * nc)
+    val sx = img.width.toDouble / targetW
+    val sy = img.height.toDouble / targetH
+    var ty = 0
+    while (ty < targetH) {
+      val fy = (ty + 0.5) * sy - 0.5
+      val y0 = math.max(0, math.min(img.height - 1, math.floor(fy).toInt))
+      val y1 = math.min(img.height - 1, y0 + 1)
+      val wy = math.max(0.0, math.min(1.0, fy - y0))
+      var tx = 0
+      while (tx < targetW) {
+        val fx = (tx + 0.5) * sx - 0.5
+        val x0 = math.max(0, math.min(img.width - 1, math.floor(fx).toInt))
+        val x1 = math.min(img.width - 1, x0 + 1)
+        val wx = math.max(0.0, math.min(1.0, fx - x0))
+        var c = 0
+        while (c < nc) {
+          val p00 = img.pixels((y0 * img.width + x0) * nc + c) & 0xFF
+          val p01 = img.pixels((y0 * img.width + x1) * nc + c) & 0xFF
+          val p10 = img.pixels((y1 * img.width + x0) * nc + c) & 0xFF
+          val p11 = img.pixels((y1 * img.width + x1) * nc + c) & 0xFF
+          val top = p00 + (p01 - p00) * wx
+          val bot = p10 + (p11 - p10) * wx
+          val v = top + (bot - top) * wy
+          out((ty * targetW + tx) * nc + c) =
+            math.max(0, math.min(255, math.round(v).toInt)).toByte
+          c += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    DecodedImage(targetW, targetH, nc, out)
+  }
+
   /** Encode PCM samples as a minimal RIFF/WAVE file (fixture support). */
   def encodeWavPcm(audio: DecodedAudio): Array[Byte] = {
     require(audio.bits == 8 || audio.bits == 16)

@@ -73,17 +73,7 @@ object Multimodal {
     *  - anything else: [[DecodeStub]] folding with a trailing 0f flag slot
     *    overwritten — last slot 1f ⇔ a real codec produced the features. */
   def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
-    MediaCodecs.decodePng(bytes)
-      .orElse(MediaCodecs.decodeBmp(bytes))
-      .orElse(MediaCodecs.decodeGif(bytes))
-      .orElse {
-        // JDK ImageIO last among images: the pure parsers are cheaper and
-        // fail-closed; ImageIO covers what they don't (JPEG)
-        if (bytes != null && bytes.length > 2 &&
-            (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
-          MediaCodecs.decodeJdkImage(bytes)
-        else None
-      } match {
+    MediaCodecs.decodeImage(bytes) match {
       case Some(img) =>
         val n = img.pixels.length
         var sum = 0.0; var sumSq = 0.0; var mn = 255; var mx = 0
@@ -200,8 +190,36 @@ object Multimodal {
   def videoMeta(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.VideoMetaExpr.videoMeta(bytes)
 
-  /** Resize plumbing: metadata transform (target dims recorded, payload
-    * untouched by the stub). */
+  /** REAL pixel resize: decode (any in-reach format — PNG/BMP/GIF pure-JVM,
+    * JPEG via the JDK), bilinear-resample so the longest side is `maxSide`
+    * (aspect preserved, never upscaled), re-encode as PNG (lossless, so the
+    * output raster IS the resampled raster). Emits
+    * `(idCol, src_width, src_height, width, height, png)`; undecodable
+    * payloads are dropped (fail-closed). CPU-bound per-row work — feed it a
+    * scan that splits (row-group-sized files) or repartition upstream. */
+  def resizeImages(assets: DataFrame, idCol: String, bytesCol: String,
+                   maxSide: Int): DataFrame = {
+    require(maxSide >= 1)
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        MediaCodecs.decodeImage(b).map { img =>
+          val scale = math.min(1.0, maxSide.toDouble / math.max(img.width, img.height))
+          val tw = math.max(1, math.ceil(img.width * scale).toInt)
+          val th = math.max(1, math.ceil(img.height * scale).toInt)
+          val resized = MediaCodecs.resizeBilinear(img, tw, th)
+          (id, img.width, img.height, resized.width, resized.height,
+            MediaCodecs.encodePng(resized))
+        }
+      })
+      .toDF(idCol, "src_width", "src_height", "width", "height", "png")
+  }
+
+  /** Resize PLAN (metadata-only transform): target dims recorded, payload
+    * untouched — the cheap projection a pipeline runs to size work before
+    * committing to the pixel pass ([[resizeImages]] is the real thing). */
   def resizePlan(assets: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0), lit(maxSide).cast("double") /
       greatest(col("width"), col("height")))

@@ -387,6 +387,67 @@ class OpsSpec extends SparkTestBase {
       Seq((1L, 0), (1L, 2), (1L, 4), (1L, 6), (2L, 0), (2L, 2), (2L, 4), (2L, 6))
   }
 
+  test("media codecs: bilinear resize is exact on linear gradients, any channel count") {
+    import graft.ops.MediaCodecs
+    // Lossless path: PNG round-trip of a channelwise-linear 32x24 gradient
+    // halved to 16x12. Pixel-center sampling lands on half-integer source
+    // coordinates, so the expected value is the average of two adjacent
+    // linear samples — exact up to round-to-nearest.
+    val w = 32; val h = 24
+    for (nc <- Seq(1, 3, 4)) {
+      val px = new Array[Byte](w * h * nc)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until nc)
+        px((y * w + x) * nc + c) = (5 + x * 2 + y * 2 + c * 20).toByte // max 173, no wrap
+      val img = MediaCodecs.DecodedImage(w, h, nc, px)
+      val r = MediaCodecs.resizeBilinear(img, 16, 12)
+      (r.width, r.height, r.channels) shouldBe ((16, 12, nc))
+      for (y <- 0 until 12; x <- 0 until 16; c <- 0 until nc) {
+        // src fx = 2x+0.5, fy = 2y+0.5 -> mean of 4 linear samples
+        val expect = 5.0 + 2 * (2 * x + 0.5) + 2 * (2 * y + 0.5) + c * 20
+        val got = r.pixels((y * 16 + x) * nc + c) & 0xFF
+        math.abs(got - expect) should be <= 1.0
+      }
+      // PNG round-trip of the resized raster is byte-exact (lossless)
+      val back = MediaCodecs.decodePng(MediaCodecs.encodePng(r))
+      back.get.pixels.toSeq shouldBe r.pixels.toSeq
+    }
+    // identity target returns the same raster; 1x1 target is the corner mean
+    val tiny = MediaCodecs.DecodedImage(2, 2, 1, Array[Byte](0, 100, 50, 70))
+    MediaCodecs.resizeBilinear(tiny, 2, 2).pixels.toSeq shouldBe Seq[Byte](0, 100, 50, 70)
+    (MediaCodecs.resizeBilinear(tiny, 1, 1).pixels(0) & 0xFF) shouldBe 55
+  }
+
+  test("resizeImages: distributed decode->resample->PNG, aspect kept, no upscale, fail-closed") {
+    import graft.ops.MediaCodecs
+    import spark.implicits._
+    val w = 32; val h = 24
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      px(d) = (30 + x * 4).toByte; px(d + 1) = (40 + y * 5).toByte; px(d + 2) = 77.toByte
+    }
+    val png = MediaCodecs.encodePng(MediaCodecs.DecodedImage(w, h, 3, px))
+    val small = MediaCodecs.encodePng(MediaCodecs.DecodedImage(4, 3, 3, new Array[Byte](36)))
+    val assets = Seq((1L, png), (2L, small), (3L, Array.fill[Byte](40)(0x5A)))
+      .toDF("asset_id", "bytes")
+    val out = Multimodal.resizeImages(assets, "asset_id", "bytes", maxSide = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getAs[Array[Byte]](5)))).toMap
+    out.keySet shouldBe Set(1L, 2L) // garbage payload dropped, fail-closed
+    val (sw, sh, tw, th, outPng) = out(1L)
+    ((sw, sh, tw, th)) shouldBe ((32, 24, 16, 12))
+    val dec = MediaCodecs.decodePng(outPng).get
+    for (y <- 0 until 12; x <- 0 until 16) {
+      val d = (y * 16 + x) * 3
+      math.abs((dec.pixels(d) & 0xFF) - (32.0 + 8 * x)) should be <= 1.0
+      math.abs((dec.pixels(d + 1) & 0xFF) - (42.5 + 10 * y)) should be <= 1.0
+      (dec.pixels(d + 2) & 0xFF) shouldBe 77
+    }
+    // already within maxSide: never upscaled, raster passes through
+    out(2L)._3 shouldBe 4
+    out(2L)._4 shouldBe 3
+  }
+
   test("media codecs: WAV PCM round-trip (8/16-bit) and fail-closed paths") {
     import graft.ops.MediaCodecs
     import MediaCodecs.DecodedAudio
