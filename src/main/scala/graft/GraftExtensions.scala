@@ -4,8 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FormatCheckExpr, MinHashExpr, RegexSearchExpr,
-  SimHashExpr, ThompsonRegexEngine, ValidateJsonExpr, YamlToJsonExpr}
+import graft.functions.{FormatCheckExpr, MinHashExpr, PropsToJsonExpr,
+  RegexSearchExpr, SimHashExpr, ThompsonRegexEngine, ValidateJsonExpr,
+  YamlToJsonExpr}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -90,6 +91,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "yaml_to_json(yamlText)")
         YamlToJsonExpr(args.head)
+      }),
+    (new FunctionIdentifier("props_to_json"),
+      new ExpressionInfo(classOf[PropsToJsonExpr].getName, "props_to_json"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "props_to_json(propertiesText)")
+        PropsToJsonExpr(args.head)
       }))
 
   /** Register on an existing session (tests, shells). */

@@ -1111,6 +1111,29 @@ object SparkEntry {
           col("v.description").as("description"))
     }),
 
+    "q_props_ingest" -> ((s, dir) => { implicit val sp = s
+      // multi-format document ingest #2 (the reference's
+      // property_tree_adapter, adapters/property_tree_adapter.hpp):
+      // key=value payloads convert to canonical JSON text (codegen'd
+      // PropsToJsonExpr: JDK java.util.Properties line semantics, dotted
+      // keys nest, every leaf a STRING — property trees are untyped) and
+      // validate through the SAME walker under WEAK typing, exactly the
+      // reference adapter's string-everything + maybe-conversions shape.
+      // The text exercises comments, colon separators and dotted nesting.
+      val props = format_string("# synthetic payload\nmeta.kind: props\nmeta.v=%d",
+        pmod(col("event_id"), lit(150)))
+      val spec = Graft.parseSchema(
+        """{"properties":{"meta":{"properties":{"v":{"maximum":100}}}}}""")
+      val out = Graft.validateJsonColumn(
+        t(dir, "events").withColumn("__doc",
+          graft.functions.PropsToJsonExpr.propsToJson(props)), "__doc", spec,
+        graft.compile.CompileOptions(strictTypes = false))
+      out.select(col("event_id"), explode(col("violations")).as("v"))
+        .where(col("v.kind") === "maximum")
+        .select(col("event_id"), col("v.json_pointer").as("json_pointer"),
+          col("v.description").as("description"))
+    }),
+
     "q_metaschema" -> ((s, dir) => { implicit val sp = s
       // meta-schema self-validation — the reference validates every schema
       // document against the bundled draft meta-schemas before use
@@ -1881,6 +1904,11 @@ object SparkEntry {
 
     "q_yaml_ingest" ->
       """SELECT event_id, '/v' AS json_pointer,
+                'Expected number less than or equal to 100.000000' AS description
+         FROM events WHERE event_id % 150 > 100""",
+
+    "q_props_ingest" ->
+      """SELECT event_id, '/meta/v' AS json_pointer,
                 'Expected number less than or equal to 100.000000' AS description
          FROM events WHERE event_id % 150 > 100""",
 

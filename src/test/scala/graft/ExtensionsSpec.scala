@@ -52,4 +52,14 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
     r.getBoolean(2) shouldBe true
     r.isNullAt(3) shouldBe true
   }
+
+  test("props_to_json composes with validate_json in SQL") {
+    val spark = SparkTestBase.spark
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT props_to_json('a.b=5\nc=x') AS j,
+                props_to_json(CAST(NULL AS STRING)) AS n""").collect()(0)
+    r.getString(0) shouldBe """{"a":{"b":"5"},"c":"x"}"""
+    r.isNullAt(1) shouldBe true
+  }
 }

@@ -125,6 +125,54 @@ class JsonColumnSpec extends SparkTestBase {
     a shouldBe b
   }
 
+  test("properties ingest: propsToJson nests dotted keys, strings-only, weak typing") {
+    import spark.implicits._
+    import graft.functions.PropsToJsonExpr
+    // pure conversion semantics first (JDK Properties line syntax)
+    def conv(s: String): String =
+      Option(PropsToJsonExpr.convert(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        .map(_.toString).orNull
+    conv("a=1\nb.c=2\nb.d=x y") shouldBe """{"a":"1","b":{"c":"2","d":"x y"}}"""
+    // comments, colon/space separators, continuation, last-wins per key
+    conv("# c\n! c2\nk: v\nk2 v2\nk3=a\\\n   b\nk=v9") shouldBe
+      """{"k":"v9","k2":"v2","k3":"ab"}"""
+    // structure wins over scalar, independent of line order
+    conv("a=1\na.b=2") shouldBe """{"a":{"b":"2"}}"""
+    conv("a.b=2\na=1") shouldBe """{"a":{"b":"2"}}"""
+    // escaping survives JSON rendering
+    conv("""q="quoted"A""") shouldBe """{"q":"\"quoted\"A"}"""
+    // empty text -> empty object; NULL -> NULL
+    conv("") shouldBe "{}"
+    conv(null) shouldBe null
+
+    // through the walker, weak typing = the untyped-ptree adapter shape
+    val spec = Graft.parseSchema(
+      """{"properties": {"meta": {"properties": {"v": {"maximum": 100}},
+                                  "required": ["v"]}}}""")
+    val docs = Seq((0L, "meta.v=42"), (1L, "meta.v=250"), (2L, "meta.kind=x"),
+      (3L, null.asInstanceOf[String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (i, p) => Row(i, p) }),
+      StructType(Seq(StructField("id", LongType), StructField("props", StringType))))
+      .withColumn("__doc", PropsToJsonExpr.propsToJson(col("props")))
+    val out = Graft.validateJsonColumn(df, "__doc", spec,
+        graft.compile.CompileOptions(strictTypes = false))
+      .select("id", "pass", "violations").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        r.getSeq[Row](2).map(_.getString(2)))).toMap
+    out(0L) shouldBe ((true, Seq()))
+    out(1L)._1 shouldBe false
+    out(1L)._2 should contain("maximum") // plus parent "properties" rows, as the reference reports
+    out(2L)._1 shouldBe false
+    out(2L)._2 should contain("required")
+    out(3L) shouldBe ((true, Seq()))
+    // strict mode: string leaves skip numeric bounds (type-gated), as with
+    // any other string-typed document — the adapter adds no magic
+    val strict = Graft.validateJsonColumn(df.where(col("id") === 1L), "__doc", spec)
+      .select("pass").collect()(0).getBoolean(0)
+    strict shouldBe true
+  }
+
   test("driver entry() smoke: violations present") {
     SparkEntry.entry(spark).count() should be > 0L
   }
