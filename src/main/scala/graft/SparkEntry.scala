@@ -925,6 +925,21 @@ object SparkEntry {
         .toDF("asset_id", "frame_idx", "width", "height", "within_tolerance")
     }),
 
+    "q_audio_features" -> ((s, dir) => { implicit val sp = s
+      // REAL windowed audio features (ops/Multimodal.audioFeatures): WAV
+      // fixtures decode to PCM and each 64-sample window emits RMS, peak
+      // and zero-crossing count. Samples are a closed form of (asset_id,
+      // i), sums of squares are exact Longs, and /64 + IEEE sqrt are
+      // bit-deterministic, so DuckDB recomputes the identical doubles.
+      stageMediaFixtures(s, dir, force = false)
+      import s.implicits._
+      graft.ops.Multimodal.audioFeatures(
+          s.read.parquet(mediaFixturesPath(dir)).where(col("kind") === "wav"),
+          "asset_id", "bytes", windowSize = 64)
+        .select(col("asset_id").cast("long"), col("window_idx"),
+          round(col("rms"), 6).as("rms"), col("peak"), col("zero_crossings"))
+    }),
+
     "q_image_resize" -> ((s, dir) => { implicit val sp = s
       // REAL pixel resize (ops/Multimodal.resizeImages): JPEG fixtures are
       // decoded, bilinear-downscaled 32x24 -> 16x12, re-encoded as PNG
@@ -2001,6 +2016,22 @@ object SparkEntry {
                 CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
                 TRUE AS within_tolerance
          FROM events e, (VALUES (0), (2), (4)) f(f)""",
+
+    "q_audio_features" ->
+      """WITH s AS (
+           SELECT e.event_id AS asset_id, CAST(i.i AS INT) AS i,
+                  ((e.event_id*31 + i.i*17) % 65536) - 32768 AS v
+           FROM events e, range(0,256) i(i)),
+         w AS (
+           SELECT asset_id, CAST(i // 64 AS INT) AS window_idx, v, i % 64 AS pos,
+                  lead(v) OVER (PARTITION BY asset_id ORDER BY i) AS nv
+           FROM s)
+         SELECT asset_id, window_idx,
+                round(sqrt(CAST(sum(v*v) AS DOUBLE) / 64), 6) AS rms,
+                CAST(max(abs(v)) AS INT) AS peak,
+                CAST(count(*) FILTER (WHERE pos < 63 AND v * nv < 0) AS INT)
+                  AS zero_crossings
+         FROM w GROUP BY asset_id, window_idx""",
 
     "q_image_resize" ->
       """SELECT event_id AS asset_id, CAST(32 AS INT) AS src_width,

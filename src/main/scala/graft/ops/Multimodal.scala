@@ -190,6 +190,50 @@ object Multimodal {
   def videoMeta(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.VideoMetaExpr.videoMeta(bytes)
 
+  /** REAL windowed audio features over decoded PCM (the audio analog of
+    * [[resizeImages]]): WAV payloads decode via [[MediaCodecs.decodeWavPcm]]
+    * and each COMPLETE window of `windowSize` samples emits
+    * `(idCol, window_idx, rms, peak, zero_crossings)` — the quality/silence
+    * filter columns of an audio training pipeline. RMS is
+    * `sqrt(sumOfSquares / windowSize)`: the sum of squared 16-bit samples is
+    * an exact Long, and with a power-of-two window the division and the
+    * IEEE-correctly-rounded sqrt are bit-deterministic, so the values are
+    * exactly recomputable by any engine (that is what makes the driver
+    * oracle exact, not tolerance-based). Trailing partial windows are
+    * dropped; non-WAV payloads are dropped (fail-closed). */
+  def audioFeatures(assets: DataFrame, idCol: String, bytesCol: String,
+                    windowSize: Int): DataFrame = {
+    require(windowSize >= 2)
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        MediaCodecs.decodeWavPcm(b) match {
+          case Some(a) =>
+            val full = a.samples.length / windowSize
+            (0 until full).iterator.map { w =>
+              var i = w * windowSize
+              val end = i + windowSize
+              var sumSq = 0L; var peak = 0; var zc = 0
+              var prev = 0L; var first = true
+              while (i < end) {
+                val s = a.samples(i)
+                sumSq += s.toLong * s
+                val as = math.abs(s)
+                if (as > peak) peak = as
+                if (!first && prev * s < 0) zc += 1
+                prev = s; first = false
+                i += 1
+              }
+              (id, w, math.sqrt(sumSq.toDouble / windowSize), peak, zc)
+            }
+          case None => Iterator.empty
+        }
+      })
+      .toDF(idCol, "window_idx", "rms", "peak", "zero_crossings")
+  }
+
   /** REAL pixel resize: decode (any in-reach format — PNG/BMP/GIF pure-JVM,
     * JPEG via the JDK), bilinear-resample so the longest side is `maxSide`
     * (aspect preserved, never upscaled), re-encode as PNG (lossless, so the

@@ -448,6 +448,29 @@ class OpsSpec extends SparkTestBase {
     out(2L)._4 shouldBe 3
   }
 
+  test("audioFeatures: windowed RMS/peak/zero-crossings over decoded PCM, exact") {
+    import graft.ops.MediaCodecs
+    import spark.implicits._
+    // 40 samples, window 16 -> 2 complete windows, trailing 8 dropped.
+    // Window 0: alternating +/-100 -> rms 100, peak 100, 15 crossings.
+    // Window 1: ramp 0..15 (no sign change) scaled -> zero crossings 0.
+    val samples = Array.tabulate(40) { i =>
+      if (i < 16) (if (i % 2 == 0) 100 else -100)
+      else if (i < 32) (i - 16) * 7
+      else 9999
+    }
+    val wav = MediaCodecs.encodeWavPcm(MediaCodecs.DecodedAudio(1, 8000, 16, samples))
+    val df = Seq((5L, wav), (6L, Array.fill[Byte](32)(0x7F))).toDF("asset_id", "bytes")
+    val rows = Multimodal.audioFeatures(df, "asset_id", "bytes", windowSize = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    rows.keySet shouldBe Set((5L, 0), (5L, 1)) // junk payload dropped; partial window dropped
+    rows((5L, 0)) shouldBe ((100.0, 100, 15))
+    val ramp = (0 until 16).map(i => (i * 7).toLong)
+    val expRms = math.sqrt(ramp.map(v => v * v).sum.toDouble / 16)
+    rows((5L, 1)) shouldBe ((expRms, 105, 0))
+  }
+
   test("media codecs: WAV PCM round-trip (8/16-bit) and fail-closed paths") {
     import graft.ops.MediaCodecs
     import MediaCodecs.DecodedAudio
