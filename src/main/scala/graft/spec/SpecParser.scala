@@ -34,7 +34,19 @@ import scala.jdk.CollectionConverters._
   */
 object SpecParser {
 
-  private val mapper = new ObjectMapper()
+  // Nesting capped at the parser's own walk bound (512): a hostile-deep
+  // schema document then fails DETERMINISTICALLY inside Jackson's streaming
+  // depth check (shallow stack) instead of riding databind recursion toward
+  // the default 1000 cap with the stack already ~1600 frames deep — the
+  // walk guard below stays as the bound for depth assembled across
+  // external documents, which Jackson cannot see.
+  private val mapper: ObjectMapper = {
+    val f = new com.fasterxml.jackson.core.JsonFactory()
+    f.setStreamReadConstraints(
+      com.fasterxml.jackson.core.StreamReadConstraints.builder()
+        .maxNestingDepth(512).build())
+    new ObjectMapper(f)
+  }
 
   /** Parse-time custom-keyword builder — the `ConstraintBuilder` analog
     * (valijson `constraint_builder.hpp:13-19`, registered via

@@ -203,7 +203,9 @@ class RefSpec extends SparkTestBase {
       ("""{"properties":{"p":""" * n) + """{"type":"integer"}""" + ("}}" * n)
     // moderate nesting parses fine
     SpecParser.parse(deep(100)) should not be null
-    // a single deep document is bounded by Jackson's own nesting cap
+    // a single deep document is bounded by the mapper's CONFIGURED 512
+    // nesting cap (matching the walk guard): Jackson's streaming depth
+    // check throws with a shallow stack, deterministically
     intercept[Exception](SpecParser.parse(deep(800)))
     intercept[Exception](SpecParser.parse(deep(5000)))
     // the band Jackson cannot see: unbounded nesting assembled from a CHAIN
