@@ -118,11 +118,21 @@ object SparkEntry {
     }
   }
 
+  /** Files.walk streams hold open directory descriptors until closed;
+    * these helpers run once per timed streaming-dedup invocation, so a
+    * long bench session would otherwise accumulate fds until finalizers
+    * happen to run. */
+  private def walked[A](root: java.nio.file.Path)
+                       (f: Iterator[java.nio.file.Path] => A): A = {
+    val s = java.nio.file.Files.walk(root)
+    try { import scala.jdk.CollectionConverters._; f(s.iterator().asScala) }
+    finally s.close()
+  }
+
   private def rmTree(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      walked(p)(_.toSeq).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
@@ -137,14 +147,13 @@ object SparkEntry {
   private def copyTree(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(sp).iterator().asScala.foreach { p =>
+    walked(sp)(_.foreach { p =>
       val target = dp.resolve(sp.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(target)
       else java.nio.file.Files.copy(p, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    })
   }
 
   /** Like [[copyTree]] but hard-links data files (same-filesystem, O(1) per
@@ -156,8 +165,7 @@ object SparkEntry {
   private def linkTree(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(sp).iterator().asScala.foreach { p =>
+    walked(sp)(_.foreach { p =>
       val target = dp.resolve(sp.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(target)
@@ -169,7 +177,7 @@ object SparkEntry {
         catch { case _: UnsupportedOperationException | _: java.io.IOException =>
           java.nio.file.Files.copy(p, target,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
-    }
+    })
   }
 
   /** Stage the documents table into a two-file landing dir in the
@@ -868,20 +876,9 @@ object SparkEntry {
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, b) =>
           graft.ops.MediaCodecs.decodeJdkImage(b).map { img =>
-            var maxErr = 0; var y = 0
-            while (y < img.height) {
-              var x = 0
-              while (x < img.width) {
-                val d = (y * img.width + x) * 3
-                def e(i: Int, expect: Int): Int =
-                  math.abs((img.pixels(d + i) & 0xFF) - expect)
-                val err = math.max(e(0, 30 + x * 4),
-                  math.max(e(1, 40 + y * 5), e(2, 28 + (id % 200).toInt)))
-                if (err > maxErr) maxErr = err
-                x += 1
-              }
-              y += 1
-            }
+            val maxErr = graft.ops.MediaCodecs.maxGradientErr(img,
+              (x, _) => 30 + x * 4, (_, y) => 40 + y * 5,
+              (_, _) => 28 + (id % 200).toInt)
             (id, img.width, img.height, maxErr <= 20)
           }
         })
@@ -905,20 +902,9 @@ object SparkEntry {
         .as[(Long, Int, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, f, jb) =>
           graft.ops.MediaCodecs.decodeJdkImage(jb).map { img =>
-            var maxErr = 0; var y = 0
-            while (y < img.height) {
-              var x = 0
-              while (x < img.width) {
-                val d = (y * img.width + x) * 3
-                def e(i: Int, expect: Int): Int =
-                  math.abs((img.pixels(d + i) & 0xFF) - expect)
-                val err = math.max(e(0, 30 + x * 4),
-                  math.max(e(1, 40 + y * 5), e(2, 28 + ((id + f * 9) % 200).toInt)))
-                if (err > maxErr) maxErr = err
-                x += 1
-              }
-              y += 1
-            }
+            val maxErr = graft.ops.MediaCodecs.maxGradientErr(img,
+              (x, _) => 30 + x * 4, (_, y) => 40 + y * 5,
+              (_, _) => 28 + ((id + f * 9) % 200).toInt)
             (id, f, img.width, img.height, maxErr <= 20)
           }
         })
@@ -958,20 +944,9 @@ object SparkEntry {
         .as[(Long, Int, Int, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, sw, sh, png) =>
           graft.ops.MediaCodecs.decodePng(png).map { img =>
-            var maxErr = 0; var y = 0
-            while (y < img.height) {
-              var x = 0
-              while (x < img.width) {
-                val d = (y * img.width + x) * 3
-                def e(i: Int, expect: Double): Int =
-                  math.abs((img.pixels(d + i) & 0xFF) - expect).toInt
-                val err = math.max(e(0, 32.0 + 8 * x),
-                  math.max(e(1, 42.5 + 10 * y), e(2, 28.0 + (id % 200))))
-                if (err > maxErr) maxErr = err
-                x += 1
-              }
-              y += 1
-            }
+            val maxErr = graft.ops.MediaCodecs.maxGradientErr(img,
+              (x, _) => 32.0 + 8 * x, (_, y) => 42.5 + 10 * y,
+              (_, _) => 28.0 + (id % 200))
             (id, sw, sh, img.width, img.height, maxErr <= 20)
           }
         })

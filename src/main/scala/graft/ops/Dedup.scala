@@ -115,6 +115,19 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** The one-scan substrate every MinHash operation shares: `(id, norm,
+    * sig)` — normalized text plus the signature. Probe, self-join,
+    * verification and layout append all derive from this frame; computing
+    * it ONCE per increment (pin with a lazy localCheckpoint) halves the
+    * normalize+minhash cost of a probe-then-append cycle, which at corpus
+    * scale is the dominant per-increment compute. */
+  def minhashBase(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 32, shingleK: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.normalizeText(col(textCol)).as("norm"))
+      .withColumn("sig",
+        graft.functions.MinHashExpr.minhash(col("norm"), shingleK, numHashes))
+
   /** MinHash-LSH candidates verified with EXACT shingle-set Jaccard: the
     * output is precisely the pairs with true Jaccard >= `jaccardThreshold`
     * among band-colliding candidates (estimate used only as a cheap pruning
@@ -131,19 +144,6 @@ object Dedup {
     * `maxBucketSize` near-identical members lose pairs; audit with
     * [[overfullBuckets]] or raise the cap when exactness matters more than
     * the O(bucket²) join cost. */
-  /** The one-scan substrate every MinHash operation shares: `(id, norm,
-    * sig)` — normalized text plus the signature. Probe, self-join,
-    * verification and layout append all derive from this frame; computing
-    * it ONCE per increment (pin with a lazy localCheckpoint) halves the
-    * normalize+minhash cost of a probe-then-append cycle, which at corpus
-    * scale is the dominant per-increment compute. */
-  def minhashBase(df: DataFrame, idCol: String, textCol: String,
-                  numHashes: Int = 32, shingleK: Int = 8): DataFrame =
-    df.select(col(idCol).as("id"),
-        TextAnalysis.normalizeText(col(textCol)).as("norm"))
-      .withColumn("sig",
-        graft.functions.MinHashExpr.minhash(col("norm"), shingleK, numHashes))
-
   def minhashNearDupsVerified(df: DataFrame, idCol: String, textCol: String,
                               numHashes: Int = 32, bands: Int = 8,
                               jaccardThreshold: Double = 0.5,
@@ -457,13 +457,17 @@ object Dedup {
   // --- near-dup clusters -----------------------------------------------------
 
   /** Connected components over near-dup pairs (id_a, id_b) → (id, cluster)
-    * where cluster = min id reachable. Iterative min-label propagation
-    * (alternating join rounds), converging in O(log(diameter)) iterations —
-    * near-dup clusters are tiny (chains of a few docs), so 2-3 rounds
-    * suffice in practice; `maxIter` bounds the worst case. Each round is
-    * one shuffle on id; label frames are cached and localCheckpoint-ed to
-    * cut the growing lineage. */
-  def clusters(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+    * where cluster = min id reachable. Iterative min-label propagation:
+    * the min label moves ONE hop per round, so convergence takes
+    * O(component diameter) iterations — near-dup clusters are tiny
+    * (chains of a few docs), so 2-3 rounds suffice in practice. `maxIter`
+    * is a SAFETY CAP, not a silent truncation: hitting it without
+    * convergence throws (wrong cluster labels in a dedup pipeline would
+    * silently drop the wrong survivors — fail loud instead, and raise
+    * maxIter for graphs with diameter > 50). Each round is one shuffle on
+    * id; label frames are cached and localCheckpoint-ed to cut the
+    * growing lineage. */
+  def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct().cache()
@@ -490,6 +494,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxIter iterations — a component " +
+          "has diameter > maxIter; raise maxIter (labels would be WRONG, " +
+          "not approximate: min-label propagation moves one hop per round)")
     labels
   }
 

@@ -84,7 +84,12 @@ object MediaCodecs {
           val bitDepth = u8(bytes, d + 8); val colorType = u8(bytes, d + 9)
           val compression = u8(bytes, d + 10); val filter = u8(bytes, d + 11)
           val interlace = u8(bytes, d + 12)
-          if (w < 1 || h < 1 || w * h > MaxPixels) return None
+          // bound each side BEFORE multiplying: w and h are raw unsigned-32
+          // Longs here, and (2^32-1)^2 overflows Long — a crafted IHDR with
+          // both dims huge would wrap negative and slip past a product-only
+          // cap (the BMP/GIF paths read narrower ints and cannot overflow)
+          if (w < 1 || h < 1 || w > MaxPixels || h > MaxPixels ||
+              w * h > MaxPixels) return None
           if (bitDepth != 8 || compression != 0 || filter != 0 || interlace != 0) return None
           channels = colorType match {
             case 0 => 1 // greyscale
@@ -622,8 +627,13 @@ object MediaCodecs {
     def isFrameChunk(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.substring(2) == "dc" || id.substring(2) == "db")
-    // walk chunks at one level; recurse into LISTs we care about
-    def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
+    // walk chunks at one level; recurse into LISTs we care about. Depth is
+    // capped: a legal AVI nests at most movi → rec , but a crafted payload
+    // of back-to-back nested `LIST…movi` headers (12 bytes per level) would
+    // otherwise recurse ~len/12 deep and die in StackOverflowError — an
+    // Error no fail-closed caller catches
+    def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > 8) return false
       var pos = start
       while (pos + 8 <= end) {
         val id = fourCC(pos)
@@ -634,7 +644,7 @@ object MediaCodecs {
           if (l < 4) return false
           val listType = fourCC(pos + 8)
           if (listType == "movi" || (inMovi && listType == "rec "))
-            { if (!walk(pos + 12, pos + 8 + l, inMovi = true)) return false }
+            { if (!walk(pos + 12, pos + 8 + l, inMovi = true, depth + 1)) return false }
           // other LISTs (hdrl etc.): skipped, not validated in depth
         } else if (inMovi && isFrameChunk(id)) {
           total += l
@@ -645,7 +655,7 @@ object MediaCodecs {
       }
       true
     }
-    if (!walk(12, limit, inMovi = false)) return None
+    if (!walk(12, limit, inMovi = false, depth = 0)) return None
     val out = frames.result()
     if (out.isEmpty) None else Some(out)
   }
@@ -763,6 +773,32 @@ object MediaCodecs {
     * round-to-nearest, which is what makes closed-form verification of
     * resized fixtures possible. Upscale works too (callers that only
     * shrink cap the scale themselves). */
+  /** Max |err| of an RGB raster against per-channel closed-form expected
+    * values — the shared verdict kernel of the lossy-decode oracle queries
+    * (JPEG decode, MJPEG frames, bilinear resize), which differ only in
+    * their expected-gradient functions. Non-RGB input fails the verdict
+    * outright (Int.MaxValue) rather than mis-indexing. */
+  def maxGradientErr(img: DecodedImage,
+                     r: (Int, Int) => Double,
+                     g: (Int, Int) => Double,
+                     b: (Int, Int) => Double): Int = {
+    if (img.channels != 3) return Int.MaxValue
+    var maxErr = 0; var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val d = (y * img.width + x) * 3
+        def e(i: Int, expect: Double): Int =
+          math.abs((img.pixels(d + i) & 0xFF) - expect).toInt
+        val err = math.max(e(0, r(x, y)), math.max(e(1, g(x, y)), e(2, b(x, y))))
+        if (err > maxErr) maxErr = err
+        x += 1
+      }
+      y += 1
+    }
+    maxErr
+  }
+
   def resizeBilinear(img: DecodedImage, targetW: Int, targetH: Int): DecodedImage = {
     require(targetW >= 1 && targetH >= 1 && targetW.toLong * targetH <= MaxPixels)
     if (targetW == img.width && targetH == img.height) return img

@@ -127,6 +127,20 @@ class OpsSpec extends SparkTestBase {
     surv shouldBe Array(1L, 10L, 99L)
   }
 
+  test("near-dup clusters: long-chain component (diameter > 8) converges; hitting maxIter throws") {
+    import spark.implicits._
+    // min-label propagation moves ONE hop per round: a 13-node chain
+    // (diameter 12) needs ~12 rounds, past the old silent cap of 8 —
+    // which returned WRONG labels for exactly this shape
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 12L).foreach(i => cl(i) shouldBe 0L)
+    // an unconverged run must fail LOUD, not return approximate labels
+    an[IllegalStateException] should be thrownBy
+      Dedup.clusters(chain, maxIter = 3)
+  }
+
   test("salted skewed count equals plain groupBy count") {
     val turns = graft.data.TranscriptGen.turns(spark, 300, parts = 4, numParts = 8)
     val plain = turns.groupBy("conv_id").count()
@@ -253,6 +267,18 @@ class OpsSpec extends SparkTestBase {
     MediaCodecs.decodePng(patchDims(base, 4, 4)) shouldBe None
     MediaCodecs.decodePng(patchDims(base, 16, 16)) shouldBe None
     MediaCodecs.decodePng(patchDims(base, 8, 8)).isDefined shouldBe true // patch is sound
+
+    // IHDR dims are unsigned 32-bit: w = h = 0xFFFFFFFF makes w*h OVERFLOW
+    // Long to a negative value, slipping past a product-only pixel cap and
+    // (pre-guard) returning a DecodedImage with negative dims or throwing
+    // NegativeArraySizeException. Each side must be bounded BEFORE the
+    // multiply. putInt(-1) writes 0xFFFFFFFF.
+    MediaCodecs.decodePng(patchDims(base, -1, -1)) shouldBe None
+    // 0xC0000000 × 0xC0000000 ≈ 1.04e19 also wraps Long negative
+    MediaCodecs.decodePng(patchDims(base, 0xC0000000, 0xC0000000)) shouldBe None
+    // one huge side with the other tiny: caught by the per-side bound
+    MediaCodecs.decodePng(patchDims(base, -1, 1)) shouldBe None
+    MediaCodecs.decodePng(patchDims(base, 1, -1)) shouldBe None
   }
 
   test("media codecs: BMP round-trip, row padding, top-down and hostile input") {
@@ -385,6 +411,33 @@ class OpsSpec extends SparkTestBase {
       .collect()
     sampled.map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq shouldBe
       Seq((1L, 0), (1L, 2), (1L, 4), (1L, 6), (2L, 0), (2L, 2), (2L, 4), (2L, 6))
+  }
+
+  test("media codecs: nested-movi LIST bomb returns None, never StackOverflowError") {
+    import graft.ops.MediaCodecs
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    // 60,000 nested `LIST…movi` headers (12 bytes per level): a recursive
+    // walk without a depth cap dies in StackOverflowError — an Error no
+    // fail-closed caller catches, so one hostile row would kill the task
+    var inner = Array.emptyByteArray
+    for (_ <- 0 until 60000) {
+      val b = java.nio.ByteBuffer.allocate(12 + inner.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes(ascii)).putInt(4 + inner.length)
+        .put("movi".getBytes(ascii)).put(inner)
+      inner = b.array()
+    }
+    val riff = java.nio.ByteBuffer.allocate(12 + inner.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes(ascii)).putInt(4 + inner.length)
+      .put("AVI ".getBytes(ascii)).put(inner)
+    MediaCodecs.mjpegFrames(riff.array()) shouldBe None
+    // legal nesting (movi → rec ) still extracts frames: everyday AVIs
+    // sit at depth ≤ 2, far under the cap
+    val fr = MediaCodecs.encodeJpeg(MediaCodecs.DecodedImage(4, 4, 3,
+      Array.tabulate(48)(_.toByte)))
+    val avi = MediaCodecs.encodeMjpegAvi(Seq(fr), 4, 4)
+    MediaCodecs.mjpegFrames(avi).map(_.size) shouldBe Some(1)
   }
 
   test("media codecs: bilinear resize is exact on linear gradients, any channel count") {
