@@ -173,6 +173,43 @@ class JsonColumnSpec extends SparkTestBase {
     strict shouldBe true
   }
 
+  test("YAML ingest: anchors/aliases and merge keys RESOLVE; expansion bombs pass through") {
+    import graft.functions.YamlToJsonExpr
+    def conv(s: String): String =
+      Option(YamlToJsonExpr.convert(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        .map(_.toString).orNull
+    // aliases must resolve to the anchored VALUE (yaml-cpp semantics) —
+    // Jackson's YAMLMapper silently rendered `*x` as the literal string
+    // "x", corrupting every aliased document before validation
+    conv("a: &x 5\nb: *x\n") shouldBe """{"a":5,"b":5}"""
+    conv("a: &x [1, 2]\nb: *x\n") shouldBe """{"a":[1,2],"b":[1,2]}"""
+    conv("base: &b {k: v}\nderived:\n  <<: *b\n  j: w\n") shouldBe
+      """{"base":{"k":"v"},"derived":{"k":"v","j":"w"}}"""
+    // scalar typing is preserved through the same walker
+    conv("i: 42\nf: 1.5\nb: true\nn: null\nbig: 123456789012345678901234567890\n") shouldBe
+      """{"i":42,"f":1.5,"b":true,"n":null,"big":123456789012345678901234567890}"""
+    // JSON is a YAML subset: a JSON document converts to itself
+    conv("""{"v": 250, "tags": ["a", "b"]}""") shouldBe """{"v":250,"tags":["a","b"]}"""
+
+    // bombs degrade to PASSTHROUGH (→ downstream parse violation), never
+    // an executor-killing throw or a multi-hundred-MB string:
+    // (1) billion laughs — SnakeYAML's 50-alias cap fires
+    val bl = new StringBuilder("l0: &l0 [x, x]\n")
+    for (i <- 1 to 30) bl.append(s"l$i: &l$i [*l${i - 1}, *l${i - 1}]\n")
+    conv(bl.toString) shouldBe bl.toString
+    // (2) alias pyramid UNDER the alias cap (24×2 = 48 aliases): the
+    // loaded graph shares subtrees, so the 2^24-leaf blowup would happen
+    // at render time — the node budget fires instead
+    val bl2 = new StringBuilder("l0: &l0 [x, x]\n")
+    for (i <- 1 to 24) bl2.append(s"l$i: &l$i [*l${i - 1}, *l${i - 1}]\n")
+    conv(bl2.toString) shouldBe bl2.toString
+    // (3) self-referencing anchors (legal YAML, no finite JSON) — cycle guard
+    conv("a: &x\n  b: *x\n") shouldBe "a: &x\n  b: *x\n"
+    // (4) 100k-deep nesting — parser depth guard
+    val deep = "k: " + ("[" * 100000)
+    conv(deep) shouldBe deep
+  }
+
   test("driver entry() smoke: violations present") {
     SparkEntry.entry(spark).count() should be > 0L
   }
