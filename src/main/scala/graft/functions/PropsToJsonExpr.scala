@@ -76,6 +76,12 @@ object PropsToJsonExpr {
       while (kit.hasNext) {
         val key = kit.next()
         val segs = key.split("\\.", -1)
+        // explicit depth bound (matches the walker/SpecParser 512 caps): a
+        // 100k-segment dotted key would otherwise build a 100k-deep node
+        // tree and only fail at the JSON writer's nesting constraint — a
+        // Jackson-version-dependent backstop, not a contract
+        if (segs.length > 512)
+          throw new IllegalStateException("props depth bound")
         var node = root
         var i = 0
         while (i < segs.length - 1) {

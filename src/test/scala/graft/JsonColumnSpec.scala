@@ -144,6 +144,14 @@ class JsonColumnSpec extends SparkTestBase {
     // empty text -> empty object; NULL -> NULL
     conv("") shouldBe "{}"
     conv(null) shouldBe null
+    // depth bound: a 100k-segment dotted key degrades to PASSTHROUGH
+    // (-> downstream parse violation), deterministically — not via the
+    // JSON writer's version-dependent nesting constraint
+    val bombKey = Array.fill(100000)("a").mkString(".") + "=v"
+    conv(bombKey) shouldBe bombKey
+    // a deep-but-legal key (400 segments) still converts
+    val deepOk = Array.fill(400)("d").mkString(".") + "=v"
+    conv(deepOk) should startWith("""{"d":{"d":""")
 
     // through the walker, weak typing = the untyped-ptree adapter shape
     val spec = Graft.parseSchema(
