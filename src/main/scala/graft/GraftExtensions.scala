@@ -30,7 +30,29 @@ object GraftExtensions {
 
   private def intArg(e: Expression): Int = e match {
     case Literal(v: Int, _) => v
-    case other              => other.eval().asInstanceOf[Number].intValue()
+    case other =>
+      // a clear plan-time error beats Unevaluable's UnsupportedOperation
+      // (non-foldable arg, e.g. a column reference) or an NPE (NULL literal)
+      require(other.foldable, s"argument must be a literal, got $other")
+      other.eval() match {
+        case n: Number => n.intValue()
+        case null      => throw new IllegalArgumentException(
+          "argument must be a non-NULL integer literal")
+        case v         => throw new IllegalArgumentException(
+          s"argument must be an integer literal, got $v")
+      }
+  }
+
+  /** Plan-time string literal (e.g. an inline schema document): fails with
+    * a clear message on a column reference or a NULL literal instead of
+    * Unevaluable's UnsupportedOperationException / an NPE. */
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(s, _) if s != null => s.toString
+    case other =>
+      require(other.foldable, s"$what must be a literal, got $other")
+      val v = other.eval()
+      require(v != null, s"$what must not be NULL")
+      v.toString
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -50,10 +72,7 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ValidateJsonExpr].getName, "validate_json"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "validate_json(jsonText, schemaJsonLiteral)")
-        val schemaJson = args(1) match {
-          case Literal(s, _) if s != null => s.toString
-          case other                      => other.eval().toString
-        }
+        val schemaJson = stringArg(args(1), "validate_json: schema")
         ValidateJsonExpr(args.head, graft.spec.SpecParser.parse(schemaJson))
       }),
     (new FunctionIdentifier("format_check"),
@@ -61,10 +80,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length >= 2 && args.length <= 3,
           "format_check(text, formatLiteral[, strictDateTime])")
-        val fmt = args(1) match {
-          case Literal(s, _) if s != null => s.toString
-          case other                      => other.eval().toString
-        }
+        val fmt = stringArg(args(1), "format_check: format")
         val strict = args.length == 3 && {
           require(args(2).foldable, "format_check: strictDateTime must be a literal")
           args(2).eval() match {
@@ -79,10 +95,7 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RegexSearchExpr].getName, "regex_search_safe"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "regex_search_safe(text, patternLiteral)")
-        val pat = args(1) match {
-          case Literal(s, _) if s != null => s.toString
-          case other                      => other.eval().toString
-        }
+        val pat = stringArg(args(1), "regex_search_safe: pattern")
         // linear-time Thompson NFA: safe against catastrophic backtracking
         RegexSearchExpr(args.head, pat, ThompsonRegexEngine)
       }),

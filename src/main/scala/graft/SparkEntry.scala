@@ -1322,7 +1322,9 @@ object SparkEntry {
       // flatMapGroupsWithState. One staged file ⇒ one AvailableNow batch,
       // so the per-conversation (turn_idx, ts)-sorted fold is closed-form:
       // dup = equals previous idx, gap = jumps past previous+1,
-      // non-monotone = ts below the running max — all window-derivable.
+      // non-monotone = ts below the running max, missing_prefix = first
+      // observed turn_idx != 0 (the streaming analog of the batch
+      // dense_ok min_idx==0 check) — all window-derivable.
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val turns = s.readStream.schema(schema).parquet(stageStreamEvents(dir))
         .select(col("user_id").cast("string").as("conv_id"),
@@ -2072,7 +2074,10 @@ object SparkEntry {
          FROM o WHERE prev_idx IS NOT NULL AND turn_idx > prev_idx + 1
          UNION ALL
          SELECT conv_id, turn_idx, 'non_monotone_ts' AS kind
-         FROM o WHERE ts < prev_max_ts""",
+         FROM o WHERE ts < prev_max_ts
+         UNION ALL
+         SELECT conv_id, turn_idx, 'missing_prefix' AS kind
+         FROM o WHERE prev_idx IS NULL AND turn_idx <> 0""",
 
     "q_verdict_diff" ->
       """WITH base AS (

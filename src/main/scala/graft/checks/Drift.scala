@@ -58,13 +58,23 @@ object Drift {
     override def outputEncoder: Encoder[Histogram] = Encoders.product[Histogram]
   }
 
+  /** Bucket index expression shared by [[histogramDF]] and [[sketchMany]]:
+    * `width_bucket` semantics, except NaN routes to the underflow bucket
+    * (matching [[HistogramAgg]]) — Spark's width_bucket returns NULL for
+    * NaN, which would surface as an unreadable NULL bucket group. */
+  private def bucketExpr(d: Column, lo: Double, hi: Double, n: Int): Column =
+    when(isnan(d), lit(0L))
+      .otherwise(coalesce(width_bucket(d, lit(lo), lit(hi), lit(n)), lit(0L)))
+
   /** Column-level histogram via pure built-ins (`width_bucket` + groupBy) —
     * preferred at scale: whole-stage-codegen'd, partial-agg'd, no Encoders.
-    * Returns (bucket, cnt) with bucket ∈ [0, n+1]. */
-  def histogramDF(df: DataFrame, c: Column, lo: Double, hi: Double, n: Int): DataFrame =
-    df.where(c.isNotNull)
-      .groupBy(width_bucket(c.cast("double"), lit(lo), lit(hi), lit(n)).as("bucket"))
+    * Returns (bucket, cnt) with bucket ∈ [0, n+1]; NaN counts as underflow. */
+  def histogramDF(df: DataFrame, c: Column, lo: Double, hi: Double, n: Int): DataFrame = {
+    val d = c.cast("double")
+    df.where(d.isNotNull)
+      .groupBy(bucketExpr(d, lo, hi, n).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Collect a small (n+2)-bucket histogram to the driver as a sketch. */
   def sketch(df: DataFrame, c: Column, lo: Double, hi: Double, n: Int): Histogram = {
@@ -93,10 +103,44 @@ object Drift {
     def pass: Boolean = value <= threshold
   }
 
+  /** Verdict from an already-collected sketch (shared by [[check]] and the
+    * one-scan [[sketchMany]] orchestration path). */
+  def verdictOf(current: Histogram, baseline: Histogram,
+                psiThreshold: Double = 0.25): DriftVerdict =
+    DriftVerdict("psi", psi(current, baseline), psiThreshold)
+
   /** Compare a column's current distribution against a baseline sketch. */
   def check(df: DataFrame, c: Column, baseline: Histogram,
-            psiThreshold: Double = 0.25): DriftVerdict = {
-    val cur = sketch(df, c, baseline.lo, baseline.hi, baseline.n)
-    DriftVerdict("psi", psi(cur, baseline), psiThreshold)
+            psiThreshold: Double = 0.25): DriftVerdict =
+    verdictOf(sketch(df, c, baseline.lo, baseline.hi, baseline.n),
+      baseline, psiThreshold)
+
+  /** ALL sketches in ONE table scan: per (name, column, lo, hi, n) spec,
+    * n+2 conditional-count aggregates (bucket tagging identical to
+    * [[histogramDF]]/[[HistogramAgg]], NaN → underflow) in a single
+    * global aggregation — one job, map-side partial aggregation, and an
+    * O(specs × buckets) result row on the driver. This is the 100 TB
+    * shape for multi-column drift: K drift specs must not cost K scans. */
+  def sketchMany(df: DataFrame,
+                 specs: Seq[(String, Column, Double, Double, Int)])
+      : Map[String, Histogram] = {
+    if (specs.isEmpty) return Map.empty
+    val aggs = specs.flatMap { case (name, c, lo, hi, n) =>
+      val d = c.cast("double")
+      val bucket = bucketExpr(d, lo, hi, n)
+      (0 to n + 1).map(b =>
+        sum(when(d.isNotNull && bucket === b, 1L).otherwise(0L)))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    var off = 0
+    specs.map { case (name, _, lo, hi, n) =>
+      val h = Histogram.empty(lo, hi, n)
+      var b = 0
+      while (b <= n + 1) {
+        h.counts(b) = if (row.isNullAt(off)) 0L else row.getLong(off)
+        b += 1; off += 1
+      }
+      name -> h
+    }.toMap
   }
 }

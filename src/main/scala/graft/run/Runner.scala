@@ -46,7 +46,7 @@ object Runner {
     // bookkeeping column must not become a property of the validated
     // document (it would trip additionalProperties/maxProperties/
     // propertyNames specs on every row).
-    val compiled = Compiler.compileRow(spec, df.schema)
+    val compiled = Compiler.compileRow(spec, df.schema, opts)
 
     val flagged = withPart.withColumn("pass", compiled.pass)
 
@@ -145,44 +145,63 @@ object Runner {
   }
 
   /** Filter out partitions recorded as completed — with a storage-level
-    * `part_id` partition column this prunes whole directories at scan time. */
+    * `part_id` partition column this prunes whole directories at scan time.
+    * Rows with a NULL part id can never be marked done (the manifest keys
+    * by Long), so they must survive the NOT-IN filter explicitly: under
+    * SQL three-valued logic `!isin(...)` is NULL for a NULL part id and
+    * the rows would silently vanish from every increment after the first. */
   def resume(df: DataFrame, manifest: Manifest, partCol: String = "part_id"): DataFrame = {
     val done = manifest.completed()
     if (done.isEmpty) df
-    else df.where(!col(partCol).isin(done.toSeq: _*))
+    else df.where(col(partCol).isNull || !col(partCol).isin(done.toSeq: _*))
   }
 
   /** Run row checks partition-incrementally: validate the remaining
     * partitions, write violations + verdicts, mark them complete. Returns
-    * the verdicts of THIS increment. */
+    * the verdicts of THIS increment.
+    *
+    * Delivery is AT-LEAST-ONCE per partition: sinks are parquet appends
+    * and the manifest is marked only after both writes succeed, so a crash
+    * between append and markDone re-emits that increment's rows on retry.
+    * Every sink row carries this invocation's `attempt_id` — consumers
+    * needing exactly-once keep the latest attempt per part_id (the same
+    * honest contract as StreamingDedup's batch_id). Rows with NULL part
+    * ids are validated every increment and never marked done. */
   def runResumable(spark: SparkSession, df: DataFrame, spec: SchemaSpec,
                    keyCols: Seq[String], outDir: String, runId: String,
                    partCol: String = "part_id"): DataFrame = {
     val manifest = new Manifest(outDir, runId)
     val remaining = resume(df, manifest, partCol)
+    val attemptId = java.util.UUID.randomUUID().toString
     val t0 = System.nanoTime()
     // ONE scan of the source: the slim row output is persisted, and both
     // sinks (violation rows, per-partition verdicts) derive from it.
     val rowOut = rowOutput(remaining, spec, keyCols, partCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    violationsOf(rowOut, keyCols, partCol).write.mode("append").partitionBy(partCol)
-      .parquet(s"$outDir/violations")
-    val verdicts = verdictsOf(rowOut, partCol).cache()
-    verdicts.write.mode("append").parquet(s"$outDir/verdicts")
-    val doneIds = verdicts.select(col(partCol).cast("long")).collect().map(_.getLong(0)).toSeq
-    manifest.markDone(doneIds)
-    // per-run lineage + metrics line (north rule: "per-partition lineage
-    // and metrics logged"); JSONL, one record per increment
-    val agg = verdicts.agg(sum("rows"), sum("fail_rows")).head()
-    val rows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-    val failRows = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-    val metrics = s"""{"run_id":"$runId","partitions":${doneIds.length},""" +
-      s""""rows":$rows,"fail_rows":$failRows,""" +
-      s""""wall_sec":${(System.nanoTime() - t0) / 1e9},""" +
-      s""""part_ids":[${doneIds.sorted.mkString(",")}]}\n"""
-    Files.write(Paths.get(outDir, s"metrics-$runId.jsonl"), metrics.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    rowOut.unpersist()
-    verdicts
+    try {
+      violationsOf(rowOut, keyCols, partCol)
+        .withColumn("attempt_id", lit(attemptId))
+        .write.mode("append").partitionBy(partCol)
+        .parquet(s"$outDir/violations")
+      val verdicts = verdictsOf(rowOut, partCol).cache()
+      verdicts.withColumn("attempt_id", lit(attemptId))
+        .write.mode("append").parquet(s"$outDir/verdicts")
+      val doneIds = verdicts.where(col(partCol).isNotNull)
+        .select(col(partCol).cast("long")).collect().map(_.getLong(0)).toSeq
+      manifest.markDone(doneIds)
+      // per-run lineage + metrics line (north rule: "per-partition lineage
+      // and metrics logged"); JSONL, one record per increment
+      val agg = verdicts.agg(sum("rows"), sum("fail_rows")).head()
+      val rows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+      val failRows = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      val metrics = s"""{"run_id":"$runId","attempt_id":"$attemptId",""" +
+        s""""partitions":${doneIds.length},""" +
+        s""""rows":$rows,"fail_rows":$failRows,""" +
+        s""""wall_sec":${(System.nanoTime() - t0) / 1e9},""" +
+        s""""part_ids":[${doneIds.sorted.mkString(",")}]}\n"""
+      Files.write(Paths.get(outDir, s"metrics-$runId.jsonl"), metrics.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      verdicts
+    } finally rowOut.unpersist() // even when a sink write throws
   }
 }

@@ -10,7 +10,9 @@ import graft.spec.SchemaSpec
   * report. This is the "switch from the reference" entry point for a table:
   * the row-level constraint pass (valijson semantics) plus every
   * north-rule table check, each a separate lazily-planned DataFrame so
-  * callers pay only for what they materialize.
+  * callers pay only for what they materialize — EXCEPT drift verdicts,
+  * which collect O(buckets) sketches eagerly; all drift specs share one
+  * table scan (Drift.sketchMany).
   */
 object TableRunner {
 
@@ -41,7 +43,10 @@ object TableRunner {
       * referential violations, no drifted columns. Materializes
       * everything. */
     def pass(): Boolean = {
-      val rowsOk = partitionVerdicts.agg(sum(when(col("pass"), 0).otherwise(1))).head().getLong(0) == 0
+      // sum over zero verdict rows is SQL NULL (empty input table) — an
+      // empty table has no failing rows, so it passes
+      val agg = partitionVerdicts.agg(sum(when(col("pass"), 0).otherwise(1))).head()
+      val rowsOk = agg.isNullAt(0) || agg.getLong(0) == 0
       val dupsOk = duplicateKeys.values.forall(_.isEmpty)
       val refOk = referentialViolations.values.forall(_.isEmpty)
       val driftOk = driftVerdicts.forall(_._2.pass)
@@ -62,9 +67,19 @@ object TableRunner {
     }.toMap
     val stats = if (cfg.statsCols.nonEmpty)
       Some(TableChecks.stats(df, Seq(cfg.partCol), cfg.statsCols)) else None
-    val drifts = cfg.drift.map { d =>
-      val c = d.expr.getOrElse(col(d.column))
-      d.column -> Drift.check(df, c, d.baseline, d.psiThreshold)
+    // drift verdicts are the one EAGER element of the report (they collect
+    // O(buckets) sketches) — all K drift specs share ONE table scan
+    // instead of K (Drift.sketchMany), so adding a drift column does not
+    // add a scan
+    val driftSketches = Drift.sketchMany(df, cfg.drift.zipWithIndex.map {
+      case (d, i) =>
+        // index-keyed: two specs may legally target the same column with
+        // different baselines/expressions
+        (i.toString, d.expr.getOrElse(col(d.column)),
+          d.baseline.lo, d.baseline.hi, d.baseline.n)
+    })
+    val drifts = cfg.drift.zipWithIndex.map { case (d, i) =>
+      d.column -> Drift.verdictOf(driftSketches(i.toString), d.baseline, d.psiThreshold)
     }
     TableValidationReport(row.flagged, row.violations, row.partitionVerdicts,
       dups, refs, stats, drifts)

@@ -32,9 +32,11 @@ object StreamingValidator {
         .otherwise(c.violations))
   }
 
-  /** Windowed violation counts with a watermark: (window, part) → rows,
-    * fail_rows. Late rows beyond the watermark are dropped; state is
-    * bounded by window retention. */
+  /** Windowed violation counts with a watermark: one row per event-time
+    * window → (rows, fail_rows), all partitions collapsed — per-partition
+    * streaming granularity is [[sessionVerdicts]] (group by key) or a
+    * caller-added group column. Late rows beyond the watermark are
+    * dropped; state is bounded by window retention. */
   def windowedVerdicts(stream: DataFrame, spec: SchemaSpec,
                        tsCol: String = "ts", watermark: String = "10 minutes",
                        window: String = "1 minute"): DataFrame = {
@@ -97,6 +99,14 @@ object StreamingValidator {
             events.toSeq.sortBy(e => (e.turn_idx, e.ts.getTime)).foreach { e =>
               if (e.turn_idx <= s.maxTurnIdx)
                 out += ConvAnomaly(convId, e.turn_idx, "duplicate_or_regressed_turn_idx")
+              else if (s.seen == 0 && e.turn_idx != 0)
+                // first observed turn is not 0 — the batch dense_ok check
+                // (min_idx == 0) flags exactly this; without it a
+                // missing-prefix conversation passed silently. Caveat: a
+                // conversation resuming AFTER idle-timeout eviction
+                // re-enters with empty state and re-triggers this kind —
+                // size idleGapMs to the real conversation gap.
+                out += ConvAnomaly(convId, e.turn_idx, "missing_prefix")
               else if (e.turn_idx != s.maxTurnIdx + 1 && s.seen > 0)
                 out += ConvAnomaly(convId, e.turn_idx, "gap_in_turn_idx")
               if (e.ts.getTime < s.lastTs)

@@ -162,6 +162,24 @@ class StreamingSpec extends SparkTestBase {
     got.exists(_.conv_id == "c2") shouldBe false
   }
 
+  test("a conversation whose FIRST observed turn_idx is not 0 flags missing_prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TurnEvent]
+    val out = StreamingValidator.conversationAnomalies(input.toDS())
+    val q = out.writeStream.format("memory").queryName("sv_prefix").outputMode("append").start()
+    val t0 = 1600000000000L
+    input.addData(
+      TurnEvent("cA", 5, new Timestamp(t0)),       // missing prefix 0..4
+      TurnEvent("cA", 6, new Timestamp(t0 + 1000)), // consecutive: fine
+      TurnEvent("cB", 0, new Timestamp(t0)))        // proper start: fine
+    q.processAllAvailable()
+    val got = spark.table("sv_prefix").as[ConvAnomaly].collect().toSet
+    q.stop()
+    // pre-fix this emitted NOTHING: the seen>0 guard suppressed the first
+    // event's gap check, diverging from batch dense_ok (min_idx == 0)
+    got shouldBe Set(ConvAnomaly("cA", 5, "missing_prefix"))
+  }
+
   test("conversation state is EVICTED once the watermark passes the idle gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TurnEvent]

@@ -139,6 +139,34 @@ class TableChecksSpec extends SparkTestBase {
     viaAgg.counts.toSeq shouldBe viaDf.counts.toSeq
   }
 
+  test("drift: NaN values bucket as underflow on BOTH paths (width_bucket returns NULL for NaN)") {
+    import spark.implicits._
+    val vals = Seq(1.0, 5.0, Double.NaN, 9.0, Double.NaN).toDF("v")
+    // pre-fix this NPE'd: the NULL width_bucket group hit r.getLong(0)
+    val viaDf = Drift.sketch(vals, col("v"), 0, 10, 5)
+    val agg = new Drift.HistogramAgg(0, 10, 5)
+    val viaAgg = vals.select(col("v").as("v")).as[Option[Double]]
+      .select(agg.toColumn).head()
+    viaDf.counts.toSeq shouldBe viaAgg.counts.toSeq
+    viaDf.counts(0) shouldBe 2L // both NaNs in the underflow bucket
+    viaDf.total shouldBe 5L
+  }
+
+  test("drift: sketchMany computes every spec's histogram in ONE scan, matching sketch()") {
+    val c1 = fn_length(col("text")).cast("double")
+    val c2 = col("turn_idx").cast("double")
+    val many = Drift.sketchMany(turns,
+      Seq(("len", c1, 0.0, 200.0, 20), ("idx", c2, 0.0, 10.0, 5)))
+    many("len").counts.toSeq shouldBe
+      Drift.sketch(turns, c1, 0, 200, 20).counts.toSeq
+    many("idx").counts.toSeq shouldBe
+      Drift.sketch(turns, c2, 0, 10, 5).counts.toSeq
+    // empty input: all-zero sketches, not NULL/NPE
+    val empty = Drift.sketchMany(turns.where(lit(false)),
+      Seq(("len", c1, 0.0, 200.0, 20)))
+    empty("len").total shouldBe 0L
+  }
+
   test("row checks: pass flags + violations match injected rates; verdicts cover all partitions") {
     val out = Runner.rowChecks(turns, spec, Seq("conv_id", "turn_idx"))
     val total = turns.count()
@@ -162,5 +190,29 @@ class TableChecksSpec extends SparkTestBase {
     v2.count() shouldBe 0L
     // verdicts on disk cover every partition exactly once
     spark.read.parquet(s"$dir/verdicts").count() shouldBe 16L
+    // every sink row carries the attempt discriminator (the at-least-once
+    // dedup handle; same contract as StreamingDedup's batch_id)
+    spark.read.parquet(s"$dir/verdicts").columns should contain("attempt_id")
+    spark.read.parquet(s"$dir/violations").columns should contain("attempt_id")
+  }
+
+  test("resumable runner: NULL part ids survive resume and are never marked done") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-run-null").toString
+    // part_id pre-supplied with NULLs for one conversation's rows
+    val withNulls = turns.withColumn("part_id",
+      when(col("conv_id") === turns.select("conv_id").head().getString(0), lit(null))
+        .otherwise(pmod(hash(col("conv_id")), lit(16))))
+    val nullRows = withNulls.where(col("part_id").isNull).count()
+    nullRows should be > 0L
+    val v1 = Runner.runResumable(spark, withNulls, spec,
+      Seq("conv_id", "turn_idx"), dir, "rn")
+    v1.where(col("part_id").isNull).count() shouldBe 1L
+    // second increment: completed Long partitions are pruned, but the
+    // NULL-part rows are re-validated — under SQL three-valued logic the
+    // old `!isin(...)` silently dropped them from every later increment
+    val v2 = Runner.runResumable(spark, withNulls, spec,
+      Seq("conv_id", "turn_idx"), dir, "rn")
+    v2.count() shouldBe 1L // exactly the NULL-part verdict row again
+    v2.where(col("part_id").isNull).agg(sum("rows")).head().getLong(0) shouldBe nullRows
   }
 }

@@ -46,4 +46,29 @@ class TableRunnerSpec extends SparkTestBase {
       referential = Seq(ReferentialSpec("tool", Left(TranscriptGen.toolVocab))))
     TableRunner.run(clean, cfg).pass() shouldBe true
   }
+
+  test("empty input table passes (sum over zero verdict rows is SQL NULL, not a crash)") {
+    val cfg = TableValidationConfig(
+      rowSpec = spec,
+      keyCols = Seq("conv_id", "turn_idx"),
+      uniqueness = Seq(UniquenessSpec(Seq("conv_id", "turn_idx"))))
+    val report = TableRunner.run(turns.where(col("conv_id").isNull), cfg)
+    report.pass() shouldBe true // pre-fix: NullPointerException
+    report.violations.count() shouldBe 0L
+  }
+
+  test("Graft.validate honors CompileOptions (rowChecks used to drop opts silently)") {
+    // a digit STRING column against a numeric bound — the q_weak_typing
+    // divergence: strict mode skips numeric constraints on non-numbers
+    // (zero violations), weak mode coerces and checks the bound
+    val numSpec = SpecParser.parse("""{"properties":{"v":{"maximum":100}}}""")
+    val df = turns.withColumn("v", (col("turn_idx") * 60).cast("string"))
+    val strictFails = graft.Graft.validate(df, numSpec, Seq("conv_id", "turn_idx"))
+      .flagged.where(!col("pass")).count()
+    val weakFails = graft.Graft.validate(df, numSpec, Seq("conv_id", "turn_idx"),
+        opts = graft.compile.CompileOptions(strictTypes = false))
+      .flagged.where(!col("pass")).count()
+    strictFails shouldBe 0L
+    weakFails should be > 0L // pre-fix: 0 — opts never reached the compiler
+  }
 }
