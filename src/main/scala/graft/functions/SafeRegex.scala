@@ -111,6 +111,10 @@ final class ThompsonRegex(pattern: String) extends Serializable {
     while (more && cont) pattern.charAt(pos) match {
       case '*' if quantified => fail("stacked quantifiers not supported")
       case '+' if quantified => fail("possessive / stacked quantifiers not supported")
+      // without this guard `a???` / `a*??` compile here (the reluctant '?'
+      // was already consumed by post()), while the JDK throws Dangling
+      // meta character — breaking the two-engine agreement invariant
+      case '?' if quantified => fail("stacked quantifiers not supported")
       case '*' => pos += 1; a = Star(a); post()
       case '+' => pos += 1; a = Plus(a); post()
       case '?' => pos += 1; a = Opt(a); post()
@@ -119,7 +123,10 @@ final class ThompsonRegex(pattern: String) extends Serializable {
         if (close < 0) fail("unclosed {")
         val body = pattern.substring(pos + 1, close)
         val parts = body.split(",", -1)
-        if (!parts.forall(p => p.isEmpty || p.forall(_.isDigit)) || parts.head.isEmpty)
+        // at most {n} or {n,m}: the JDK rejects {2,3,4}, silently reading
+        // it as {2,3} here would reinterpret a malformed schema pattern
+        if (parts.length > 2 ||
+            !parts.forall(p => p.isEmpty || p.forall(_.isDigit)) || parts.head.isEmpty)
           fail(s"bad repetition {$body}")
         val min = parts(0).toInt
         val max: Option[Int] =

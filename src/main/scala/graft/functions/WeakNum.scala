@@ -37,8 +37,23 @@ object WeakNum {
 
   def parseDouble(s: String): java.lang.Double = {
     if (s.isEmpty) return null
-    if (DoubleToken.matcher(s).matches())
-      return try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
+    if (DoubleToken.matcher(s).matches()) {
+      val v = try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => return null }
+      // from_chars reports result_out_of_range — a FAILED parse per the
+      // reference (double_parser.hpp: `conversion.ec != std::errc()`) —
+      // where Java silently saturates: overflow to ±Infinity, underflow
+      // to zero. A weak `maximum` would otherwise fail a row carrying
+      // "1e999" that the reference treats as non-numeric and skips.
+      // Subnormal results are representable and stay valid; only a
+      // nonzero mantissa collapsing to ±0.0 is underflow.
+      if (v.isInfinite) return null
+      if (v.doubleValue() == 0.0d && {
+        val eIdx = { val e = s.indexOf('e'); if (e >= 0) e else s.indexOf('E') }
+        val mant = if (eIdx >= 0) s.substring(0, eIdx) else s
+        mant.exists(ch => ch >= '1' && ch <= '9')
+      }) return null
+      return v
+    }
     val m = InfNanToken.matcher(s)
     if (m.matches()) {
       if (m.group(2) == null) java.lang.Double.valueOf(Double.NaN) // ±nan is still NaN

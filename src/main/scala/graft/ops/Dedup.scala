@@ -67,6 +67,18 @@ object Dedup {
         df.select(col(idCol).as("id"), col(textCol).as("_text")), "_text", shingleK, "_sh")
       .select(col("id"), minhashSignatureOfShingles(col("_sh"), numHashes).as("sig"))
 
+  /** rows-per-band with the misconfiguration guard. Unchecked integer
+    * division here is a SILENT-EMPTY-OUTPUT bug: bands > numHashes gives
+    * rowsPerBand = 0, every document then shares every (empty-slice) band
+    * key, and capBuckets drops the over-full buckets — the dedup reports
+    * ZERO pairs while exact duplicates sail through. A non-divisor would
+    * silently ignore trailing signature components. */
+  private def bandRows(numHashes: Int, bands: Int): Int = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must be a positive divisor of numHashes ($numHashes)")
+    numHashes / bands
+  }
+
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and emit (band_idx, band_hash) keys. Docs sharing any band key are
     * candidates. */
@@ -97,7 +109,7 @@ object Dedup {
     * explode (narrow) + one shuffle on band keys + per-bucket self-join. */
   private def estCandidates(sigd: DataFrame, numHashes: Int, bands: Int,
                             jaccardThreshold: Double, maxBucketSize: Int): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = bandRows(numHashes, bands)
     val banded0 = sigd.select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col("id"), col("sig"))
@@ -222,9 +234,16 @@ object Dedup {
     writeMinhashLshTableMode(df, idCol, textCol, path, "append",
       numHashes, bands, shingleK, prefixBuckets)
 
-  /** Does a layout exist at `path` (written by [[writeMinhashLshTable]])? */
-  def lshTableExists(path: String): Boolean =
-    new java.io.File(path, "_SUCCESS").exists()
+  /** Does a layout exist at `path` (written by [[writeMinhashLshTable]])?
+    * Resolved through the Hadoop FileSystem API: a java.io.File probe is
+    * always false for hdfs://, s3a://, … paths — the production shape —
+    * and would silently make every streaming batch take the no-corpus
+    * branch (never probing, so cross-batch duplicates pass unseen). */
+  def lshTableExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    p.getFileSystem(conf).exists(p)
+  }
 
   /** Append a precomputed [[minhashBase]] frame into an existing layout —
     * the signature-sharing form of [[appendMinhashLshTable]] for callers
@@ -244,7 +263,7 @@ object Dedup {
   private def writeBandedFromBase(base: DataFrame, path: String, mode: String,
                                   numHashes: Int, bands: Int,
                                   prefixBuckets: Int): Unit = {
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = bandRows(numHashes, bands)
     base
       .where(col("sig").isNotNull)
       .select(col("id"), col("sig"), col("norm"),
@@ -316,7 +335,7 @@ object Dedup {
                                   includeWithinIncrement: Boolean = false,
                                   prefixBuckets: Int = 64): DataFrame = {
     val spark = base.sparkSession
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = bandRows(numHashes, bands)
     val banded = base
       .where(col("sig").isNotNull)
       .select(col("id"), col("sig"),
@@ -494,6 +513,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // the returned frame reads the LAST checkpoint, not edges: release the
+    // edge cache now (per-iteration checkpoints are not CacheManager
+    // entries — the ContextCleaner reclaims each one as its reference
+    // drops on reassignment). Without this every clusters()/survivors()
+    // call pinned its edge set in executor storage for the session's life.
+    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"clusters() did not converge in $maxIter iterations — a component " +

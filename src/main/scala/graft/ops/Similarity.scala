@@ -35,10 +35,16 @@ object Similarity {
 
   /** Cosine from a pair's vectors plus their pre-projected norms: one
     * vector pass (the dot) per candidate pair. Bitwise-identical to
-    * [[cosine]] — same op order, the norms are merely hoisted. */
+    * [[cosine]] — same op order, the norms are merely hoisted.
+    * Zero-norm vectors yield NULL, not 0/0 = NaN: Spark orders NaN above
+    * every real number and evaluates `NaN >= t` as true, so a NaN cosine
+    * would rank all-zero embeddings FIRST in every top-k and emit them as
+    * near-duplicates of anything sharing a bucket; NULL sorts last under
+    * desc and fails threshold filters. */
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    dot / (normA * normB)
+    when(normA === 0.0d || normB === 0.0d, lit(null).cast("double"))
+      .otherwise(dot / (normA * normB))
   }
 
   /** Dot product with a constant query vector (literal array — broadcast
@@ -48,8 +54,12 @@ object Similarity {
 
   def cosineWithQuery(v: Column, query: Seq[Float]): Column = {
     val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
+    require(qn > 0.0, "cosineWithQuery: all-zero query vector has no direction")
     val nv = sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
-    dotWithQuery(v, query) / (nv * qn)
+    // zero-norm corpus vectors → NULL (sorts last), never 0/0 = NaN
+    // (which Spark ranks above every real cosine) — see cosineWithNorms
+    when(nv === 0.0d, lit(null).cast("double"))
+      .otherwise(dotWithQuery(v, query) / (nv * qn))
   }
 
   /** Brute-force cosine top-k: per-partition heap + driver merge
@@ -90,18 +100,28 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** The query's probe ring: its own signature plus every Hamming-1
+    * neighbor (multi-probe). ONE definition shared by the in-memory and
+    * persisted-table paths — the sign convention (dot >= 0) and ring width
+    * must never desynchronize between how a table is written and how it is
+    * probed. */
+  private[ops] def queryProbeSigs(query: Seq[Float], planes: Int,
+                                  seed: Long): Seq[Long] = {
+    val ps = randomPlanes(query.length, planes, seed)
+    val querySig = ps.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot >= 0) 1L << i else 0L
+    }.sum
+    querySig +: (0 until planes).map(i => querySig ^ (1L << i))
+  }
+
   /** LSH-bucketed ANN: probe the query's bucket plus all Hamming-1
     * neighbor buckets (multi-probe), exact cosine within candidates.
     * Recall/efficiency dial: `planes` (bucket granularity). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, planes: Int = 8, seed: Long = 42): DataFrame = {
     val dim = query.length
-    val ps = randomPlanes(dim, planes, seed)
-    val querySig = ps.zipWithIndex.map { case (p, i) =>
-      val dot = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
-      if (dot >= 0) 1L << i else 0L
-    }.sum
-    val probeSigs = querySig +: (0 until planes).map(i => querySig ^ (1L << i))
+    val probeSigs = queryProbeSigs(query, planes, seed)
     df.select(col(idCol), col(vecCol),
         hyperplaneSignature(col(vecCol), dim, planes, seed).as("_sig"))
       .where(col("_sig").isin(probeSigs: _*))
@@ -124,7 +144,16 @@ object Similarity {
           lit(0.0d), (acc, v) => acc + v).as("dist"),
         lit(i).as("cell"))
     }
-    df.withColumn("ivf_cell", array_min(array(dists: _*)).getField("cell"))
+    // NULL or wrong-dimension vectors get a NULL cell, not cell 0: their
+    // per-centroid dist aggregates are NULL, and struct ordering sorts a
+    // NULL dist field FIRST, so array_min would silently dump every
+    // malformed vector into cell 0's directory (inflating each probe of
+    // that cell with rows that are not valid members)
+    val valid = col(vecCol).isNotNull &&
+      size(col(vecCol)) === centroids.head.size
+    df.withColumn("ivf_cell",
+      when(valid, array_min(array(dists: _*)).getField("cell"))
+        .otherwise(lit(null).cast("int")))
   }
 
   /** The query's `nprobe` nearest cells (driver-side, double precision). */
@@ -185,13 +214,7 @@ object Similarity {
                        idCol: String, vecCol: String,
                        query: Seq[Float], k: Int, planes: Int = 8,
                        seed: Long = 42): DataFrame = {
-    val dim = query.length
-    val ps = randomPlanes(dim, planes, seed)
-    val querySig = ps.zipWithIndex.map { case (p, i) =>
-      val dot = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
-      if (dot >= 0) 1L << i else 0L
-    }.sum
-    val probeSigs = querySig +: (0 until planes).map(i => querySig ^ (1L << i))
+    val probeSigs = queryProbeSigs(query, planes, seed)
     spark.read.parquet(path)
       .where(col("lsh_sig").isin(probeSigs: _*))
       .select(col(idCol), cosineWithQuery(col(vecCol), query).as("cosine"))

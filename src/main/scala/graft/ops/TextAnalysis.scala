@@ -52,7 +52,11 @@ object TextAnalysis {
   /** Heuristic quality features (C4/Gopher-style): length, word stats,
     * punctuation/alpha ratios, stopword density. One projection. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // NULL text scores as empty text: unguarded, NULL slips through
+    // `when(trim(t) === "", 0)` (three-valued logic) into size(split(NULL)),
+    // which is -1/NULL depending on ANSI mode — a negative word count in
+    // downstream filters (tokenCountWs guards the same way)
+    val t = coalesce(col(textCol), lit(""))
     val nChars = length(t)
     val words = split(trim(t), "\\s+")
     val nWords = when(trim(t) === "", 0).otherwise(size(words))

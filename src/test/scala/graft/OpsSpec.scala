@@ -127,6 +127,60 @@ class OpsSpec extends SparkTestBase {
     surv shouldBe Array(1L, 10L, 99L)
   }
 
+  test("zero-norm vectors never rank in top-k or pair as near-dups (cosine NULL, not NaN)") {
+    import spark.implicits._
+    // Spark orders NaN above every real double and evaluates NaN >= t as
+    // true — 0/0 cosines used to rank all-zero embeddings FIRST
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), (3L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0f, 0.0f), 2).collect().map(_.getLong(0)).toSeq
+    top shouldBe Seq(0L, 1L) // pre-fix: the two zero vectors ranked first
+    val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      dim = 2, planes = 4, cosineThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    dups should not contain ((2L, 3L)) // NaN >= 0.9 used to emit this pair
+    dups should contain((0L, 1L))
+  }
+
+  test("ivfAssign: NULL and wrong-dimension vectors get a NULL cell, not cell 0") {
+    import spark.implicits._
+    val centroids = Seq(Seq(0.0f, 0.0f), Seq(10.0f, 10.0f))
+    val vecs = Seq[(Long, Array[Float])](
+      (0L, Array(0.1f, 0.1f)), (1L, Array(9.9f, 9.9f)),
+      (2L, null), (3L, Array(1.0f)) // null + ragged
+    ).toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(vecs, "embedding", centroids)
+      .select("vec_id", "ivf_cell").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    cells(0L) shouldBe 0
+    cells(1L) shouldBe 1
+    cells(2L) shouldBe -1 // pre-fix: struct ordering dumped these in cell 0
+    cells(3L) shouldBe -1
+  }
+
+  test("minhash banding rejects bands that do not divide numHashes (silent-empty-output guard)") {
+    import spark.implicits._
+    val df = Seq((1L, "aaaa"), (2L, "aaaa")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashNearDups(df, "doc_id", "text", numHashes = 16, bands = 32)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashNearDups(df, "doc_id", "text", numHashes = 32, bands = 5)
+  }
+
+  test("qualityFeatures scores NULL text as empty text (no -1 word counts)") {
+    import spark.implicits._
+    val df = Seq[(Long, String)]((0L, "real words here."), (1L, null))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.qualityFeatures(df, "text")
+      .select("doc_id", "q_n_chars", "q_n_words").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    q(1L) shouldBe ((0, 0)) // pre-fix: size(split(NULL)) leaked -1/NULL
+    q(0L)._2 shouldBe 3
+  }
+
   test("near-dup clusters: long-chain component (diameter > 8) converges; hitting maxIter throws") {
     import spark.implicits._
     // min-label propagation moves ONE hop per round: a 13-node chain

@@ -96,8 +96,10 @@ class PlanSpec extends SparkTestBase {
     val p = plan(SparkEntry.queries("q_ann_ivf")(spark, sf))
     p should include("TakeOrderedAndProject")
     p should not include "Exchange rangepartitioning"
-    // the optimizer collapses the ivf_cell column into the pruning filter
-    p should include(".cell IN (")
+    // the optimizer collapses the ivf_cell column into the pruning filter;
+    // since the NULL-cell validity guard the cell expression is a CASE
+    // WHEN, so the filter reads `... END IN (…)` (was `.cell IN (`)
+    p should (include(".cell IN (") or include("END IN ("))
   }
 
   test("bucketed IVF table probe prunes partitions at the scan (PartitionFilters on ivf_cell)") {

@@ -91,6 +91,21 @@ class RegexEngineSpec extends SparkTestBase {
     intercept[java.util.regex.PatternSyntaxException] {
       ThompsonRegexEngine.search("{2}", "x{2}")
     }
+    // '?' stacked on a quantifier: the reluctant marker is legal (a??),
+    // a THIRD '?' or '?' after a reluctant '*'/'{}' is JDK-invalid
+    // ("Dangling meta character") and used to compile silently here
+    ThompsonRegexEngine.search("a??", "b") shouldBe true // optional a, reluctant
+    intercept[java.util.regex.PatternSyntaxException] {
+      ThompsonRegexEngine.search("a???", "a")
+    }
+    intercept[java.util.regex.PatternSyntaxException] {
+      ThompsonRegexEngine.search("a*??", "a")
+    }
+    // more than two repetition fields: JDK throws, silently reading
+    // {2,3,4} as {2,3} would reinterpret the pattern
+    intercept[java.util.regex.PatternSyntaxException] {
+      ThompsonRegexEngine.search("a{2,3,4}", "aaa")
+    }
   }
 
   test("invalid patterns fail at PLAN time on the driver (eager compile)") {

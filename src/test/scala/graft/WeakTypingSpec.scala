@@ -61,6 +61,16 @@ class WeakTypingSpec extends SparkTestBase {
     parseDouble("inf").doubleValue.isPosInfinity shouldBe true
     parseDouble("-Infinity").doubleValue.isNegInfinity shouldBe true
     parseDouble("NAN").doubleValue.isNaN shouldBe true
+    // result_out_of_range = FAILED parse (double_parser.hpp checks
+    // `conversion.ec != std::errc()`): Java saturates overflow to
+    // ±Infinity and underflow to zero where from_chars errors
+    parseDouble("1e999") shouldBe null     // overflow
+    parseDouble("-1e999") shouldBe null
+    parseDouble("1e-999") shouldBe null    // underflow of a nonzero mantissa
+    parseDouble("0.0e999") shouldBe 0.0    // zero mantissa: a real zero
+    parseDouble("-0.000") shouldBe -0.0
+    parseDouble("1e308") shouldBe 1e308    // representable: stays valid
+    parseDouble("4.9e-324") shouldBe java.lang.Double.MIN_VALUE // subnormal ok
   }
 
   test("type: numeric strings satisfy integer/number in weak mode") {
