@@ -550,6 +550,32 @@ object SparkEntry {
         .select("doc_id", "dup_count")
     }),
 
+    "q_dedup_groups" -> ((s, dir) => { implicit val sp = s
+      // exact-duplicate AUDIT groups (Dedup.exactGroups): content-hash
+      // groupBy, surviving groups only — one hash-agg shuffle, group state
+      // bounded by the duplicate multiplicity. The testdata documents have
+      // no exact dups (near-dups only), so a deterministic duplicated
+      // slice (every 50th doc re-landed under a shifted id) is unioned in,
+      // mirrored in the oracle — the groups are then non-trivial. The
+      // xxhash64 group key is internal; the oracle recomputes groups by
+      // normalized text (equal modulo a 2^-64 collision, none here).
+      val d = t(dir, "documents")
+      val relanded = d.where(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.ops.Dedup.exactGroups(d.unionByName(relanded), "doc_id", "text")
+        .select(col("dup_count"), col("ids"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => { implicit val sp = s
+      // rolling-hash document fingerprint (min shingle hash, a 1-hash
+      // MinHash). md5 here so DuckDB recomputes the VALUES exactly; the
+      // xxhash64 production default shares the argmin machinery (OpsSpec
+      // asserts both against independently-computed minima).
+      val d = TextAnalysis.withShingles(t(dir, "documents"), "text", 8, "_sh")
+      d.select(col("doc_id"),
+        TextAnalysis.rollingFingerprintOfShingles(col("_sh"), x => md5(x)).as("fp"))
+    }),
+
     "q_token_counts" -> ((s, dir) => { implicit val sp = s
       t(dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
@@ -1169,6 +1195,21 @@ object SparkEntry {
         .toDF("metric", "psi", "threshold", "pass")
     }),
 
+    "q_drift_multi" -> ((s, dir) => { implicit val sp = s
+      import s.implicits._
+      // K drift sketches in ONE table scan (Drift.sketchMany): conditional
+      // counts per (spec, bucket) in a single global aggregation — the
+      // 100 TB shape, where adding a drift column must not add a scan.
+      // Emits the full bucket grid (zero counts included), unlike the
+      // groupBy histogram which drops empty buckets.
+      val sk = graft.checks.Drift.sketchMany(t(dir, "lineitem"), Seq(
+        ("l_extendedprice", col("l_extendedprice"), 0.0, 60000.0, 20),
+        ("l_quantity", col("l_quantity"), 0.0, 60.0, 20)))
+      sk.toSeq.flatMap { case (name, h) =>
+        h.counts.zipWithIndex.map { case (c, b) => (name, b.toLong, c) }
+      }.toDF("name", "bucket", "cnt")
+    }),
+
     "q_embed_neardups" -> ((s, dir) => { implicit val sp = s
       // embedding-cosine near-dups: hyperplane-LSH buckets (native
       // single-pass signature), exact cosine inside buckets; the bucket
@@ -1566,6 +1607,22 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
          GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""",
 
+    "q_dedup_groups" ->
+      """WITH alldocs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)
+         SELECT count(*) AS dup_count, list_sort(list(doc_id)) AS ids
+         FROM alldocs
+         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+         HAVING count(*) > 1""",
+
+    "q_fingerprint" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+         s AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(norm)-6, 2)),
+                 i -> substr(norm, i::INT, 8))) AS sh FROM n)
+         SELECT doc_id, min(md5(sh)) AS fp FROM s GROUP BY doc_id""",
+
     "q_token_counts" ->
       """SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
@@ -1855,6 +1912,24 @@ object SparkEntry {
                 (sum((p1.p - p0.p) * ln(p1.p / p0.p)) <= 0.25) AS pass
          FROM probs p1 JOIN probs p0
            ON p1.bucket = p0.bucket AND p1.side = 1 AND p0.side = 0""",
+
+    "q_drift_multi" ->
+      """WITH grid AS (SELECT unnest(range(0, 22)) AS bucket),
+         ep AS (SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                            WHEN l_extendedprice >= 60000 THEN 21
+                            ELSE 1 + CAST(floor(l_extendedprice / 3000.0) AS BIGINT) END AS bucket,
+                       count(*) AS c
+                FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         qt AS (SELECT CASE WHEN l_quantity < 0 THEN 0
+                            WHEN l_quantity >= 60 THEN 21
+                            ELSE 1 + CAST(floor(l_quantity / 3.0) AS BIGINT) END AS bucket,
+                       count(*) AS c
+                FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1)
+         SELECT 'l_extendedprice' AS name, g.bucket, coalesce(ep.c, 0) AS cnt
+         FROM grid g LEFT JOIN ep ON g.bucket = ep.bucket
+         UNION ALL
+         SELECT 'l_quantity' AS name, g.bucket, coalesce(qt.c, 0) AS cnt
+         FROM grid g LEFT JOIN qt ON g.bucket = qt.bucket""",
 
     "q_embed_neardups" ->
       """WITH b AS (

@@ -131,7 +131,15 @@ object TextAnalysis {
     * minimum shingle hash — a 1-hash MinHash, stable under small edits away
     * from the minimizing window. */
   def rollingFingerprintOfShingles(sh: Column): Column =
-    array_min(transform(sh, s => xxhash64(s)))
+    rollingFingerprintOfShingles(sh, s => xxhash64(s))
+
+  /** Hash-pluggable form of the rolling fingerprint: min over shingles of
+    * `hash(shingle)`. xxhash64 is the production default (fast, codegen'd);
+    * an order-preserving cross-engine hash (e.g. `md5`, hex string in both
+    * Spark and DuckDB) makes the VALUES independently recomputable by the
+    * correctness oracle. */
+  def rollingFingerprintOfShingles(sh: Column, hash: Column => Column): Column =
+    array_min(transform(sh, hash))
 
   def rollingFingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame =
     withShingles(df, textCol, k, "_sh")

@@ -58,6 +58,48 @@ class OpsSpec extends SparkTestBase {
     survivors shouldBe nDistinct
   }
 
+  test("exactGroups: audit groups carry every duplicated id, sorted, multiplicity > 1 only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "unique one"),
+      (4L, " HELLO WORLD "), (5L, "unique two")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(df, "doc_id", "text").collect()
+    g.length shouldBe 1
+    g.head.getAs[Long]("dup_count") shouldBe 3L
+    g.head.getAs[Seq[Long]]("ids") shouldBe Seq(1L, 2L, 4L)
+    // consistency with exact(): survivors + (groups' extra members) = rows
+    val extras = g.map(r => r.getAs[Long]("dup_count") - 1).sum
+    Dedup.exact(df, "doc_id", "text").count() + extras shouldBe df.count()
+  }
+
+  test("rolling fingerprint: equals the min of independently-hashed shingles, both hash families") {
+    import spark.implicits._
+    val df = docs.limit(200)
+    val sh = TextAnalysis.withShingles(df, "text", 8, "sh")
+    // default (xxhash64) and md5 variants vs explode+min — different plan
+    // shape exercising the same semantics
+    val viaExpr = sh.select(col("doc_id"),
+      TextAnalysis.rollingFingerprintOfShingles(col("sh")).as("fpx"),
+      TextAnalysis.rollingFingerprintOfShingles(col("sh"), x => md5(x)).as("fpm"))
+    val viaExplode = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(col("s"))).as("fpx2"), min(md5(col("s"))).as("fpm2"))
+    val joined = viaExpr.join(viaExplode, "doc_id")
+    joined.where(col("fpx") =!= col("fpx2") || col("fpm") =!= col("fpm2")).count() shouldBe 0L
+    joined.count() shouldBe 200L
+  }
+
+  test("rolling fingerprint: stable for identical text, monotone under appended content") {
+    import spark.implicits._
+    val base = "abcdefghij klm nop qrstuvw"
+    val df = Seq((1L, base), (2L, base), (3L, base + " appended tail")).toDF("doc_id", "text")
+    val fp = TextAnalysis.rollingFingerprint(df, "text").select("doc_id", "fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fp(1L) shouldBe fp(2L)
+    // appending only ADDS shingles, so the min can only drop or stay
+    fp(3L) should be <= fp(1L)
+  }
+
   test("minhash near-dups: identical docs pair with est_jaccard 1.0") {
     // duplicate a couple docs under new ids to guarantee near-dup pairs
     val dupes = docs.limit(3).withColumn("doc_id", col("doc_id") + 1000000L)
