@@ -602,6 +602,22 @@ object SparkEntry {
         numHashes = 32, bands = 8, jaccardThreshold = 0.5)
     }),
 
+    "q_ngram_jaccard" -> ((s, dir) => { implicit val sp = s
+      // exact n-gram Jaccard exposed as a standalone pairwise SCORE (the
+      // verify primitive of the near-dup stack; here over adjacent-id
+      // pairs as a stand-in for any blocked candidate list). Normalization
+      // is materialized ONCE per side before the join; the score is a
+      // ratio of small exact ints in IEEE double, so DuckDB recomputes it
+      // bit-identically.
+      val d = t(dir, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("_norm"))
+      val a = d.select(col("doc_id").as("id_a"), col("_norm").as("_na"))
+      val b = d.select(col("doc_id").as("id_b"), col("_norm").as("_nb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          Dedup.ngramJaccardOfNorms(col("_na"), col("_nb"), 8).as("jaccard"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => { implicit val sp = s
       // near-dup CLUSTERING (pairs → min-label connected components, the
       // survivor-selection step of a dedup pipeline): iterative label
@@ -1698,6 +1714,14 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5""",
+
+    "q_ngram_jaccard" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(norm)-6, 2)),
+                 i -> substr(norm, i::INT, 8))) AS sh FROM n)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
+         FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""",
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE

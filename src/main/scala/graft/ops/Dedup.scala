@@ -403,14 +403,26 @@ object Dedup {
     banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucketSize)
 
-  /** Exact n-gram Jaccard between candidate pairs (verification step or
-    * small-scale direct use): |A∩B| / |A∪B| over distinct shingles. */
-  def ngramJaccard(textA: Column, textB: Column, k: Int = 8): Column = {
-    val sa = array_distinct(TextAnalysis.shingles(textA, k))
-    val sb = array_distinct(TextAnalysis.shingles(textB, k))
+  /** Exact n-gram Jaccard over ALREADY-NORMALIZED columns (see
+    * [[TextAnalysis.normalizeText]]): |A∩B| / |A∪B| over distinct
+    * k-shingles. `normA`/`normB` must be cheap expressions (ideally
+    * projected attributes): they are referenced inside the per-shingle
+    * lambda, so an embedded regex would re-run per element. This is the
+    * scale-path form — normalize once in a projection, score pairs here. */
+  def ngramJaccardOfNorms(normA: Column, normB: Column, k: Int = 8): Column = {
+    val sa = array_distinct(TextAnalysis.shinglesOfNorm(normA, k))
+    val sb = array_distinct(TextAnalysis.shinglesOfNorm(normB, k))
     size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double")
   }
+
+  /** Exact n-gram Jaccard between candidate pairs (verification step or
+    * small-scale direct use): |A∩B| / |A∪B| over distinct shingles.
+    * Cost warning: normalizes inside the shingle lambda — at scale project
+    * `_norm` columns first and use [[ngramJaccardOfNorms]]. */
+  def ngramJaccard(textA: Column, textB: Column, k: Int = 8): Column =
+    ngramJaccardOfNorms(TextAnalysis.normalizeText(textA),
+      TextAnalysis.normalizeText(textB), k)
 
   // --- SimHash ----------------------------------------------------------------
 
