@@ -321,6 +321,11 @@ object SpecParser {
           cs += TypeC(names.flatMap(n => named(n.asText())).toSet,
                       schemas.zipWithIndex.map { case (s, i) => childSchema(s, s"$path/type/$i") })
         }
+        // draft-3 single-schema form: `"type": {..schema..}` behaves as a
+        // one-member schema union (SP:2573-2577 — previously silently
+        // ignored here, which failed OPEN on a constraint the document
+        // author wrote down)
+        else if (t.isObject) cs += TypeC(Set.empty, Vector(childSchema(t, s"$path/type")))
       }
       // allOf, anyOf, const, contains, dependencies (SP:833-868)
       sub("allOf").foreach { a =>
