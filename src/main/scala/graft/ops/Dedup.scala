@@ -24,12 +24,31 @@ object Dedup {
       .drop("_fp")
   }
 
-  /** Exact duplicate *groups* (for auditing): content hash → ids. */
-  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Exact duplicate *groups* (for auditing): content hash → ids.
+    *
+    * `dup_count` is always the FULL group multiplicity; `ids` carries the
+    * `maxIds` smallest member ids. Bounding matters at scale: a corpus with
+    * one degenerate value (empty text, boilerplate) can put 10⁹ rows in a
+    * single group, and an unbounded `collect_list` would buffer them all in
+    * one in-memory aggregation buffer (a single group's ArrayBuffer never
+    * spills) → executor OOM. Instead, ids are ranked with `row_number` over
+    * a window (WindowExec buffers per-group rows in a SPILLABLE
+    * ExternalAppendOnlyUnsafeRowArray) and only ranks ≤ maxIds enter the
+    * collect — `collect_list` skips the NULLs the `when` leaves for the
+    * rest. The groupBy reuses the window's hash partitioning on `_fp`, so
+    * this still costs exactly ONE shuffle (asserted in PlanSpec). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String,
+                  maxIds: Int = 1024): DataFrame = {
+    require(maxIds >= 2, s"maxIds must be >= 2, got $maxIds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_fp")).orderBy(col(idCol))
     df.withColumn("_fp", TextAnalysis.contentFingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
       .groupBy("_fp")
-      .agg(count(lit(1)).as("dup_count"), sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(count(lit(1)).as("dup_count"),
+        sort_array(collect_list(when(col("_rn") <= maxIds, col(idCol)))).as("ids"))
       .where(col("dup_count") > 1)
+  }
 
   // --- MinHash + LSH ---------------------------------------------------------
 

@@ -154,6 +154,20 @@ class PlanSpec extends SparkTestBase {
     p.sliding("Exchange".length).count(_ == "Exchange") should be <= 4
   }
 
+  test("exactGroups: bounded ids, window + groupBy share one exchange") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, if (i <= 40) "same text" else s"uniq $i"))
+      .toDF("doc_id", "text")
+    val g = graft.ops.Dedup.exactGroups(df, "doc_id", "text", maxIds = 8)
+    // the row_number window and the groupBy hash-aggregate both partition
+    // on _fp — Catalyst must NOT insert a second shuffle between them
+    plan(g).sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+    val rows = g.collect()
+    rows.length shouldBe 1
+    rows.head.getAs[Long]("dup_count") shouldBe 40L     // full multiplicity
+    rows.head.getAs[Seq[Long]]("ids") shouldBe (1L to 8L) // capped, smallest-first
+  }
+
   test("conversationChecks computes all three flags in a single exchange") {
     val turns = TranscriptGen.turns(spark, 100, parts = 2, numParts = 4)
     val p = plan(graft.checks.TableChecks.conversationChecks(turns))
