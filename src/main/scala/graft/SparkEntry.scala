@@ -572,8 +572,9 @@ object SparkEntry {
 
     "q_dedup_groups" -> ((s, dir) => { implicit val sp = s
       // exact-duplicate AUDIT groups (Dedup.exactGroups): content-hash
-      // groupBy, surviving groups only — one hash-agg shuffle, group state
-      // bounded by the duplicate multiplicity. The testdata documents have
+      // groupBy, surviving groups only — one shuffle, per-group memory
+      // bounded by maxIds (spillable window ranks the ids; dup_count stays
+      // the full multiplicity). The testdata documents have
       // no exact dups (near-dups only), so a deterministic duplicated
       // slice (every 50th doc re-landed under a shifted id) is unioned in,
       // mirrored in the oracle — the groups are then non-trivial. The
