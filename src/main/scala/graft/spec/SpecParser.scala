@@ -125,14 +125,95 @@ object SpecParser {
     private def idOf(n: JsonNode): Option[String] =
       (Option(n.get("$id")) orElse Option(n.get("id"))).filter(_.isTextual).map(_.asText())
 
-    /** Absolute-URI test (scheme: prefix, incl. urn:) — uri.hpp:31-48. */
-    private def isAbsolute(u: String): Boolean =
-      u.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+    /** `isUriAbsolute` analog (uri.hpp:28-33): the reference requires a
+      * literal "://" marker, so "mailto:"-style schemes without an authority
+      * are NOT absolute and resolve as relative paths (URNs are the separate
+      * carve-out below). */
+    private def isAbsolute(u: String): Boolean = u.contains("://")
 
+    /** RFC-8141 URN test — the reference's regex (uri.hpp:43-45) ported
+      * verbatim (its character classes include a literal backslash). */
+    private val urnPattern = java.util.regex.Pattern.compile(
+      "^((urn)|(URN)):(?!urn:)([a-zA-Z0-9][a-zA-Z0-9-]{1,31})" +
+        "(:[-a-zA-Z0-9\\\\._~%!$&'()/*+,;=]+)+" +
+        "(\\?[-a-zA-Z0-9\\\\._~%!$&'()/*+,;:=]+){0,1}" +
+        "(#[-a-zA-Z0-9\\\\._~%!$&'()/*+,;:=]+){0,1}$")
+    private def isUrn(u: String): Boolean = urnPattern.matcher(u).matches()
+
+    /** `resolveId`/`resolveDocumentUri` shape (schema_parser.hpp:199-210,
+      * 298-309): absolute URIs and URNs pass through; everything else merges
+      * into the scope via the reference's own algorithm. */
     private def resolveUri(scope: String, uri: String): String =
-      if (isAbsolute(uri) || scope.isEmpty) uri
-      else try new java.net.URI(scope).resolve(uri).toString
-      catch { case _: Exception => uri }
+      if (isAbsolute(uri) || isUrn(uri) || scope.isEmpty) uri
+      else resolveRelativeUri(scope, uri)
+
+    /** `resolveRelativeUri` port (uri.hpp:52-187) — the reference's
+      * hand-rolled merge-and-normalise, kept step-faithful rather than
+      * delegating to java.net.URI, which differs in corners the reference's
+      * algorithm defines: network-path "//h/p" references are treated as
+      * plain absolute PATHS under the scope's authority (not an authority
+      * replacement), query-only references append to the stripped base
+      * path, unmatched ".." segments are retained on relative scopes, and
+      * an empty reference returns the scope as-is (fragment included). */
+    private def resolveRelativeUri(scope: String, rel: String): String = {
+      if (rel.isEmpty) return scope
+      var schemeAndAuthority = ""
+      var basePath = ""
+      val schemeEnd = scope.indexOf("://")
+      if (schemeEnd >= 0) {
+        // scheme+authority, e.g. http://userinfo@example.com:8080
+        val authorityEnd = scope.indexOf('/', schemeEnd + 3)
+        schemeAndAuthority = if (authorityEnd < 0) scope else scope.substring(0, authorityEnd)
+        basePath =
+          if (schemeAndAuthority.length < scope.length) scope.substring(schemeAndAuthority.length)
+          else "/"
+      } else {
+        // a relative resolution scope still represents a URI path
+        basePath = scope
+      }
+      val fragPos = basePath.indexOf('#')
+      if (fragPos >= 0) basePath = basePath.substring(0, fragPos)
+      val qPos = basePath.indexOf('?')
+      if (qPos >= 0) basePath = basePath.substring(0, qPos)
+      // a reference that is just a fragment or a query appends to the
+      // scheme+authority and stripped base path
+      if (rel(0) == '#' || rel(0) == '?') return schemeAndAuthority + basePath + rel
+      var relativePath = rel
+      var suffix = ""
+      val rf = relativePath.indexOf('#')
+      val rq = relativePath.indexOf('?')
+      val suffixPos = if (rf < 0) rq else if (rq < 0) rf else math.min(rf, rq)
+      if (suffixPos >= 0) {
+        suffix = relativePath.substring(suffixPos)
+        relativePath = relativePath.substring(0, suffixPos)
+      }
+      val mergedPath =
+        if (relativePath.nonEmpty && relativePath(0) == '/') relativePath
+        else {
+          val lastSlash = basePath.lastIndexOf('/')
+          if (lastSlash < 0) relativePath
+          else basePath.substring(0, lastSlash + 1) + relativePath
+        }
+      val absolutePath = mergedPath.nonEmpty && mergedPath(0) == '/'
+      val segments = mutable.ArrayBuffer[String]()
+      def push(segment: String): Unit = {
+        if (segment == "..") {
+          if (segments.nonEmpty && segments.last != "..") segments.remove(segments.length - 1)
+          else if (!absolutePath) segments += segment
+        } else if (segment.nonEmpty && segment != ".") segments += segment
+      }
+      var seg = new StringBuilder
+      mergedPath.foreach { c =>
+        if (c == '/') { push(seg.toString); seg = new StringBuilder } else seg += c
+      }
+      push(seg.toString)
+      val normalised0 = (if (absolutePath) "/" else "") + segments.mkString("/")
+      val normalised =
+        if (mergedPath.nonEmpty && mergedPath.last == '/' &&
+            (normalised0.isEmpty || normalised0.last != '/')) normalised0 + "/"
+        else normalised0
+      schemeAndAuthority + normalised + suffix
+    }
 
     private def loadDoc(uri: String): JsonNode = docs.getOrElseUpdate(uri, {
       val text = externalDocs.getOrElse(uri,
@@ -163,22 +244,113 @@ object SpecParser {
       }
     }
 
+    /** C-locale isspace — what `strtoul`/`std::stoul` skip. Deliberately NOT
+      * Java's Unicode-aware isWhitespace (bytes 0x1C-0x1F are Java whitespace
+      * but not C whitespace). */
+    private def isCSpace(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+    private def hexVal(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+
+    /** `decodePercentEncodedChar` analog (internal/json_pointer.hpp:48-66):
+      * the two bytes after '%' are fed to C `strtoul(_, _, 16)`, with its
+      * quirks preserved — an error is raised only when the conversion
+      * CONSUMED something and left trailing garbage ("%4z"); a token where
+      * nothing converts ("%zz") silently yields byte 0; leading C-whitespace
+      * and a sign are accepted ("% 4", "%+4"), and a negative value wraps
+      * unsigned then truncates to the low byte ("%-1" → 0xFF). */
+    private def strtoulHex2(c1: Char, c2: Char, tok: String): Int = {
+      val s = "" + c1 + c2
+      var i = 0
+      while (i < 2 && isCSpace(s(i))) i += 1
+      var neg = false
+      if (i < 2 && (s(i) == '+' || s(i) == '-')) { neg = s(i) == '-'; i += 1 }
+      var v = 0; var consumed = false
+      while (i < 2 && hexVal(s(i)) >= 0) { v = v * 16 + hexVal(s(i)); consumed = true; i += 1 }
+      if (!consumed) return 0 // strtoul made no conversion: end==begin, no error, value 0
+      if (i != 2)
+        throw new IllegalArgumentException(
+          s"Failed to decode %-encoded character '$s' in $$ref pointer token '$tok'")
+      (if (neg) -v else v) & 0xFF
+    }
+
+    /** RFC-3986 %-decoding of one reference token, applied AFTER the ~1/~0
+      * replacement — mirroring `extractReferenceToken`
+      * (internal/json_pointer.hpp:96-121) including its ordering quirk:
+      * "%7E0" decodes to the literal two-character key "~0" (the decoded
+      * '~' is NOT re-examined for pointer escapes), and a '%' yielding
+      * another '%' is not rescanned. Decoded bytes splice into the token's
+      * UTF-8 byte stream, as in the reference's std::string arithmetic. */
+    private def percentDecodeToken(tok: String): String = {
+      val in = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = new java.io.ByteArrayOutputStream(in.length)
+      var i = 0
+      while (i < in.length) {
+        if (in(i) == '%') {
+          if (i + 2 >= in.length)
+            throw new IllegalArgumentException(
+              s"Failed to decode %-encoded character in $$ref pointer token '$tok': " +
+                "expected two characters")
+          out.write(strtoulHex2((in(i + 1) & 0xFF).toChar, (in(i + 2) & 0xFF).toChar, tok))
+          i += 3
+        } else { out.write(in(i)); i += 1 }
+      }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+    /** `std::stoul` analog for array reference tokens
+      * (internal/json_pointer.hpp:190-232): leading C-whitespace and a sign
+      * are accepted, trailing garbage is silently ignored ("01"→1, "1x"→1,
+      * "+1"→1), a negative value wraps unsigned ("-0"→0; "-1" wraps huge and
+      * fails the bounds check), and a bare "-" is rejected before parsing.
+      * Returns -1 for any form the reference rejects (caller raises the
+      * unified unresolvable-pointer error). */
+    private def stoulArrayIndex(tok: String, arraySize: Int): Int = {
+      if (tok == "-") return -1 // hyphen special case: "element does not yet exist"
+      var i = 0
+      while (i < tok.length && isCSpace(tok(i))) i += 1
+      var neg = false
+      if (i < tok.length && (tok(i) == '+' || tok(i) == '-')) { neg = tok(i) == '-'; i += 1 }
+      val start = i
+      var v = BigInt(0)
+      while (i < tok.length && tok(i) >= '0' && tok(i) <= '9') { v = v * 10 + (tok(i) - '0'); i += 1 }
+      if (i == start) return -1 // invalid_argument analog: no digits
+      if (v >= BigInt(2).pow(64)) return -1 // out_of_range analog
+      val u = if (neg) (BigInt(2).pow(64) - v) mod BigInt(2).pow(64) else v
+      if (u >= BigInt(arraySize)) return -1 // bounds check (wrapped negatives land here)
+      u.toInt
+    }
+
     /** Walk a JSON Pointer, tracking `$id` scopes declared on intermediate
       * nodes along the path (a relative $ref inside the pointed-to subtree
       * must resolve against the innermost enclosing $id, not the caller's
-      * scope). Returns (target node, its resolution scope). */
+      * scope). Token decoding mirrors the reference's STRICT resolver
+      * (`resolveJsonPointerStrict`, the one the schema parser uses —
+      * schema_parser.hpp:561,1236): empty tokens are PRESERVED and identify
+      * an empty object member name ("#/a//b" looks up the "" key; a trailing
+      * '/' looks up "" in the final node), ~1/~0 replacement runs first,
+      * then RFC-3986 %-decoding. Returns (target node, its resolution
+      * scope). */
     private def resolvePointer(docKey: String, root: JsonNode, ptr: String,
                                outerScope: String): (JsonNode, String) = {
       var node = root
       var scope = outerScope
-      if (ptr.nonEmpty) ptr.split("/").drop(1).foreach { raw =>
+      if (ptr.nonEmpty) ptr.split("/", -1).drop(1).foreach { raw =>
         // descending INTO node's subtree: apply node's own $id now; the
         // final target's own $id is NOT applied here — schemaFor/build
         // applies it (scope invariant: returned scope is OUTSIDE the target)
         if (node.isObject) scope = idOf(node).map(resolveUri(scope, _)).getOrElse(scope)
-        val seg = raw.replace("~1", "/").replace("~0", "~")
-        node = if (node != null && node.isArray) node.get(seg.toInt)
-               else if (node != null) node.get(seg) else null
+        val seg0 = raw.replace("~1", "/").replace("~0", "~")
+        val seg = if (seg0.indexOf('%') >= 0) percentDecodeToken(seg0) else seg0
+        node = if (node != null && node.isArray) {
+          val idx = stoulArrayIndex(seg, node.size())
+          if (idx < 0) null else node.get(idx)
+        }
+        else if (node != null) node.get(seg) else null
         if (node == null)
           throw new IllegalArgumentException(s"unresolvable JSON Pointer in $$ref: $docKey#$ptr")
       }
@@ -237,8 +409,12 @@ object SpecParser {
       * first, then document cache / externalDocs; JSON Pointer within. */
     private def refTarget(ref: String, docKey: String, scope: String): SchemaSpec = {
       val hashIdx = ref.indexOf('#')
-      val (uriPart, frag) =
+      val (uriPart, frag0) =
         if (hashIdx < 0) (ref, "") else (ref.substring(0, hashIdx), ref.substring(hashIdx + 1))
+      // sanitiseJsonPointer (schema_parser.hpp:263-276): a fragment of
+      // exactly "/" means the document ROOT (before the strict resolver
+      // would see it as one empty token)
+      val frag = if (frag0 == "/") "" else frag0
 
       /** Pointer or plain-name-anchor fragment within a resolved document/
         * subschema. */

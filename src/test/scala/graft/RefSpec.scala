@@ -220,4 +220,87 @@ class RefSpec extends SparkTestBase {
       SpecParser.parse("""{"$ref": "http://deep.test/s0.json"}""", ext))
     e.getMessage should include("nesting exceeds the parser limit")
   }
+
+  test("pointer token decoding error paths mirror the reference's strict resolver") {
+    // "%4z": strtoul consumed one hex digit then hit garbage — the ONLY
+    // %-decode shape that errors (decodePercentEncodedChar end!=begin &&
+    // *end!='\0', internal/json_pointer.hpp:58-62)
+    val e1 = intercept[IllegalArgumentException](SpecParser.parse(
+      """{"definitions": {"x": {"type": "integer"}}, "$ref": "#/definitions/x%4z"}"""))
+    e1.getMessage should include("Failed to decode %-encoded character")
+    // a '%' with fewer than two characters after it: length check throws
+    val e2 = intercept[IllegalArgumentException](SpecParser.parse(
+      """{"definitions": {"x": {"type": "integer"}}, "$ref": "#/definitions/x%4"}"""))
+    e2.getMessage should include("expected two characters")
+    // array token "-" is rejected before stoul (hyphen special case)
+    intercept[IllegalArgumentException](SpecParser.parse(
+      """{"definitions": {"arr": [{"type": "integer"}]}, "$ref": "#/definitions/arr/-"}"""))
+    // "-1" wraps unsigned to a huge index -> bounds failure
+    intercept[IllegalArgumentException](SpecParser.parse(
+      """{"definitions": {"arr": [{"type": "integer"}]}, "$ref": "#/definitions/arr/-1"}"""))
+    // 2^64 overflows stoul (out_of_range analog)
+    intercept[IllegalArgumentException](SpecParser.parse(
+      """{"definitions": {"arr": [{"type": "integer"}]},
+         "$ref": "#/definitions/arr/18446744073709551616"}"""))
+    // non-numeric array token (invalid_argument analog)
+    intercept[IllegalArgumentException](SpecParser.parse(
+      """{"definitions": {"arr": [{"type": "integer"}]}, "$ref": "#/definitions/arr/x"}"""))
+    // a fragment of exactly "/" is sanitised to the document ROOT
+    // (sanitiseJsonPointer, schema_parser.hpp:263-276) — referenced through
+    // a value-descending keyword it is the usual guarded self-cycle...
+    val rootSlash = SpecParser.parse(
+      """{"properties": {"p": {"$ref": "#/"}}, "required": ["q"]}""")
+    val df = Seq(
+      Tuple1("""{"q": 1, "p": {"q": 2}}"""),
+      Tuple1("""{"q": 1, "p": {"x": 2}}""")).toDF("j")
+    Graft.validateJsonColumn(df, "j", rootSlash)
+      .select("pass").collect().map(_.getBoolean(0)).toSeq shouldBe Seq(true, false)
+    // ...but "#//" (a genuinely empty first token) stays strict and is
+    // unresolvable when no ""-named root member exists
+    intercept[IllegalArgumentException](SpecParser.parse(
+      """{"definitions": {"x": {"type": "integer"}}, "$ref": "#//"}"""))
+  }
+
+  test("relative-URI resolution mirrors the reference's own algorithm, not the JDK's") {
+    import org.apache.spark.sql.functions.col
+    def passes(schema: String, ext: Map[String, String], doc: Long): Boolean = {
+      val spec = SpecParser.parse(schema, ext)
+      val df = Seq(Tuple1(doc)).toDF("doc")
+      val c = graft.compile.Compiler.compile(spec, col("doc"), df.schema("doc").dataType,
+        org.apache.spark.sql.functions.lit(""))
+      df.select(c.pass).collect()(0).getBoolean(0)
+    }
+    // ($id sits on the PARENT: a $ref node's own siblings are never read —
+    // resolveThenPopulateSchema checks $ref before populateSchema applies id)
+    //
+    // network-path reference "//x/y.json": the reference treats it as a plain
+    // absolute PATH under the scope's authority (uri.hpp:126-130 — a leading
+    // '/' path is used as-is, then "//" collapses in segment normalisation),
+    // NOT as an authority replacement (java.net.URI would give http://x/...)
+    passes(
+      """{"$id": "http://h/a/b.json", "allOf": [{"$ref": "//x/y.json"}]}""",
+      Map("http://h/x/y.json" -> """{"minimum": 0}"""), 5L) shouldBe true
+    // a scheme without "://" is NOT absolute (isUriAbsolute requires the
+    // marker, uri.hpp:17-33): "a:b" resolves as a relative path segment
+    passes(
+      """{"$id": "http://h/dir/doc.json", "allOf": [{"$ref": "a:b"}]}""",
+      Map("http://h/dir/a:b" -> """{"minimum": 0}"""), 5L) shouldBe true
+    // query-only reference appends to the scope's stripped base path
+    passes(
+      """{"$id": "http://h/p.json", "allOf": [{"$ref": "?q=1"}]}""",
+      Map("http://h/p.json?q=1" -> """{"minimum": 0}"""), 5L) shouldBe true
+    // unmatched "..": segments above the root are dropped for absolute paths
+    passes(
+      """{"$id": "http://h/a.json", "allOf": [{"$ref": "../../up.json"}]}""",
+      Map("http://h/up.json" -> """{"minimum": 0}"""), 5L) shouldBe true
+    // trailing slash of the merged path is preserved through normalisation
+    passes(
+      """{"$id": "http://h/a/b.json", "allOf": [{"$ref": "sub/"}]}""",
+      Map("http://h/a/sub/" -> """{"minimum": 0}"""), 5L) shouldBe true
+    // non-URN "urn"-prefixed string (single colon, no NSS) fails the RFC-8141
+    // regex and resolves as a relative path
+    passes(
+      """{"$id": "http://h/d/doc.json", "allOf": [{"$ref": "urn:x"}]}""",
+      Map("http://h/d/urn:x" -> """{"minimum": 0}"""), 5L) shouldBe true
+  }
 }
