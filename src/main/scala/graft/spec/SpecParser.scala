@@ -48,6 +48,17 @@ object SpecParser {
     new ObjectMapper(f)
   }
 
+  /** RFC-8141 URN test — the reference's regex (uri.hpp:43-45) ported
+    * verbatim (its character classes include a literal backslash). */
+  private val UrnPattern = java.util.regex.Pattern.compile(
+    "^((urn)|(URN)):(?!urn:)([a-zA-Z0-9][a-zA-Z0-9-]{1,31})" +
+      "(:[-a-zA-Z0-9\\\\._~%!$&'()/*+,;=]+)+" +
+      "(\\?[-a-zA-Z0-9\\\\._~%!$&'()/*+,;:=]+){0,1}" +
+      "(#[-a-zA-Z0-9\\\\._~%!$&'()/*+,;:=]+){0,1}$")
+
+  /** ULONG_MAX + 1 — std::stoul's wrap modulus. */
+  private val Twop64 = BigInt(2).pow(64)
+
   /** Parse-time custom-keyword builder — the `ConstraintBuilder` analog
     * (valijson `constraint_builder.hpp:13-19`, registered via
     * `SchemaParser::addConstraintBuilder` `schema_parser.hpp:91-94`,
@@ -131,14 +142,7 @@ object SpecParser {
       * carve-out below). */
     private def isAbsolute(u: String): Boolean = u.contains("://")
 
-    /** RFC-8141 URN test — the reference's regex (uri.hpp:43-45) ported
-      * verbatim (its character classes include a literal backslash). */
-    private val urnPattern = java.util.regex.Pattern.compile(
-      "^((urn)|(URN)):(?!urn:)([a-zA-Z0-9][a-zA-Z0-9-]{1,31})" +
-        "(:[-a-zA-Z0-9\\\\._~%!$&'()/*+,;=]+)+" +
-        "(\\?[-a-zA-Z0-9\\\\._~%!$&'()/*+,;:=]+){0,1}" +
-        "(#[-a-zA-Z0-9\\\\._~%!$&'()/*+,;:=]+){0,1}$")
-    private def isUrn(u: String): Boolean = urnPattern.matcher(u).matches()
+    private def isUrn(u: String): Boolean = UrnPattern.matcher(u).matches()
 
     /** `resolveId`/`resolveDocumentUri` shape (schema_parser.hpp:199-210,
       * 298-309): absolute URIs and URNs pass through; everything else merges
@@ -154,7 +158,12 @@ object SpecParser {
       * plain absolute PATHS under the scope's authority (not an authority
       * replacement), query-only references append to the stripped base
       * path, unmatched ".." segments are retained on relative scopes, and
-      * an empty reference returns the scope as-is (fragment included). */
+      * an empty reference returns the scope as-is (fragment included).
+      * Known shared corner: a PATHLESS scope carrying a fragment/query
+      * ("http://h#a") has no '/' after the authority, so the whole scope —
+      * fragment included — becomes schemeAndAuthority and survives into the
+      * resolved URI, exactly as the reference's find('/', schemeEnd) does
+      * (uri.hpp:72-82); java.net.URI would instead strip it. */
     private def resolveRelativeUri(scope: String, rel: String): String = {
       if (rel.isEmpty) return scope
       var schemeAndAuthority = ""
@@ -284,8 +293,12 @@ object SpecParser {
       * "%7E0" decodes to the literal two-character key "~0" (the decoded
       * '~' is NOT re-examined for pointer escapes), and a '%' yielding
       * another '%' is not rescanned. Decoded bytes splice into the token's
-      * UTF-8 byte stream, as in the reference's std::string arithmetic. */
-    private def percentDecodeToken(tok: String): String = {
+      * UTF-8 byte stream, as in the reference's std::string arithmetic —
+      * returned RAW so lookups happen at the byte level: a decode that
+      * produces invalid UTF-8 (e.g. "%ff") must never equal any member name
+      * of a valid-UTF-8 document (the reference's raw std::string compare),
+      * not collapse to U+FFFD and accidentally match a "�" key. */
+    private def percentDecodeToken(tok: String): Array[Byte] = {
       val in = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val out = new java.io.ByteArrayOutputStream(in.length)
       var i = 0
@@ -299,7 +312,20 @@ object SpecParser {
           i += 3
         } else { out.write(in(i)); i += 1 }
       }
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      out.toByteArray
+    }
+
+    /** Strict UTF-8 decode of a spliced token: None when the byte stream is
+      * malformed (such a token can never name a member of a document Jackson
+      * parsed, so the caller raises the unified unresolvable-pointer error —
+      * the same terminal outcome as the reference's raw-byte compare
+      * missing every key). */
+    private def strictUtf8(bytes: Array[Byte]): Option[String] = {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+      catch { case _: java.nio.charset.CharacterCodingException => None }
     }
 
     /** `std::stoul` analog for array reference tokens
@@ -317,10 +343,16 @@ object SpecParser {
       if (i < tok.length && (tok(i) == '+' || tok(i) == '-')) { neg = tok(i) == '-'; i += 1 }
       val start = i
       var v = BigInt(0)
-      while (i < tok.length && tok(i) >= '0' && tok(i) <= '9') { v = v * 10 + (tok(i) - '0'); i += 1 }
+      while (i < tok.length && tok(i) >= '0' && tok(i) <= '9') {
+        // once v >= 2^64 the outcome is fixed (out_of_range either way, sign
+        // or not), so bail instead of growing the BigInt over a hostile
+        // multi-MB digit token (quadratic word ops otherwise)
+        if (v >= Twop64) return -1 // out_of_range analog
+        v = v * 10 + (tok(i) - '0'); i += 1
+      }
       if (i == start) return -1 // invalid_argument analog: no digits
-      if (v >= BigInt(2).pow(64)) return -1 // out_of_range analog
-      val u = if (neg) (BigInt(2).pow(64) - v) mod BigInt(2).pow(64) else v
+      if (v >= Twop64) return -1 // out_of_range analog
+      val u = if (neg) (Twop64 - v) mod Twop64 else v
       if (u >= BigInt(arraySize)) return -1 // bounds check (wrapped negatives land here)
       u.toInt
     }
@@ -345,12 +377,20 @@ object SpecParser {
         // applies it (scope invariant: returned scope is OUTSIDE the target)
         if (node.isObject) scope = idOf(node).map(resolveUri(scope, _)).getOrElse(scope)
         val seg0 = raw.replace("~1", "/").replace("~0", "~")
-        val seg = if (seg0.indexOf('%') >= 0) percentDecodeToken(seg0) else seg0
+        // %-splicing happens in byte space; a token without '%' keeps its
+        // String form (preserving any lone surrogates Jackson let through)
+        val segBytes = if (seg0.indexOf('%') >= 0) percentDecodeToken(seg0) else null
         node = if (node != null && node.isArray) {
-          val idx = stoulArrayIndex(seg, node.size())
+          // C parses the raw bytes: ISO-8859-1 maps each byte to one char,
+          // and the digit/space/sign tests below are ASCII-only
+          val tok = if (segBytes == null) seg0
+                    else new String(segBytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val idx = stoulArrayIndex(tok, node.size())
           if (idx < 0) null else node.get(idx)
-        }
-        else if (node != null) node.get(seg) else null
+        } else if (node != null) {
+          val segOpt = if (segBytes == null) Some(seg0) else strictUtf8(segBytes)
+          segOpt.map(node.get).orNull
+        } else null
         if (node == null)
           throw new IllegalArgumentException(s"unresolvable JSON Pointer in $$ref: $docKey#$ptr")
       }

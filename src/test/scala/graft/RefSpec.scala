@@ -303,4 +303,21 @@ class RefSpec extends SparkTestBase {
       """{"$id": "http://h/d/doc.json", "allOf": [{"$ref": "urn:x"}]}""",
       Map("http://h/d/urn:x" -> """{"minimum": 0}"""), 5L) shouldBe true
   }
+
+  test("%-decoded tokens that are invalid UTF-8 stay in byte space") {
+    // the reference compares raw std::string bytes: %ff is the lone byte
+    // 0xFF, which matches no member of a valid-UTF-8 document — in
+    // particular NOT a key named with the U+FFFD replacement character,
+    // which a lossy decode would silently hit
+    intercept[IllegalArgumentException](SpecParser.parse(
+      """{"definitions": {"�": {"type": "integer"}}, "$ref": "#/definitions/%ff"}"""))
+    // distinct invalid bytes stay distinct failures (no %fe/%ff collapse)
+    intercept[IllegalArgumentException](SpecParser.parse(
+      """{"definitions": {"�": {"type": "integer"}}, "$ref": "#/definitions/%fe"}"""))
+    // a hostile multi-hundred-kB digit token bails once past 2^64 instead of
+    // growing a BigInt quadratically; outcome is the unified pointer error
+    val big = "9" * 300000
+    intercept[IllegalArgumentException](SpecParser.parse(
+      s"""{"definitions": {"arr": [{"type": "integer"}]}, "$$ref": "#/definitions/arr/$big"}"""))
+  }
 }
