@@ -59,6 +59,97 @@ object SpecParser {
   /** ULONG_MAX + 1 — std::stoul's wrap modulus. */
   private val Twop64 = BigInt(2).pow(64)
 
+  /** `isUriAbsolute` analog (uri.hpp:28-33): the reference requires a
+    * literal "://" marker, so "mailto:"-style schemes without an authority
+    * are NOT absolute and resolve as relative paths (URNs are the separate
+    * carve-out below). */
+  private def isAbsolute(u: String): Boolean = u.contains("://")
+
+  private def isUrn(u: String): Boolean = UrnPattern.matcher(u).matches()
+
+  /** `resolveId`/`resolveDocumentUri` shape (schema_parser.hpp:199-210,
+    * 298-309): absolute URIs and URNs pass through; everything else merges
+    * into the scope via the reference's own algorithm. */
+  private def resolveUri(scope: String, uri: String): String =
+    if (isAbsolute(uri) || isUrn(uri) || scope.isEmpty) uri
+    else resolveRelativeUri(scope, uri)
+
+  /** `resolveRelativeUri` port (uri.hpp:52-187) — the reference's
+    * hand-rolled merge-and-normalise, kept step-faithful rather than
+    * delegating to java.net.URI, which differs in corners the reference's
+    * algorithm defines: network-path "//h/p" references are treated as
+    * plain absolute PATHS under the scope's authority (not an authority
+    * replacement), query-only references append to the stripped base
+    * path, unmatched ".." segments are retained on relative scopes, and
+    * an empty reference returns the scope as-is (fragment included).
+    * Known shared corner: a PATHLESS scope carrying a fragment/query
+    * ("http://h#a") has no '/' after the authority, so the whole scope —
+    * fragment included — becomes schemeAndAuthority and survives into the
+    * resolved URI, exactly as the reference's find('/', schemeEnd) does
+    * (uri.hpp:72-82); java.net.URI would instead strip it.
+    * private[graft] so UriResolutionSpec can property-test it against the
+    * JDK resolver on the clean-input subset where both define the same
+    * RFC-3986 merge. */
+  private[graft] def resolveRelativeUri(scope: String, rel: String): String = {
+    if (rel.isEmpty) return scope
+    var schemeAndAuthority = ""
+    var basePath = ""
+    val schemeEnd = scope.indexOf("://")
+    if (schemeEnd >= 0) {
+      // scheme+authority, e.g. http://userinfo@example.com:8080
+      val authorityEnd = scope.indexOf('/', schemeEnd + 3)
+      schemeAndAuthority = if (authorityEnd < 0) scope else scope.substring(0, authorityEnd)
+      basePath =
+        if (schemeAndAuthority.length < scope.length) scope.substring(schemeAndAuthority.length)
+        else "/"
+    } else {
+      // a relative resolution scope still represents a URI path
+      basePath = scope
+    }
+    val fragPos = basePath.indexOf('#')
+    if (fragPos >= 0) basePath = basePath.substring(0, fragPos)
+    val qPos = basePath.indexOf('?')
+    if (qPos >= 0) basePath = basePath.substring(0, qPos)
+    // a reference that is just a fragment or a query appends to the
+    // scheme+authority and stripped base path
+    if (rel(0) == '#' || rel(0) == '?') return schemeAndAuthority + basePath + rel
+    var relativePath = rel
+    var suffix = ""
+    val rf = relativePath.indexOf('#')
+    val rq = relativePath.indexOf('?')
+    val suffixPos = if (rf < 0) rq else if (rq < 0) rf else math.min(rf, rq)
+    if (suffixPos >= 0) {
+      suffix = relativePath.substring(suffixPos)
+      relativePath = relativePath.substring(0, suffixPos)
+    }
+    val mergedPath =
+      if (relativePath.nonEmpty && relativePath(0) == '/') relativePath
+      else {
+        val lastSlash = basePath.lastIndexOf('/')
+        if (lastSlash < 0) relativePath
+        else basePath.substring(0, lastSlash + 1) + relativePath
+      }
+    val absolutePath = mergedPath.nonEmpty && mergedPath(0) == '/'
+    val segments = mutable.ArrayBuffer[String]()
+    def push(segment: String): Unit = {
+      if (segment == "..") {
+        if (segments.nonEmpty && segments.last != "..") segments.remove(segments.length - 1)
+        else if (!absolutePath) segments += segment
+      } else if (segment.nonEmpty && segment != ".") segments += segment
+    }
+    var seg = new StringBuilder
+    mergedPath.foreach { c =>
+      if (c == '/') { push(seg.toString); seg = new StringBuilder } else seg += c
+    }
+    push(seg.toString)
+    val normalised0 = (if (absolutePath) "/" else "") + segments.mkString("/")
+    val normalised =
+      if (mergedPath.nonEmpty && mergedPath.last == '/' &&
+          (normalised0.isEmpty || normalised0.last != '/')) normalised0 + "/"
+      else normalised0
+    schemeAndAuthority + normalised + suffix
+  }
+
   /** Parse-time custom-keyword builder — the `ConstraintBuilder` analog
     * (valijson `constraint_builder.hpp:13-19`, registered via
     * `SchemaParser::addConstraintBuilder` `schema_parser.hpp:91-94`,
@@ -135,94 +226,6 @@ object SpecParser {
 
     private def idOf(n: JsonNode): Option[String] =
       (Option(n.get("$id")) orElse Option(n.get("id"))).filter(_.isTextual).map(_.asText())
-
-    /** `isUriAbsolute` analog (uri.hpp:28-33): the reference requires a
-      * literal "://" marker, so "mailto:"-style schemes without an authority
-      * are NOT absolute and resolve as relative paths (URNs are the separate
-      * carve-out below). */
-    private def isAbsolute(u: String): Boolean = u.contains("://")
-
-    private def isUrn(u: String): Boolean = UrnPattern.matcher(u).matches()
-
-    /** `resolveId`/`resolveDocumentUri` shape (schema_parser.hpp:199-210,
-      * 298-309): absolute URIs and URNs pass through; everything else merges
-      * into the scope via the reference's own algorithm. */
-    private def resolveUri(scope: String, uri: String): String =
-      if (isAbsolute(uri) || isUrn(uri) || scope.isEmpty) uri
-      else resolveRelativeUri(scope, uri)
-
-    /** `resolveRelativeUri` port (uri.hpp:52-187) — the reference's
-      * hand-rolled merge-and-normalise, kept step-faithful rather than
-      * delegating to java.net.URI, which differs in corners the reference's
-      * algorithm defines: network-path "//h/p" references are treated as
-      * plain absolute PATHS under the scope's authority (not an authority
-      * replacement), query-only references append to the stripped base
-      * path, unmatched ".." segments are retained on relative scopes, and
-      * an empty reference returns the scope as-is (fragment included).
-      * Known shared corner: a PATHLESS scope carrying a fragment/query
-      * ("http://h#a") has no '/' after the authority, so the whole scope —
-      * fragment included — becomes schemeAndAuthority and survives into the
-      * resolved URI, exactly as the reference's find('/', schemeEnd) does
-      * (uri.hpp:72-82); java.net.URI would instead strip it. */
-    private def resolveRelativeUri(scope: String, rel: String): String = {
-      if (rel.isEmpty) return scope
-      var schemeAndAuthority = ""
-      var basePath = ""
-      val schemeEnd = scope.indexOf("://")
-      if (schemeEnd >= 0) {
-        // scheme+authority, e.g. http://userinfo@example.com:8080
-        val authorityEnd = scope.indexOf('/', schemeEnd + 3)
-        schemeAndAuthority = if (authorityEnd < 0) scope else scope.substring(0, authorityEnd)
-        basePath =
-          if (schemeAndAuthority.length < scope.length) scope.substring(schemeAndAuthority.length)
-          else "/"
-      } else {
-        // a relative resolution scope still represents a URI path
-        basePath = scope
-      }
-      val fragPos = basePath.indexOf('#')
-      if (fragPos >= 0) basePath = basePath.substring(0, fragPos)
-      val qPos = basePath.indexOf('?')
-      if (qPos >= 0) basePath = basePath.substring(0, qPos)
-      // a reference that is just a fragment or a query appends to the
-      // scheme+authority and stripped base path
-      if (rel(0) == '#' || rel(0) == '?') return schemeAndAuthority + basePath + rel
-      var relativePath = rel
-      var suffix = ""
-      val rf = relativePath.indexOf('#')
-      val rq = relativePath.indexOf('?')
-      val suffixPos = if (rf < 0) rq else if (rq < 0) rf else math.min(rf, rq)
-      if (suffixPos >= 0) {
-        suffix = relativePath.substring(suffixPos)
-        relativePath = relativePath.substring(0, suffixPos)
-      }
-      val mergedPath =
-        if (relativePath.nonEmpty && relativePath(0) == '/') relativePath
-        else {
-          val lastSlash = basePath.lastIndexOf('/')
-          if (lastSlash < 0) relativePath
-          else basePath.substring(0, lastSlash + 1) + relativePath
-        }
-      val absolutePath = mergedPath.nonEmpty && mergedPath(0) == '/'
-      val segments = mutable.ArrayBuffer[String]()
-      def push(segment: String): Unit = {
-        if (segment == "..") {
-          if (segments.nonEmpty && segments.last != "..") segments.remove(segments.length - 1)
-          else if (!absolutePath) segments += segment
-        } else if (segment.nonEmpty && segment != ".") segments += segment
-      }
-      var seg = new StringBuilder
-      mergedPath.foreach { c =>
-        if (c == '/') { push(seg.toString); seg = new StringBuilder } else seg += c
-      }
-      push(seg.toString)
-      val normalised0 = (if (absolutePath) "/" else "") + segments.mkString("/")
-      val normalised =
-        if (mergedPath.nonEmpty && mergedPath.last == '/' &&
-            (normalised0.isEmpty || normalised0.last != '/')) normalised0 + "/"
-        else normalised0
-      schemeAndAuthority + normalised + suffix
-    }
 
     private def loadDoc(uri: String): JsonNode = docs.getOrElseUpdate(uri, {
       val text = externalDocs.getOrElse(uri,
@@ -506,8 +509,12 @@ object SpecParser {
         throw new IllegalArgumentException(s"schema at $docKey#$path must be an object or boolean")
 
       // $ref: resolve and reuse the target ($ref siblings ignored, draft-7)
-      if (node.has("$ref"))
-        return refTarget(node.get("$ref").asText(), docKey, outerScope)
+      if (node.has("$ref")) {
+        val r = node.get("$ref")
+        if (!r.isTextual) // extractJsonReference (schema_parser.hpp:253-255)
+          throw new IllegalArgumentException("$ref property expected to contain string value.")
+        return refTarget(r.asText(), docKey, outerScope)
+      }
 
       // $id establishes a new resolution scope for nested refs (SP:809-823)
       val scope = idOf(node).map(resolveUri(outerScope, _)).getOrElse(outerScope)

@@ -320,4 +320,11 @@ class RefSpec extends SparkTestBase {
     intercept[IllegalArgumentException](SpecParser.parse(
       s"""{"definitions": {"arr": [{"type": "integer"}]}, "$$ref": "#/definitions/arr/$big"}"""))
   }
+
+  test("a non-string $ref value is rejected at parse (extractJsonReference analog)") {
+    // schema_parser.hpp:253-255: "$ref property expected to contain string value."
+    val e = intercept[IllegalArgumentException](SpecParser.parse("""{"$ref": 42}"""))
+    e.getMessage should include("expected to contain string value")
+    intercept[IllegalArgumentException](SpecParser.parse("""{"$ref": {"$ref": "#"}}"""))
+  }
 }
