@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.checks.TableChecks
 import graft.data.TranscriptGen
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with DuckDB-equivalent `oracleSql` where the operator is
@@ -637,6 +637,45 @@ object SparkEntry {
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
           Dedup.ngramJaccardOfNorms(col("_na"), col("_nb"), 8).as("jaccard"))
+    }),
+
+    "q_sample_stratified" -> ((s, dir) => { implicit val sp = s
+      // deterministic per-stratum Bernoulli sampling: keep iff the md5-u01
+      // of the doc id clears the stratum's fraction — a pure codegen'd
+      // filter (no shuffle, no RNG state), so retries and incremental
+      // appends pick the SAME rows. md5 form so DuckDB recomputes the
+      // exact sample; production uses the xxhash64 u01 (CurationSpec
+      // asserts both are uniform and deterministic).
+      Curation.hashSample(t(dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.1), defaultFraction = 0.05)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    "q_budget_pack" -> ((s, dir) => { implicit val sp = s
+      // per-stratum token-budget packing (data mixing): highest-priority
+      // prefix per language whose running token sum fits the budget. One
+      // hash-partition shuffle on lang + a spillable window cumsum; the
+      // priority (n_chars DESC, doc_id) is total, so the kept set is
+      // deterministic under any partitioning.
+      Curation.budgetPack(t(dir, "documents"), "lang",
+        TextAnalysis.tokenCountWs(col("text")).cast("long"),
+        Seq(col("n_chars").desc, col("doc_id").asc),
+        Map("en" -> 5000L, "fr" -> 2000L, "de" -> 1500L), defaultBudget = 1000L)
+        .select(col("doc_id"), col("lang"), col("cum_tokens").cast("long").as("cum_tokens"))
+    }),
+
+    "q_decontaminate" -> ((s, dir) => { implicit val sp = s
+      // benchmark decontamination: corpus docs sharing any char-13-shingle
+      // with the held-out eval slice (doc_id % 97 = 0 stands in for the
+      // benchmark set). Eval shingles are distinct'd and BROADCAST; the
+      // corpus side is one scan + codegen'd shingle explode + broadcast
+      // semi-join — no corpus-wide shuffle (PlanSpec asserts the broadcast).
+      val docs = t(dir, "documents")
+      Curation.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", k = 13)
+        .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
     }),
 
     "q_dedup_clusters" -> ((s, dir) => { implicit val sp = s
@@ -1748,6 +1787,38 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""",
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                 / 4503599627370496.0
+               < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+                           WHEN 'de' THEN 0.1 ELSE 0.05 END""",
+
+    "q_budget_pack" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, n_chars,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang,
+                  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+           FROM toks)
+         SELECT doc_id, lang, cum_tokens FROM c
+         WHERE cum_tokens <= CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2000
+                                       WHEN 'de' THEN 1500 ELSE 1000 END""",
+
+    "q_decontaminate" ->
+      """WITH nd AS (SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM documents),
+         sh AS (SELECT doc_id, substring(nt, i, 13) AS s
+                FROM nd, LATERAL (SELECT unnest(generate_series(1, greatest(length(nt) - 12, 1))) AS i) t),
+         ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+         SELECT doc_id, count(DISTINCT s)::BIGINT AS n_shared
+         FROM sh WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev)
+         GROUP BY doc_id""",
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * stratified sampling, per-stratum token-budget packing, and benchmark
+  * decontamination. Like the rest of `graft.ops`, everything is declarative
+  * DataFrame/Column work — codegen'd projections and filters, window
+  * aggregation only where the semantics genuinely need per-stratum state,
+  * broadcast semi-joins for small reference sets — so each operator keeps
+  * its one-scan / minimal-shuffle shape at 100 TB.
+  */
+object Curation {
+
+  // --- deterministic stratified sampling ------------------------------------
+
+  /** A uniform double in [0, 1) derived from the top 52 bits of md5(key) —
+    * the hash-pluggable, cross-engine-recomputable form (13 hex chars = 52
+    * bits, exactly representable in an IEEE double; DuckDB reproduces it
+    * bit-for-bit with `('0x' || substring(md5(k), 1, 13))::uint64 / 2^52`).
+    */
+  def uniform01Md5(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("double") /
+      lit(4503599627370496.0) // 2^52
+
+  /** Production form: xxhash64 (codegen'd, no string materialization).
+    * Spark-only values, same distribution; use [[uniform01Md5]] when an
+    * external engine must recompute the sample. */
+  def uniform01Xx(key: Column, seed: Int = 42): Column =
+    (pmod(xxhash64(key, lit(seed)), lit(1L << 52)).cast("double")) /
+      lit(4503599627370496.0)
+
+  /** Deterministic per-stratum Bernoulli sample: keep a row iff
+    * `u01(idCol) < fraction(stratum)`. Unlike `df.sample`/`sampleBy`, the
+    * decision is a pure function of the row's id — re-runs, retries and
+    * incremental appends select the SAME rows (the property a reproducible
+    * training-data pipeline actually needs), and the plan is a shuffle-free
+    * codegen'd filter that pushes NOTHING to the driver.
+    *
+    * `fractions` maps stratum value → keep fraction; strata absent from the
+    * map keep `defaultFraction` (0.0 = drop). */
+  def hashSample(df: DataFrame, idCol: String, stratumCol: String,
+                 fractions: Map[String, Double], defaultFraction: Double = 0.0,
+                 u01: Column => Column = uniform01Md5): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.where(u01(col(idCol)) < frac)
+  }
+
+  // --- per-stratum token-budget packing --------------------------------------
+
+  /** Greedy token-budget packing: within each stratum, rank rows by the
+    * given priority order and keep the maximal prefix whose RUNNING token
+    * sum stays within the stratum's budget (classic data-mixing step:
+    * "fill N tokens of French from highest-quality down").
+    *
+    * One hash-partition shuffle on the stratum key, then a spillable
+    * window cumsum — per-stratum state is a single running sum, so a
+    * billion-row stratum costs sort-spill, never memory. The priority
+    * order MUST be total (tie-break on a unique id) or the kept set is
+    * nondeterministic under re-partitioning.
+    *
+    * Returns the kept rows plus `cum_tokens` (running sum including the
+    * row itself). */
+  def budgetPack(df: DataFrame, stratumCol: String, tokensCol: Column,
+                 priority: Seq[Column], budgetByStratum: Map[String, Long],
+                 defaultBudget: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(priority: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val budget = budgetByStratum.foldLeft(lit(defaultBudget)) { case (acc, (k, b)) =>
+      when(col(stratumCol) === k, lit(b)).otherwise(acc)
+    }
+    df.withColumn("cum_tokens", sum(tokensCol).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+
+  // --- benchmark decontamination ---------------------------------------------
+
+  /** Benchmark decontamination: flag every corpus document sharing at least
+    * one character k-shingle with any document of a (small) evaluation set —
+    * the standard guard against test-set leakage into training data.
+    *
+    * Shape for 100 TB: the eval side is benchmarks (thousands of docs, not
+    * billions) — its DISTINCT shingle set is computed once and broadcast,
+    * so the corpus side is ONE scan with a codegen'd shingle projection and
+    * a broadcast semi-join; the only aggregation keyed by corpus doc runs
+    * AFTER the join, over matched shingles only (a tiny fraction of the
+    * corpus). No corpus-wide shuffle exists.
+    *
+    * Returns (idCol, n_shared) — contaminated docs with their distinct
+    * shared-shingle counts. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, k: Int = 13): DataFrame = {
+    def shingleSet(df: DataFrame, keep: Column*): DataFrame =
+      df.withColumn("_norm", TextAnalysis.normalizeText(col(textCol)))
+        .select(keep :+ explode(TextAnalysis.shinglesOfNorm(col("_norm"), k)).as("_sh"): _*)
+    val evalShingles = shingleSet(evalSet).select("_sh").distinct()
+    shingleSet(corpus, col(idCol))
+      .join(broadcast(evalShingles), "_sh")
+      .groupBy(idCol)
+      .agg(countDistinct(col("_sh")).as("n_shared"))
+  }
+}

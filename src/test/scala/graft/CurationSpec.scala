@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, TextAnalysis}
+
+/** Curation operators: deterministic stratified sampling, token-budget
+  * packing, benchmark decontamination — semantics plus the plan shapes
+  * that make them scale. */
+class CurationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("hashSample is deterministic, stratified, and approximately calibrated") {
+    val fr = Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.1)
+    val s1 = Curation.hashSample(docs, "doc_id", "lang", fr, defaultFraction = 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Curation.hashSample(docs, "doc_id", "lang", fr, defaultFraction = 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    s2 shouldBe s1 // pure function of the id: rerun selects the SAME rows
+    // per-stratum rates land near their fractions (500 docs: generous bands)
+    val byLang = Curation.hashSample(docs, "doc_id", "lang", fr, defaultFraction = 0.05)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    enRate should be (0.5 +- 0.15)
+    byLang.getOrElse("de", 0L).toDouble / totals("de") should be < 0.35
+    // both u01 forms are valid probabilities
+    val u = docs.select(Curation.uniform01Md5(col("doc_id")).as("m"),
+      Curation.uniform01Xx(col("doc_id")).as("x")).collect()
+    all(u.map(_.getDouble(0))) should (be >= 0.0 and be < 1.0)
+    all(u.map(_.getDouble(1))) should (be >= 0.0 and be < 1.0)
+  }
+
+  test("hashSample plan is a shuffle-free codegen'd filter over the scan") {
+    val p = Curation.hashSample(docs, "doc_id", "lang", Map("en" -> 0.5))
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+  }
+
+  test("budgetPack keeps exactly the maximal in-budget prefix per stratum") {
+    val toks = TextAnalysis.tokenCountWs(col("text")).cast("long")
+    val out = Curation.budgetPack(docs, "lang", toks,
+      Seq(col("n_chars").desc, col("doc_id").asc),
+      Map("en" -> 5000L, "fr" -> 2000L), defaultBudget = 1000L)
+      .select(col("lang"), col("doc_id"), col("cum_tokens").cast("long")).collect()
+    val byLang = out.groupBy(_.getString(0))
+    // every stratum is truncated (budgets chosen below the stratum totals)
+    val langTotals = docs.select(col("lang"), toks.as("n")).groupBy("lang")
+      .agg(sum("n")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langTotals.foreach { case (l, total) =>
+      val budget = Map("en" -> 5000L, "fr" -> 2000L).getOrElse(l, 1000L)
+      total should be > budget // sanity: the budget bites at this SF
+      val kept = byLang(l)
+      kept.map(_.getLong(2)).max should be <= budget
+      // maximality: the independently-computed prefix has the same size
+      val ordered = docs.where(col("lang") === l)
+        .select(col("doc_id"), toks.as("n"), col("n_chars"))
+        .collect().sortBy(r => (-r.getLong(2), r.getLong(0)))
+      var cum = 0L; var n = 0
+      ordered.foreach { r => cum += r.getLong(1); if (cum <= budget) n += 1 }
+      kept.length shouldBe n
+    }
+  }
+
+  test("decontaminate flags exactly the docs sharing a k-shingle with the eval set") {
+    // tiny closed-form corpus: doc 1 copies eval text, doc 2 is disjoint
+    val eva = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "see: the quick brown fox jumps again"), // shares 13-shingles
+      (2L, "zzz completely different content zzz")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, eva, "doc_id", "text", k = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe Set(1L)
+    out(1L) should be >= 1L
+    // plan shape: the eval side broadcasts; no corpus-wide sort/range shuffle
+    val p = Curation.decontaminate(docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text", 13)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+}
