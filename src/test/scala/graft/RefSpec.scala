@@ -321,6 +321,27 @@ class RefSpec extends SparkTestBase {
       s"""{"definitions": {"arr": [{"type": "integer"}]}, "$$ref": "#/definitions/arr/$big"}"""))
   }
 
+  test("registry walk descends into enum values, matching findSchemaById") {
+    // The reference's $id discovery walk (findSchemaById,
+    // schema_parser.hpp:311-356) is KEYWORD-BLIND: it descends every object
+    // member and array element, so an $id inside an enum VALUE is found and
+    // referenceable. The official suite's draft-7 'id inside an enum is not
+    // a real identifier' case expects the opposite; this engine follows the
+    // REFERENCE. (Non-string $id values are ignored, also per the
+    // reference's maybeString check.)
+    val spec = SpecParser.parse(
+      """{"definitions": {"holder": {"enum":
+           [{"$id": "http://reg.test/inner.json", "type": "integer"}]}},
+         "allOf": [{"$ref": "http://reg.test/inner.json"}]}""")
+    val df = Seq(Tuple1("5"), Tuple1(""""s"""")).toDF("j")
+    Graft.validateJsonColumn(df, "j", spec)
+      .select("pass").collect().map(_.getBoolean(0)).toSeq shouldBe Seq(true, false)
+    // non-string $id: skipped by the walk, ref stays unresolvable offline
+    intercept[IllegalArgumentException](SpecParser.parse(
+      """{"definitions": {"h": {"enum": [{"$id": 7}]}},
+         "allOf": [{"$ref": "http://reg.test/other.json"}]}"""))
+  }
+
   test("a non-string $ref value is rejected at parse (extractJsonReference analog)") {
     // schema_parser.hpp:253-255: "$ref property expected to contain string value."
     val e = intercept[IllegalArgumentException](SpecParser.parse("""{"$ref": 42}"""))
