@@ -678,6 +678,44 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
     }),
 
+    "q_repetition" -> ((s, dir) => { implicit val sp = s
+      // Gopher-style repetition signals at word granularity: duplicate-word
+      // fraction, top-bigram occurrence fraction, adjacent-duplicate
+      // fraction. One codegen'd projection over a single split — no
+      // shuffle; the fractions are ratios of small exact ints in IEEE
+      // double, so DuckDB recomputes them bit-identically.
+      TextAnalysis.repetitionFeatures(t(dir, "documents"), "text")
+        .select(col("doc_id"), col("r_n_words").cast("long").as("r_n_words"),
+          col("r_dup_word_frac"), col("r_top_bigram_frac"), col("r_adj_dup_frac"))
+    }),
+
+    "q_pii_redact" -> ((s, dir) => { implicit val sp = s
+      // PII scrubbing: emails/phones/IPs redacted with per-category counts.
+      // The corpus has no natural PII (synthetic word soup), so the query
+      // SYNTHESIZES deterministic PII from customer columns on both engines
+      // — same rule as q_dedup_groups' re-landed duplicates: without
+      // injection the oracle is trivially empty and proves nothing. The
+      // operator itself is one codegen'd projection (regex chain), no
+      // shuffle.
+      val c = t(dir, "customer")
+      val txt = concat(
+        lit("contact "), col("c_name"), lit(" at "),
+        lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]+", ".")),
+        lit("@mail"), col("c_nationkey").cast("string"), lit(".example.com or "),
+        (col("c_custkey") % 900 + 100).cast("string"), lit("-"),
+        (col("c_custkey") % 800 + 100).cast("string"), lit("-"),
+        (col("c_custkey") % 9000 + 1000).cast("string"), lit(" ip "),
+        (col("c_custkey") % 256).cast("string"), lit("."),
+        (col("c_custkey") * 3 % 256).cast("string"), lit("."),
+        (col("c_custkey") * 7 % 256).cast("string"), lit("."),
+        (col("c_nationkey") % 256).cast("string"))
+      Curation.redactPii(c.select(col("c_custkey"), txt.as("txt")), "txt")
+        .select(col("c_custkey"), col("text_redacted"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_phone").cast("long").as("n_phone"),
+          col("n_ipv4").cast("long").as("n_ipv4"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => { implicit val sp = s
       // near-dup CLUSTERING (pairs → min-label connected components, the
       // survivor-selection step of a dedup pipeline): iterative label
@@ -1819,6 +1857,59 @@ object SparkEntry {
          SELECT doc_id, count(DISTINCT s)::BIGINT AS n_shared
          FROM sh WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev)
          GROUP BY doc_id""",
+
+    "q_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+         b AS (
+           SELECT doc_id, words, len(words) AS nw,
+                  CASE WHEN len(words) >= 2 THEN
+                    list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+                  ELSE [] END AS bigrams
+           FROM w)
+         SELECT doc_id, nw AS r_n_words,
+           CASE WHEN nw > 0 THEN 1.0 - len(list_distinct(words))::DOUBLE / nw
+                ELSE 0.0 END AS r_dup_word_frac,
+           CASE WHEN len(bigrams) > 0 THEN
+             list_max(list_transform(list_distinct(bigrams),
+               bg -> len(list_filter(bigrams, x -> x = bg))))::DOUBLE / len(bigrams)
+           ELSE 0.0 END AS r_top_bigram_frac,
+           CASE WHEN len(bigrams) > 0 THEN
+             len(list_filter(range(1, len(words)), i -> words[i] = words[i+1]))::DOUBLE
+               / (nw - 1)
+           ELSE 0.0 END AS r_adj_dup_frac
+         FROM b""",
+
+    "q_pii_redact" ->
+      """WITH t AS (
+           SELECT c_custkey,
+             'contact ' || c_name || ' at ' ||
+             lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')) || '@mail' ||
+             CAST(c_nationkey AS VARCHAR) || '.example.com or ' ||
+             CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' ||
+             CAST(c_custkey % 800 + 100 AS VARCHAR) || '-' ||
+             CAST(c_custkey % 9000 + 1000 AS VARCHAR) || ' ip ' ||
+             CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+             CAST(c_custkey * 3 % 256 AS VARCHAR) || '.' ||
+             CAST(c_custkey * 7 % 256 AS VARCHAR) || '.' ||
+             CAST(c_nationkey % 256 AS VARCHAR) AS txt
+           FROM customer),
+         e AS (
+           SELECT c_custkey,
+             len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS txt
+           FROM t),
+         p AS (
+           SELECT c_custkey, n_email,
+             len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+             regexp_replace(txt, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS txt
+           FROM e),
+         i AS (
+           SELECT c_custkey, n_email, n_phone,
+             len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+             regexp_replace(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
+           FROM p)
+         SELECT c_custkey, text_redacted, n_email, n_phone, n_ipv4 FROM i""",
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE

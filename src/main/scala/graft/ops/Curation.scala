@@ -77,6 +77,37 @@ object Curation {
       .where(col("cum_tokens") <= budget)
   }
 
+  // --- PII redaction -----------------------------------------------------------
+
+  /** Default PII patterns: (name, regex, replacement). The regexes are
+    * deliberately dialect-portable — no backreferences, no lookaround —
+    * so an RE2-based engine recomputes the identical redaction, and both
+    * engines' leftmost-match semantics agree on every span. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Redact PII spans and count matches per category — the scrubbing pass a
+    * corpus runs before anything else sees the text. One codegen'd
+    * projection (a regexp_replace chain plus regexp_extract_all counts):
+    * no shuffle, no UDF, safe to fuse with the scan.
+    *
+    * Patterns apply IN ORDER to the running text, and each `n_<name>` is
+    * measured on the text that pattern actually saw — so a span consumed
+    * by an earlier category is never double-counted by a later one.
+    * Output: `outCol` (default `text_redacted`) plus one `n_<name>` count
+    * per pattern. */
+  def redactPii(df: DataFrame, textCol: String,
+                patterns: Seq[(String, String, String)] = piiPatterns,
+                outCol: String = "text_redacted"): DataFrame = {
+    val start = df.withColumn(outCol, coalesce(col(textCol).cast("string"), lit("")))
+    patterns.foldLeft(start) { case (acc, (name, re, repl)) =>
+      acc.withColumn(s"n_$name", size(regexp_extract_all(col(outCol), lit(re), lit(0))))
+        .withColumn(outCol, regexp_replace(col(outCol), lit(re), lit(repl)))
+    }
+  }
+
   // --- benchmark decontamination ---------------------------------------------
 
   /** Benchmark decontamination: flag every corpus document sharing at least

@@ -89,6 +89,50 @@ object TextAnalysis {
         col("q_ends_with_punct").cast("double") * 0.1))
   }
 
+  // --- repetition signals ----------------------------------------------------
+
+  /** Word-level repetition signals (the Gopher-repetition family, Rae et al.
+    * 2021 §A1.1, recast at word granularity because transcript/corpus text
+    * is often single-line): duplicate-word fraction, most-frequent-bigram
+    * occurrence fraction, and adjacent-duplicate-word fraction ("the the",
+    * "batch batch batch" stutter). High values flag degenerate/boilerplate
+    * documents a quality filter should drop.
+    *
+    * All three are pure per-row array expressions over ONE split — a single
+    * projection, no shuffle, nothing corpus-wide. The in-row top-bigram scan
+    * is O(distinct·total) in the document's bigram count (document-bounded;
+    * a 100k-word outlier costs that row alone, never an executor). */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val empty = array().cast("array<string>")
+    df.withColumn("_words",
+        when(trim(t) === "", empty).otherwise(split(trim(t), "\\s+")))
+      .withColumn("r_n_words", size(col("_words")))
+      .withColumn("r_dup_word_frac",
+        when(col("r_n_words") > 0,
+          lit(1.0) - size(array_distinct(col("_words"))).cast("double") / col("r_n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn("_bigrams",
+        when(col("r_n_words") >= 2,
+          transform(sequence(lit(1), col("r_n_words") - 1), i =>
+            concat(element_at(col("_words"), i), lit(" "),
+              element_at(col("_words"), i + 1))))
+          .otherwise(empty))
+      .withColumn("r_top_bigram_frac",
+        when(size(col("_bigrams")) > 0,
+          array_max(transform(array_distinct(col("_bigrams")), b =>
+            size(filter(col("_bigrams"), x => x === b)))).cast("double") /
+            size(col("_bigrams")))
+          .otherwise(lit(0.0)))
+      .withColumn("r_adj_dup_frac",
+        when(size(col("_bigrams")) > 0,
+          size(filter(sequence(lit(1), col("r_n_words") - 1), i =>
+            element_at(col("_words"), i) === element_at(col("_words"), i + 1)))
+            .cast("double") / (col("r_n_words") - 1))
+          .otherwise(lit(0.0)))
+      .drop("_words", "_bigrams")
+  }
+
   // --- fingerprinting -------------------------------------------------------
 
   /** Canonical text normalization: lowercase, trimmed, whitespace runs

@@ -66,6 +66,52 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("redactPii redacts in order, counts what each pattern saw, and stays shuffle-free") {
+    val df = Seq(
+      (1L, "mail bob.smith@corp.example.com or 555-123-4567 from 10.0.0.1 done"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c%d@e-f.org and ip 192.168.254.3"),
+      (4L, null.asInstanceOf[String])).toDF("id", "txt")
+    val r = Curation.redactPii(df, "txt").orderBy("id")
+      .select("id", "text_redacted", "n_email", "n_phone", "n_ipv4")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getInt(2), x.getInt(3), x.getInt(4)))
+    r(0) shouldBe ((1L, "mail <EMAIL> or <PHONE> from <IP> done", 1, 1, 1))
+    r(1) shouldBe ((2L, "no pii here", 0, 0, 0))
+    r(2) shouldBe ((3L, "two mails <EMAIL> <EMAIL> and ip <IP>", 2, 0, 1))
+    r(3) shouldBe ((4L, "", 0, 0, 0)) // NULL text: empty redaction, zero counts
+    // ordering contract: a span consumed by an earlier category is not
+    // double-counted — the phone-looking digits INSIDE an email are gone
+    // before the phone pattern runs
+    val tricky = Seq((1L, "x 555-123-4567@mail.example.com y")).toDF("id", "txt")
+    val t = Curation.redactPii(tricky, "txt").select("text_redacted", "n_email", "n_phone")
+      .collect().head
+    t.getString(0) shouldBe "x <EMAIL> y"
+    t.getInt(1) shouldBe 1
+    t.getInt(2) shouldBe 0
+    // one projection, no shuffle
+    Curation.redactPii(df, "txt").queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("repetitionFeatures: closed-form signals, empty/null guards, no shuffle") {
+    val df = Seq(
+      (1L, "a b a b a"),         // words=5 distinct=2; bigrams: ab,ba,ab,ba → top 2/4; adj 0
+      (2L, "go go go stop"),     // words=4 distinct=2; bigrams: "go go"x2,"go stop" → 2/3; adj 2/3
+      (3L, "all distinct words here"), // no repetition
+      (4L, "solo"),              // 1 word: no bigrams
+      (5L, ""), (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionFeatures(df, "text").orderBy("doc_id")
+      .select("r_n_words", "r_dup_word_frac", "r_top_bigram_frac", "r_adj_dup_frac")
+      .collect().map(x => (x.getInt(0), x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+    r(0) shouldBe ((5, 1.0 - 2.0 / 5, 2.0 / 4, 0.0))
+    r(1) shouldBe ((4, 0.5, 2.0 / 3, 2.0 / 3))
+    r(2) shouldBe ((4, 0.0, 1.0 / 3, 0.0)) // every bigram unique: top frac = 1/n
+    r(3) shouldBe ((1, 0.0, 0.0, 0.0))
+    r(4) shouldBe ((0, 0.0, 0.0, 0.0))
+    r(5) shouldBe ((0, 0.0, 0.0, 0.0))
+    TextAnalysis.repetitionFeatures(df, "text")
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("decontaminate flags exactly the docs sharing a k-shingle with the eval set") {
     // tiny closed-form corpus: doc 1 copies eval text, doc 2 is disjoint
     val eva = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
