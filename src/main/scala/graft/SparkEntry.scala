@@ -716,6 +716,43 @@ object SparkEntry {
           col("n_ipv4").cast("long").as("n_ipv4"))
     }),
 
+    "q_pack_chunks" -> ((s, dir) => { implicit val sp = s
+      // concat-and-chunk training-sequence packing (Megatron shape): per
+      // language, documents laid end-to-end in priority order and cut into
+      // 512-token sequences, docs straddling boundaries. One window shuffle
+      // + a document-bounded explode; offsets are exact Long integer
+      // division on both engines.
+      Curation.packChunks(t(dir, "documents"), "lang",
+        TextAnalysis.tokenCountWs(col("text")).cast("long"),
+        Seq(col("n_chars").desc, col("doc_id").asc), seqLen = 512L)
+        .select(col("doc_id"), col("lang"), col("seq_id").cast("long").as("seq_id"),
+          col("seq_off").cast("long").as("seq_off"),
+          col("n_tok_in_seq").cast("long").as("n_tok_in_seq"))
+    }),
+
+    "q_url_features" -> ((s, dir) => { implicit val sp = s
+      // URL/domain boilerplate + blocklist signals. The corpus has no
+      // natural URLs (synthetic word soup), so the query SYNTHESIZES
+      // deterministic URLs from customer columns on both engines (same
+      // rule as q_pii_redact); mixed-case hosts exercise the lowercasing,
+      // the duplicated site<N> domain exercises distinct, and custkey%7
+      // rows carry a blocklisted domain. One codegen'd projection.
+      val c = t(dir, "customer")
+      val txt = concat(
+        lit("see https://Site"), (col("c_custkey") % 50).cast("string"),
+        lit(".Example.com/a/"), col("c_custkey").cast("string"),
+        when(col("c_custkey") % 7 === 0, lit(" and http://spam.bad.example/x"))
+          .otherwise(lit("")),
+        lit(" plus https://site"), (col("c_custkey") % 50).cast("string"),
+        lit(".example.com/b end"))
+      TextAnalysis.urlFeatures(c.select(col("c_custkey"), txt.as("txt")), "txt",
+        blocklist = Seq("spam.bad.example"))
+        .select(col("c_custkey"), col("n_urls").cast("long").as("n_urls"),
+          concat_ws(",", col("url_domains")).as("domains"),
+          col("n_unique_domains").cast("long").as("n_unique_domains"),
+          col("url_blocked"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => { implicit val sp = s
       // near-dup CLUSTERING (pairs → min-label connected components, the
       // survivor-selection step of a dedup pipeline): iterative label
@@ -1910,6 +1947,48 @@ object SparkEntry {
              regexp_replace(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
            FROM p)
          SELECT c_custkey, text_redacted, n_email, n_phone, n_ipv4 FROM i""",
+
+    "q_pack_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, n_chars,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, ntok,
+                  SUM(ntok) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS e
+           FROM toks),
+         b AS (SELECT doc_id, lang, ntok, e, e - ntok AS bg FROM c WHERE ntok > 0),
+         x AS (SELECT doc_id, lang, bg, e,
+                      unnest(generate_series(bg // 512, (e - 1) // 512)) AS seq_id
+               FROM b)
+         SELECT doc_id, lang, seq_id::BIGINT AS seq_id,
+                greatest(bg - seq_id * 512, 0)::BIGINT AS seq_off,
+                (least(e, (seq_id + 1) * 512) - greatest(bg, seq_id * 512))::BIGINT
+                  AS n_tok_in_seq
+         FROM x""",
+
+    "q_url_features" ->
+      """WITH t AS (
+           SELECT c_custkey,
+             'see https://Site' || CAST(c_custkey % 50 AS VARCHAR) || '.Example.com/a/' ||
+             CAST(c_custkey AS VARCHAR) ||
+             CASE WHEN c_custkey % 7 = 0 THEN ' and http://spam.bad.example/x' ELSE '' END ||
+             ' plus https://site' || CAST(c_custkey % 50 AS VARCHAR) || '.example.com/b end' AS txt
+           FROM customer),
+         u AS (
+           SELECT c_custkey,
+             regexp_extract_all(txt, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)(?::\d+)?(?:/[^\s]*)?') AS urls,
+             list_sort(list_distinct(list_transform(
+               regexp_extract_all(txt, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)(?::\d+)?(?:/[^\s]*)?', 1),
+               d -> lower(d)))) AS doms
+           FROM t)
+         SELECT c_custkey, len(urls)::BIGINT AS n_urls,
+                array_to_string(doms, ',') AS domains,
+                len(doms)::BIGINT AS n_unique_domains,
+                list_has_any(doms, ['spam.bad.example']) AS url_blocked
+         FROM u""",
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE

@@ -77,6 +77,46 @@ object Curation {
       .where(col("cum_tokens") <= budget)
   }
 
+  // --- training-sequence packing ----------------------------------------------
+
+  /** Concat-and-chunk sequence packing (the Megatron/GPT pretraining shape):
+    * within each stratum, documents are laid out end-to-end in the given
+    * priority order and cut into fixed `seqLen`-token training sequences;
+    * documents straddle sequence boundaries, so no token is wasted.
+    *
+    * Emits one row per (document, sequence) overlap: `seq_id` (0-based
+    * within the stratum), `seq_off` (offset of the document's first token
+    * inside that sequence) and `n_tok_in_seq` (tokens the document
+    * contributes to it). A document spanning k sequences emits k rows —
+    * fan-out is ceil(tokens/seqLen)+1, document-bounded, never corpus-wide.
+    *
+    * Scale shape: one hash-partition shuffle on the stratum key, a
+    * spillable window cumsum (per-stratum state = one running Long), then a
+    * codegen'd bounded explode. All offset arithmetic is exact Long-space
+    * integer division — no doubles anywhere, so a petatoken stratum cannot
+    * drift. The order MUST be total (tie-break on a unique id) or chunk
+    * assignment is nondeterministic under re-partitioning. Zero-token rows
+    * contribute nothing and are dropped. */
+  def packChunks(df: DataFrame, stratumCol: String, tokensCol: Column,
+                 order: Seq[Column], seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("_ntok", greatest(coalesce(tokensCol.cast("long"), lit(0L)), lit(0L)))
+      .withColumn("_end", sum(col("_ntok")).over(w))
+      .where(col("_ntok") > 0)
+      .withColumn("_begin", col("_end") - col("_ntok"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_begin div ${seqLen}L"), expr(s"(_end - 1L) div ${seqLen}L"))))
+      .withColumn("seq_off",
+        greatest(col("_begin") - col("seq_id") * seqLen, lit(0L)))
+      .withColumn("n_tok_in_seq",
+        least(col("_end"), (col("seq_id") + 1L) * seqLen) -
+          greatest(col("_begin"), col("seq_id") * seqLen))
+      .drop("_ntok", "_begin", "_end")
+  }
+
   // --- PII redaction -----------------------------------------------------------
 
   /** Default PII patterns: (name, regex, replacement). The regexes are

@@ -89,6 +89,33 @@ object TextAnalysis {
         col("q_ends_with_punct").cast("double") * 0.1))
   }
 
+  // --- URL / domain features ---------------------------------------------------
+
+  /** Dialect-portable URL matcher (no lookaround/backreferences): scheme,
+    * host, optional port, optional path. The host capture group is what
+    * [[urlFeatures]] lowercases into domains. */
+  val urlPattern = "https?://([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+)(?::\\d+)?(?:/[^\\s]*)?"
+
+  /** URL/domain signals for boilerplate + blocklist filtering: URL count,
+    * the sorted distinct lowercased domain list, its size, and (when a
+    * blocklist is given) whether any domain is blocklisted. One codegen'd
+    * projection — extract-all plus array lambdas, no shuffle, no UDF; the
+    * blocklist is a literal array (corpus-side curation lists are small;
+    * a million-domain list belongs in a broadcast join instead). */
+  def urlFeatures(df: DataFrame, textCol: String,
+                  blocklist: Seq[String] = Nil): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val urls = regexp_extract_all(t, lit(urlPattern), lit(0))
+    val domains = array_sort(array_distinct(
+      transform(urls, u => lower(regexp_extract(u, urlPattern, 1)))))
+    val base = df.withColumn("n_urls", size(urls))
+      .withColumn("url_domains", domains)
+      .withColumn("n_unique_domains", size(domains))
+    if (blocklist.isEmpty) base.withColumn("url_blocked", lit(false))
+    else base.withColumn("url_blocked", arrays_overlap(col("url_domains"),
+      array(blocklist.map(d => lit(d.toLowerCase)): _*)))
+  }
+
   // --- repetition signals ----------------------------------------------------
 
   /** Word-level repetition signals (the Gopher-repetition family, Rae et al.

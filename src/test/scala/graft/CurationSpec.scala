@@ -66,6 +66,57 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("packChunks: closed-form straddling chunks, zero-token drop, one exchange") {
+    val df = Seq(
+      (1L, "a", 3L), (2L, "a", 4L), (3L, "a", 2L), // layout a: [0,3)[3,7)[7,9)
+      (4L, "a", 0L),                               // zero tokens: dropped
+      (5L, "b", 9L)                                // layout b: [0,9) spans 3 seqs
+    ).toDF("id", "st", "ntok")
+    val r = Curation.packChunks(df, "st", col("ntok"), Seq(col("id").asc), seqLen = 4L)
+      .select("id", "st", "seq_id", "seq_off", "n_tok_in_seq")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSet
+    r shouldBe Set(
+      (1L, "a", 0L, 0L, 3L),            // doc1 fills [0,3) of seq 0
+      (2L, "a", 0L, 3L, 1L),            // doc2 straddles: 1 token in seq 0...
+      (2L, "a", 1L, 0L, 3L),            // ...3 tokens in seq 1
+      (3L, "a", 1L, 3L, 1L),            // doc3 straddles the same way
+      (3L, "a", 2L, 0L, 1L),
+      (5L, "b", 0L, 0L, 4L), (5L, "b", 1L, 0L, 4L), (5L, "b", 2L, 0L, 1L))
+    // token conservation: per stratum, contributed tokens == total tokens
+    val sums = Curation.packChunks(df, "st", col("ntok"), Seq(col("id").asc), 4L)
+      .groupBy("st").agg(sum("n_tok_in_seq").as("s")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    sums shouldBe Map("a" -> 9L, "b" -> 9L)
+    // one window shuffle, nothing else
+    val plan = Curation.packChunks(df, "st", col("ntok"), Seq(col("id").asc), 4L)
+      .queryExecution.executedPlan.toString
+    plan.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+  }
+
+  test("urlFeatures: counts, lowercased sorted domains, blocklist, null text") {
+    val df = Seq(
+      (1L, "go to https://WWW.Example.COM/Path and https://www.example.com:8080/x plus http://other.org"),
+      (2L, "bare text, no urls; ftp://not.matched.org either"),
+      (3L, "dup https://a.b.c/1 https://a.b.c/2 and https://Spam.BAD.example/z"),
+      (4L, null.asInstanceOf[String])).toDF("id", "txt")
+    val r = TextAnalysis.urlFeatures(df, "txt", blocklist = Seq("spam.bad.example"))
+      .orderBy("id")
+      .select(col("id"), col("n_urls"), concat_ws(",", col("url_domains")).as("d"),
+        col("n_unique_domains"), col("url_blocked"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getInt(3), x.getBoolean(4)))
+    r(0) shouldBe ((1L, 3, "other.org,www.example.com", 2, false))
+    r(1) shouldBe ((2L, 0, "", 0, false))
+    r(2) shouldBe ((3L, 3, "a.b.c,spam.bad.example", 2, true))
+    r(3) shouldBe ((4L, 0, "", 0, false))
+    // empty blocklist: url_blocked is constant false, still present
+    TextAnalysis.urlFeatures(df, "txt").select("url_blocked")
+      .collect().map(_.getBoolean(0)).toSet shouldBe Set(false)
+    // one projection, no shuffle
+    TextAnalysis.urlFeatures(df, "txt", Seq("x.y"))
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("redactPii redacts in order, counts what each pattern saw, and stays shuffle-free") {
     val df = Seq(
       (1L, "mail bob.smith@corp.example.com or 555-123-4567 from 10.0.0.1 done"),
