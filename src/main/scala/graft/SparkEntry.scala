@@ -753,6 +753,31 @@ object SparkEntry {
           col("url_blocked"))
     }),
 
+    "q_boilerplate" -> ((s, dir) => { implicit val sp = s
+      // corpus-level boilerplate line removal (C4/RefinedWeb): lines whose
+      // trimmed form occurs in >= 20 DISTINCT docs are stripped, in-doc
+      // order preserved. The corpus is single-line word soup, so the query
+      // SYNTHESIZES deterministic multi-line pages on both engines (same
+      // rule as q_pii_redact): a cookie banner on every page, an ad line on
+      // doc_id%3 pages, a footer in 1/7 of pages (boilerplate at every SF),
+      // a promo in 1/40 (crosses the threshold only at sf>=0.01 — the
+      // threshold genuinely bites), plus the doc's own unique snippet, a
+      // whitespace-only line (never counted, always kept) and a unique sig.
+      val d = t(dir, "documents")
+      val txt = concat(
+        lit("COOKIE NOTICE please accept\n"),
+        substring(col("text"), 1, 60), lit("\n"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("AD BANNER click here\n"))
+          .otherwise(lit("")),
+        lit("(c) footer "), pmod(col("doc_id"), lit(7)).cast("string"), lit("\n"),
+        lit("promo "), pmod(col("doc_id"), lit(40)).cast("string"), lit("\n"),
+        lit("   \nsig "), col("doc_id").cast("string"))
+      Curation.removeBoilerplateLines(
+        d.select(col("doc_id"), txt.as("txt")), "doc_id", "txt", minDocs = 20L)
+        .select(col("doc_id"), col("text_clean"),
+          col("n_lines_removed").cast("long").as("n_lines_removed"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => { implicit val sp = s
       // near-dup CLUSTERING (pairs → min-label connected components, the
       // survivor-selection step of a dedup pipeline): iterative label
@@ -1989,6 +2014,33 @@ object SparkEntry {
                 len(doms)::BIGINT AS n_unique_domains,
                 list_has_any(doms, ['spam.bad.example']) AS url_blocked
          FROM u""",
+
+    "q_boilerplate" ->
+      """WITH t AS (
+           SELECT doc_id,
+             'COOKIE NOTICE please accept' || chr(10) ||
+             substr(text, 1, 60) || chr(10) ||
+             CASE WHEN doc_id % 3 = 0 THEN 'AD BANNER click here' || chr(10) ELSE '' END ||
+             '(c) footer ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             'promo ' || CAST(doc_id % 40 AS VARCHAR) || chr(10) ||
+             '   ' || chr(10) || 'sig ' || CAST(doc_id AS VARCHAR) AS txt
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             unnest(string_split(txt, chr(10))) AS line,
+             unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS pos
+           FROM t),
+         f AS (
+           SELECT trim(line) AS key FROM l WHERE trim(line) <> ''
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20),
+         m AS (
+           SELECT l.doc_id, l.pos, l.line, f.key IS NOT NULL AS bl
+           FROM l LEFT JOIN f ON trim(l.line) = f.key)
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT bl THEN line END, chr(10) ORDER BY pos), '')
+             AS text_clean,
+           CAST(sum(CASE WHEN bl THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+         FROM m GROUP BY doc_id""",
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE

@@ -148,6 +148,55 @@ object Curation {
     }
   }
 
+  // --- corpus-level boilerplate line removal -----------------------------------
+
+  /** Corpus-level boilerplate line removal (the C4/RefinedWeb cleanup step):
+    * a line whose trimmed form occurs in at least `minDocs` DISTINCT
+    * documents is boilerplate (cookie banners, nav bars, license footers) —
+    * every occurrence is removed, and each document's surviving lines are
+    * re-assembled in their original order. Whitespace-only lines are never
+    * counted (they'd be degenerate "boilerplate") and are always kept.
+    *
+    * Shape for 100 TB: two shuffles plus one join.
+    *   1. line-frequency agg — posexplode + partial/final countDistinct on
+    *      the trimmed line; state per key is one HLL-free exact counter
+    *      (partial agg halves the exchange), output is ≤ total_lines/minDocs
+    *      rows, tiny for any honest threshold.
+    *   2. mark join — lines ⟕ boilerplate keys; the boilerplate side is
+    *      orders of magnitude smaller than the corpus, so AQE picks a
+    *      broadcast hash join at any realistic threshold (falls back to a
+    *      shuffle join gracefully if an adversarial threshold inflates it —
+    *      never a driver collect).
+    *   3. per-document regroup — sort_array(collect_list(...)) keyed by the
+    *      DOCUMENT id. Unlike a per-conversation collect, this buffer is
+    *      bounded by the source ROW itself (a document's own lines), so no
+    *      hot key can exceed the max row size already flowing through the
+    *      scan — skew-safe by construction.
+    *
+    * Returns one row per input document: idCol, `outCol` (cleaned text,
+    * empty string when everything was boilerplate or the text was NULL) and
+    * `n_lines_removed`. No document is ever dropped. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Long, outCol: String = "text_clean"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol).cast("string"), lit("")), "\n"))
+          .as(Seq("_pos", "_line")))
+      .withColumn("_key", trim(col("_line")))
+    val boiler = lines.where(col("_key") =!= "")
+      .groupBy("_key").agg(countDistinct(col(idCol)).as("_ndocs"))
+      .where(col("_ndocs") >= minDocs)
+      .select(col("_key"), lit(true).as("_bl"))
+    lines.join(boiler, Seq("_key"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("_bl"), 1L).otherwise(0L)).as("n_lines_removed"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("_bl").isNull,
+            struct(col("_pos"), col("_line"))))),
+          x => x.getField("_line"))).as(outCol))
+  }
+
   // --- benchmark decontamination ---------------------------------------------
 
   /** Benchmark decontamination: flag every corpus document sharing at least

@@ -163,6 +163,36 @@ class CurationSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("removeBoilerplateLines: cross-doc lines go, order survives, no doc is lost") {
+    val df = Seq(
+      (1L, "COOKIE NOTICE\nunique alpha\n   \nfooter v1"),
+      (2L, "COOKIE NOTICE\nunique beta\nfooter v1"),
+      (3L, "  COOKIE NOTICE \nunique gamma\nfooter v2"), // trimmed form matches
+      (4L, "COOKIE NOTICE"),                             // all lines boilerplate
+      (5L, null.asInstanceOf[String])                    // NULL text: kept, empty
+    ).toDF("id", "txt")
+    val r = Curation.removeBoilerplateLines(df, "id", "txt", minDocs = 2L)
+      .orderBy("id").select("id", "text_clean", "n_lines_removed")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    // COOKIE NOTICE in 3 docs and "footer v1" in 2 docs are boilerplate;
+    // "footer v2" (1 doc), the unique lines, and the whitespace-only line stay
+    r(0) shouldBe ((1L, "unique alpha\n   ", 2L))
+    r(1) shouldBe ((2L, "unique beta", 2L))
+    r(2) shouldBe ((3L, "unique gamma\nfooter v2", 1L))
+    r(3) shouldBe ((4L, "", 1L))
+    r(4) shouldBe ((5L, "", 0L))
+    // whitespace-only lines are never counted as boilerplate even though
+    // they appear in "many" docs
+    val ws = Seq((1L, "a\n \nb"), (2L, "c\n \nd"), (3L, "e\n \nf")).toDF("id", "txt")
+    Curation.removeBoilerplateLines(ws, "id", "txt", 2L)
+      .agg(sum("n_lines_removed")).collect().head.getLong(0) shouldBe 0L
+    // plan: the boilerplate side joins broadcast, never sort-merge
+    val p = Curation.removeBoilerplateLines(df, "id", "txt", 2L)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
   test("decontaminate flags exactly the docs sharing a k-shingle with the eval set") {
     // tiny closed-form corpus: doc 1 copies eval text, doc 2 is disjoint
     val eva = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
