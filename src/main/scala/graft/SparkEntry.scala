@@ -778,6 +778,29 @@ object SparkEntry {
           col("n_lines_removed").cast("long").as("n_lines_removed"))
     }),
 
+    "q_dup_spans" -> ((s, dir) => { implicit val sp = s
+      // exact duplicate-substring spans (Lee et al. ExactSubstr shape):
+      // 8-word windows occurring >= 2 times corpus-wide, merged into
+      // maximal spans. The word-soup corpus gets deterministic shared
+      // passages on both engines: a 9-word intro on doc_id%3 docs (span at
+      // word 0), a 13-word closing passage in 5 variants (~100 docs each),
+      // doubled on doc_id%7 docs (within-doc repetition + windows crossing
+      // the copy seam). Random 8-gram collisions in the soup body are
+      // computed identically on both engines.
+      val d = t(dir, "documents")
+      val closing = concat(lit(" closing shared passage variant "),
+        pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(" repeated across many documents for exact span detection"))
+      val txt = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("intro passage shared by one third of documents here "))
+          .otherwise(lit("")),
+        col("text"), closing,
+        when(pmod(col("doc_id"), lit(7)) === 0, closing).otherwise(lit("")))
+      Dedup.duplicateSpans(d.select(col("doc_id"), txt.as("txt")),
+        "doc_id", "txt", windowWords = 8, minOcc = 2L)
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => { implicit val sp = s
       // near-dup CLUSTERING (pairs → min-label connected components, the
       // survivor-selection step of a dedup pipeline): iterative label
@@ -2041,6 +2064,44 @@ object SparkEntry {
              AS text_clean,
            CAST(sum(CASE WHEN bl THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
          FROM m GROUP BY doc_id""",
+
+    "q_dup_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN 'intro passage shared by one third of documents here '
+               ELSE '' END ||
+             text ||
+             ' closing shared passage variant ' || CAST(doc_id % 5 AS VARCHAR) ||
+             ' repeated across many documents for exact span detection' ||
+             CASE WHEN doc_id % 7 = 0
+               THEN ' closing shared passage variant ' || CAST(doc_id % 5 AS VARCHAR) ||
+                    ' repeated across many documents for exact span detection'
+               ELSE '' END AS txt
+           FROM documents),
+         n AS (
+           SELECT doc_id,
+             string_split(regexp_replace(lower(trim(txt)), '\s+', ' ', 'g'), ' ') AS ws
+           FROM t),
+         w0 AS (
+           SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS p
+           FROM n WHERE len(ws) >= 8 AND ws[1] <> ''),
+         wdw AS (
+           SELECT doc_id, p, array_to_string(ws[p+1:p+8], ' ') AS key FROM w0),
+         d AS (SELECT key FROM wdw GROUP BY key HAVING count(*) >= 2),
+         m AS (SELECT wdw.doc_id, wdw.p FROM wdw JOIN d USING (key)),
+         g AS (
+           SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+               THEN 1 ELSE 0 END AS gap
+           FROM m),
+         i AS (
+           SELECT doc_id, p,
+             sum(gap) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+           FROM g)
+         SELECT doc_id, min(p) AS span_start, max(p) + 8 AS span_end,
+           count(*) AS n_windows
+         FROM i GROUP BY doc_id, isl""",
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE

@@ -21,7 +21,11 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] oracle-aux staging failed: ${e.getMessage}")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev knob: SPARK_GRAFT_ONLY=q_a,q_b restricts the dump to named
+    // queries (the driver never sets it, so the gate always runs all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

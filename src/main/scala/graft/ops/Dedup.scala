@@ -589,4 +589,72 @@ object Dedup {
           col("a.n"), col("b.n")).as("cosine"))
       .where(col("cosine") >= cosineThreshold)
   }
+
+  /** Exact duplicate-substring SPANS (the ExactSubstr shape of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"): a
+    * word-window of `windowWords` tokens that occurs at least `minOcc`
+    * times corpus-wide (across OR within documents) is a duplicated
+    * window; maximal runs of overlapping/adjacent duplicated windows are
+    * merged into spans. Returns one row per span:
+    * `(idCol, span_start, span_end, n_windows)` with 0-based word offsets,
+    * `span_end` exclusive — the span covers normalized words
+    * `[span_start, span_end)`.
+    *
+    * The reference scope (valijson) has no corpus-level operator; this is
+    * pipeline breadth per the north rule, sibling to [[minhashNearDups]]
+    * (whole-document near-dup) and `Curation.removeBoilerplateLines`
+    * (line-granularity): ExactSubstr catches the long verbatim passage
+    * embedded in otherwise-distinct documents that both of those miss.
+    *
+    * Shape for 100 TB — the suffix-array of the paper is replaced by the
+    * Spark-native equivalent (windowed hashing + one hash-agg), trading
+    * the suffix array's arbitrary-length maximality for fixed-window
+    * granularity, the standard distributed relaxation:
+    *   1. window hashes — a codegen'd projection emits one 64-bit
+    *      `xxhash64` per word position (the window TEXT is transient
+    *      inside the projection; only `(id, pos:int, hash:long)` ~20 bytes
+    *      per token is ever shuffled, never the strings).
+    *   2. ONE corpus-wide hash-agg on the window hash; duplicated keys are
+    *      a tiny fraction of distinct windows for any honest corpus. The
+    *      mark-join back is AQE-broadcastable when the dup-key set is
+    *      small and degrades to a shuffle join, never a driver collect.
+    *   3. span merge — gaps-and-islands over `(id, pos)`: a sort-based
+    *      WINDOW (spillable, no per-group buffer) whose exchange is SHARED
+    *      with the final per-(id, island) aggregate — one shuffle, and a
+    *      hot document costs a disk sort, not an OOM.
+    *
+    * Collision note: two distinct window texts colliding in xxhash64 would
+    * conflate their counts; at 2^64 key space this needs ~10^9 × the
+    * corpus sizes tested here before the birthday bound matters — the
+    * same trade the paper's own hashed variants make. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     windowWords: Int = 8, minOcc: Long = 2): DataFrame = {
+    require(windowWords >= 2, s"windowWords must be >= 2, got $windowWords")
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    val w = windowWords
+    val words = split(
+      TextAnalysis.normalizeText(coalesce(col(textCol).cast("string"), lit(""))), " ")
+    val wins = df
+      .select(col(idCol), words.as("_ws"))
+      .where(size(col("_ws")) >= w && col("_ws").getItem(0) =!= "")
+      .select(col(idCol), explode(transform(sequence(lit(0), size(col("_ws")) - w),
+        p => struct(p.cast("int").as("_p"),
+          xxhash64(concat_ws(" ", slice(col("_ws"), p + 1, lit(w)))).as("_h"))))
+        .as("_win"))
+      .select(col(idCol), col("_win._p").as("_p"), col("_win._h").as("_h"))
+    val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minOcc).select(col("_h"))
+    val matched = wins.join(dup, Seq("_h")).select(col(idCol), col("_p"))
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_p"))
+    matched
+      .withColumn("_gap", when(col("_p") - lag(col("_p"), 1).over(byDoc) > w, 1)
+        .otherwise(0))
+      .withColumn("_isl", sum(col("_gap")).over(byDoc))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("_p")).cast("long").as("span_start"),
+        (max(col("_p")) + w).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
 }

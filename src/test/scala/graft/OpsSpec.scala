@@ -72,6 +72,51 @@ class OpsSpec extends SparkTestBase {
     Dedup.exact(df, "doc_id", "text").count() + extras shouldBe df.count()
   }
 
+  test("duplicateSpans: cross-doc passage, within-doc repeat, merge/split boundary") {
+    import spark.implicits._
+    // 12-word passage shared by docs 1 and 2 (surrounded by unique words);
+    // doc 3 repeats its own 10-word run back-to-back; doc 4 is all-unique.
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val run = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, s"u1a u1b $passage u1c"),
+      (2L, s"u2a $passage u2b u2c u2d"),
+      (3L, s"$run $run u3a"),
+      (4L, "only unique words appear in this document body here xx yy zz"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "short doc")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", windowWords = 8, minOcc = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: passage at words [2, 14) → window starts 2..6 (5 windows)
+    // doc 2: passage at words [1, 13) → window starts 1..5
+    // doc 3: "run run" = the 8-windows at p and p+10 coincide only while
+    //        both lie inside a clean copy (p ≤ 2); seam-crossing windows
+    //        mix run tail + head and recur nowhere. Dup starts
+    //        {0,1,2,10,11,12}; the 2→10 gap is exactly w=8, which MERGES
+    //        (only gap > w splits), so one span [0, 20) of 6 windows.
+    spans shouldBe Array(
+      (1L, 2L, 14L, 5L), (2L, 1L, 13L, 5L), (3L, 0L, 20L, 6L))
+  }
+
+  test("duplicateSpans: islands split only when the gap exceeds the window") {
+    import spark.implicits._
+    // Two duplicated 8-word blocks separated by exactly 8 unique words in
+    // doc 20 (gap == w → windows at p=0 and p=16: 16-0 > 8 → SPLIT), and
+    // adjacent blocks in doc 30 (p=0 and p=8: 8-0 == w → MERGE).
+    val blockA = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val blockB = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val df = Seq(
+      (10L, s"$blockA x $blockB"),            // donor occurrences
+      (20L, s"$blockA g1 g2 g3 g4 g5 g6 g7 g8 $blockB"),
+      (30L, s"$blockA $blockB")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", windowWords = 8, minOcc = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    spans.filter(_._1 == 20L) shouldBe Array((20L, 0L, 8L), (20L, 16L, 24L))
+    spans.filter(_._1 == 30L) shouldBe Array((30L, 0L, 16L))
+  }
+
   test("rolling fingerprint: equals the min of independently-hashed shingles, both hash families") {
     import spark.implicits._
     val df = docs.limit(200)

@@ -168,6 +168,19 @@ class PlanSpec extends SparkTestBase {
     rows.head.getAs[Seq[Long]]("ids") shouldBe (1L to 8L) // capped, smallest-first
   }
 
+  test("duplicateSpans: island window + span groupBy share the doc exchange") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, s"shared eight word window text block here now uniq$i"))
+      .toDF("doc_id", "text")
+    val g = graft.ops.Dedup.duplicateSpans(df, "doc_id", "text")
+    val p = plan(g)
+    p should not include "CartesianProduct"
+    // three shuffles end-to-end: dup-key hash-agg on _h, the mark-join's
+    // exchange, and ONE doc-keyed exchange feeding both the islands window
+    // sort and the span aggregate (Catalyst must reuse the partitioning)
+    p.sliding("Exchange".length).count(_ == "Exchange") should be <= 4
+  }
+
   test("conversationChecks computes all three flags in a single exchange") {
     val turns = TranscriptGen.turns(spark, 100, parts = 2, numParts = 4)
     val p = plan(graft.checks.TableChecks.conversationChecks(turns))
