@@ -801,6 +801,25 @@ object SparkEntry {
         "doc_id", "txt", windowWords = 8, minOcc = 2L)
     }),
 
+    "q_remove_dup_spans" -> ((s, dir) => { implicit val sp = s
+      // removal half of ExactSubstr: same synthetic corpus as q_dup_spans;
+      // each duplicated window's corpus-wide first occurrence (min (id,p))
+      // is canonical and survives, every other occurrence's span is
+      // excised from the normalized words. One row per input document.
+      val d = t(dir, "documents")
+      val closing = concat(lit(" closing shared passage variant "),
+        pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(" repeated across many documents for exact span detection"))
+      val txt = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("intro passage shared by one third of documents here "))
+          .otherwise(lit("")),
+        col("text"), closing,
+        when(pmod(col("doc_id"), lit(7)) === 0, closing).otherwise(lit("")))
+      Dedup.removeDuplicateSpans(d.select(col("doc_id"), txt.as("txt")),
+        "doc_id", "txt", windowWords = 8, minOcc = 2L)
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => { implicit val sp = s
       // near-dup CLUSTERING (pairs → min-label connected components, the
       // survivor-selection step of a dedup pipeline): iterative label
@@ -2102,6 +2121,59 @@ object SparkEntry {
          SELECT doc_id, min(p) AS span_start, max(p) + 8 AS span_end,
            count(*) AS n_windows
          FROM i GROUP BY doc_id, isl""",
+
+    "q_remove_dup_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN 'intro passage shared by one third of documents here '
+               ELSE '' END ||
+             text ||
+             ' closing shared passage variant ' || CAST(doc_id % 5 AS VARCHAR) ||
+             ' repeated across many documents for exact span detection' ||
+             CASE WHEN doc_id % 7 = 0
+               THEN ' closing shared passage variant ' || CAST(doc_id % 5 AS VARCHAR) ||
+                    ' repeated across many documents for exact span detection'
+               ELSE '' END AS txt
+           FROM documents),
+         n AS (
+           SELECT doc_id,
+             string_split(regexp_replace(lower(trim(txt)), '\s+', ' ', 'g'), ' ') AS ws
+           FROM t),
+         w0 AS (
+           SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS p
+           FROM n WHERE len(ws) >= 8 AND ws[1] <> ''),
+         wdw AS (
+           SELECT doc_id, p, array_to_string(ws[p+1:p+8], ' ') AS key FROM w0),
+         canon AS (
+           SELECT key, min(struct_pack(i := doc_id, p := p)) AS fo
+           FROM wdw GROUP BY key HAVING count(*) >= 2),
+         m AS (
+           SELECT wdw.doc_id, wdw.p FROM wdw JOIN canon USING (key)
+           WHERE NOT (wdw.doc_id = canon.fo.i AND wdw.p = canon.fo.p)),
+         g AS (
+           SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+               THEN 1 ELSE 0 END AS gap
+           FROM m),
+         i AS (
+           SELECT doc_id, p,
+             sum(gap) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+           FROM g),
+         sp AS (
+           SELECT doc_id, min(p) AS s, max(p) + 8 AS e
+           FROM i GROUP BY doc_id, isl),
+         spl AS (
+           SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
+           FROM sp GROUP BY doc_id)
+         SELECT n.doc_id,
+           coalesce(array_to_string(list_filter(n.ws, (x, ix) ->
+             len(list_filter(coalesce(spl.sps, []),
+                 q -> ix - 1 >= q.s AND ix - 1 < q.e)) = 0), ' '), '') AS text_clean,
+           CAST(coalesce(list_aggregate(
+             list_transform(coalesce(spl.sps, []), q -> q.e - q.s), 'sum'), 0)
+             AS BIGINT) AS n_words_removed
+         FROM n LEFT JOIN spl USING (doc_id)""",
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE

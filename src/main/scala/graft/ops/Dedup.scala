@@ -632,19 +632,87 @@ object Dedup {
     require(windowWords >= 2, s"windowWords must be >= 2, got $windowWords")
     require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
     val w = windowWords
-    val words = split(
+    val wins = windowHashes(normWords(df, idCol, textCol), idCol, w)
+    val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minOcc).select(col("_h"))
+    val matched = wins.join(dup, Seq("_h")).select(col(idCol), col("_p"))
+    mergeSpans(matched, idCol, w)
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Remove duplicated substrings, keeping ONE canonical occurrence — the
+    * removal half of the ExactSubstr recipe ([[duplicateSpans]] is the
+    * detection half). For every duplicated window the corpus-wide FIRST
+    * occurrence (minimal `(id, pos)`, lexicographic) is canonical and
+    * survives; spans are merged over the NON-canonical occurrences only
+    * and their words excised. Removal happens in normalized-word space
+    * (the space the windows were matched in): `text_clean` is the
+    * surviving normalized words re-joined, for EVERY input row (short,
+    * empty and NULL texts pass through with `n_words_removed = 0`).
+    *
+    * Caveat (shared with the paper's recipe): a canonical occurrence can
+    * still lose words to an overlapping span of a DIFFERENT duplicated
+    * window whose canonical home is elsewhere; kept-text is guaranteed
+    * per-window-choice, not per-character.
+    *
+    * Scale shape: [[duplicateSpans]]' three exchanges, with the dup-key
+    * agg additionally carrying a `min(struct(id, pos))` partial (same
+    * shuffle, +16 bytes per key), plus one row-bounded `collect_list` of
+    * merged spans per doc joined back to the words array — the excision
+    * itself is a codegen'd higher-order `filter` per row. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           windowWords: Int = 8, minOcc: Long = 2): DataFrame = {
+    require(windowWords >= 2, s"windowWords must be >= 2, got $windowWords")
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    val w = windowWords
+    val base = normWords(df, idCol, textCol)
+    val wins = windowHashes(base, idCol, w)
+    val canon = wins.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"),
+        min(struct(col(idCol).as("i"), col("_p").as("p"))).as("_first"))
+      .where(col("_c") >= minOcc)
+      .select(col("_h"), col("_first"))
+    val matched = wins.join(canon, Seq("_h"))
+      .where(!(col(idCol) === col("_first.i") && col("_p") === col("_first.p")))
+      .select(col(idCol), col("_p"))
+    val spans = mergeSpans(matched, idCol, w)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("_spans"))
+    base.join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("_ws"),
+        coalesce(col("_spans"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("_sp"))
+      .select(col(idCol),
+        concat_ws(" ", filter(col("_ws"), (x, i) =>
+          !exists(col("_sp"), s => i >= s.getField("s") && i < s.getField("e"))))
+          .as("text_clean"),
+        aggregate(col("_sp"), lit(0L), (acc, s) =>
+          acc + s.getField("e") - s.getField("s")).as("n_words_removed"))
+  }
+
+  /** Normalized word arrays: `(idCol, _ws)` for every input row. */
+  private def normWords(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), split(
       TextAnalysis.normalizeText(coalesce(col(textCol).cast("string"), lit(""))), " ")
-    val wins = df
-      .select(col(idCol), words.as("_ws"))
+      .as("_ws"))
+
+  /** Per-position window hashes `(idCol, _p:int, _h:long)`; rows shorter
+    * than the window (and empty texts, whose word array is `[""]`)
+    * contribute none. The window TEXT lives only inside this projection. */
+  private def windowHashes(base: DataFrame, idCol: String, w: Int): DataFrame =
+    base
       .where(size(col("_ws")) >= w && col("_ws").getItem(0) =!= "")
       .select(col(idCol), explode(transform(sequence(lit(0), size(col("_ws")) - w),
         p => struct(p.cast("int").as("_p"),
           xxhash64(concat_ws(" ", slice(col("_ws"), p + 1, lit(w)))).as("_h"))))
         .as("_win"))
       .select(col(idCol), col("_win._p").as("_p"), col("_win._h").as("_h"))
-    val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
-      .where(col("_c") >= minOcc).select(col("_h"))
-    val matched = wins.join(dup, Seq("_h")).select(col(idCol), col("_p"))
+
+  /** Gaps-and-islands merge of matched window positions `(idCol, _p)` into
+    * maximal spans: a sort-based window (spillable) whose exchange is
+    * shared with the per-(id, island) aggregate. */
+  private def mergeSpans(matched: DataFrame, idCol: String, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_p"))
     matched
@@ -655,6 +723,5 @@ object Dedup {
       .agg(min(col("_p")).cast("long").as("span_start"),
         (max(col("_p")) + w).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
-      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 }

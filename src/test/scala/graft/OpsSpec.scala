@@ -99,6 +99,35 @@ class OpsSpec extends SparkTestBase {
       (1L, 2L, 14L, 5L), (2L, 1L, 13L, 5L), (3L, 0L, 20L, 6L))
   }
 
+  test("removeDuplicateSpans: canonical occurrence survives, the rest is excised") {
+    import spark.implicits._
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val df = Seq(
+      (1L, s"u1a u1b $passage u1c"),
+      (2L, s"u2a $passage u2b u2c u2d"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", windowWords = 8, minOcc = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)          // every row passes through
+    out(1L) shouldBe ((s"u1a u1b $passage u1c", 0L)) // canonical: doc 1 wins min(id,p)
+    out(2L) shouldBe (("u2a u2b u2c u2d", 12L))      // span [1,13) excised
+    out(3L) shouldBe (("", 0L))                      // NULL text → empty, nothing removed
+    out(4L) shouldBe (("short doc", 0L))             // below window size → untouched
+  }
+
+  test("removeDuplicateSpans: within-doc repeat keeps exactly the first copy's span") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight"
+    val df = Seq((7L, s"$run $run tail")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", windowWords = 8, minOcc = 2)
+      .collect()
+    out.length shouldBe 1
+    // the p=8 window duplicates p=0; canonical is p=0, so words [8,16) go
+    out.head.getString(1) shouldBe s"$run tail"
+    out.head.getLong(2) shouldBe 8L
+  }
+
   test("duplicateSpans: islands split only when the gap exceeds the window") {
     import spark.implicits._
     // Two duplicated 8-word blocks separated by exactly 8 unique words in
