@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.checks.TableChecks
 import graft.data.TranscriptGen
-import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis, Transcripts}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with DuckDB-equivalent `oracleSql` where the operator is
@@ -818,6 +818,42 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(7)) === 0, closing).otherwise(lit("")))
       Dedup.removeDuplicateSpans(d.select(col("doc_id"), txt.as("txt")),
         "doc_id", "txt", windowWords = 8, minOcc = 2L)
+    }),
+
+    "q_conv_render" -> ((s, dir) => { implicit val sp = s
+      // transcripts -> flat training documents (one doc per conversation,
+      // "role: text" turns in order, capped at 8 leading turns so the
+      // truncation path is exercised). The transcript frame derives from
+      // events exactly like q_transcript_validation's, so DuckDB
+      // recomputes the rendering with string_agg over the same rows.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val turns = t(dir, "events").select(
+        format_string("c%010d", col("user_id")).as("conv_id"),
+        (row_number().over(w) - 1).cast("long").as("turn_idx"),
+        when(col("event_type") === "purchase", "tool")
+          .when(col("event_type").isin("click", "view"), "user")
+          .otherwise("assistant").as("role"),
+        concat(lit("msg "), col("event_id")).as("text"))
+      Transcripts.renderConversations(turns, "conv_id", "turn_idx",
+        "role", "text", maxTurns = 8)
+    }),
+
+    "q_sft_pairs" -> ((s, dir) => { implicit val sp = s
+      // SFT pair extraction: every assistant turn paired with its up-to-3
+      // preceding turns rendered as context — the sliding-frame collect is
+      // bounded by the frame, so no conversation length can inflate state.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val turns = t(dir, "events").select(
+        format_string("c%010d", col("user_id")).as("conv_id"),
+        (row_number().over(w) - 1).cast("long").as("turn_idx"),
+        when(col("event_type") === "purchase", "tool")
+          .when(col("event_type").isin("click", "view"), "user")
+          .otherwise("assistant").as("role"),
+        concat(lit("msg "), col("event_id")).as("text"))
+      Transcripts.contextResponsePairs(turns, "conv_id", "turn_idx",
+        "role", "text", contextTurns = 3)
     }),
 
     "q_dedup_clusters" -> ((s, dir) => { implicit val sp = s
@@ -2174,6 +2210,48 @@ object SparkEntry {
              list_transform(coalesce(spl.sps, []), q -> q.e - q.s), 'sum'), 0)
              AS BIGINT) AS n_words_removed
          FROM n LEFT JOIN spl USING (doc_id)""",
+
+    "q_conv_render" ->
+      """WITH t AS (
+           SELECT printf('c%010d', user_id) AS conv_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS turn_idx,
+                  CASE WHEN event_type = 'purchase' THEN 'tool'
+                       WHEN event_type IN ('click','view') THEN 'user'
+                       ELSE 'assistant' END AS role,
+                  'msg ' || event_id AS text
+           FROM events),
+         r AS (
+           SELECT conv_id, role, text,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, role, text) AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS total
+           FROM t)
+         SELECT conv_id,
+           string_agg(coalesce(role,'') || ': ' || coalesce(text,''), chr(10) ORDER BY rn) AS doc,
+           max(total) AS n_turns_total,
+           count(*) AS n_turns_kept,
+           max(total) > count(*) AS truncated
+         FROM r WHERE rn <= 8 GROUP BY conv_id""",
+
+    "q_sft_pairs" ->
+      """WITH t AS (
+           SELECT printf('c%010d', user_id) AS conv_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS turn_idx,
+                  CASE WHEN event_type = 'purchase' THEN 'tool'
+                       WHEN event_type IN ('click','view') THEN 'user'
+                       ELSE 'assistant' END AS role,
+                  'msg ' || event_id AS text
+           FROM events),
+         r AS (
+           SELECT conv_id, turn_idx, role, text,
+             list(coalesce(role,'') || ': ' || coalesce(text,''))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx, role, text
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+           FROM t)
+         SELECT conv_id, turn_idx,
+           array_to_string(ctx, chr(10)) AS context,
+           coalesce(text,'') AS response,
+           len(ctx) AS n_context_turns
+         FROM r WHERE role = 'assistant' AND len(ctx) >= 1""",
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE
