@@ -602,6 +602,15 @@ object SparkEntry {
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
     }),
 
+    "q_vocab" -> ((s, dir) => { implicit val sp = s
+      // tokenizer-prep vocabulary: corpus-wide normalized-token counts with
+      // a frequency floor, top-K by (count DESC, token ASC) — partial-agg
+      // shuffle of (token, count) pairs + TakeOrderedAndProject, never a
+      // global sort (PlanSpec asserts both).
+      TextAnalysis.vocabulary(t(dir, "documents"), "text",
+        minCount = 5L, topK = 1000)
+    }),
+
     "q_quality" -> ((s, dir) => { implicit val sp = s
       TextAnalysis.qualityFeatures(t(dir, "documents"), "text")
         .select(col("doc_id"), col("q_n_chars").cast("long").as("q_n_chars"),
@@ -1886,6 +1895,16 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
          FROM documents""",
+
+    "q_vocab" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(
+             regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents)
+         SELECT token, count(*) AS n FROM tok
+         WHERE token <> ''
+         GROUP BY token HAVING count(*) >= 5
+         ORDER BY n DESC, token ASC LIMIT 1000""",
 
     "q_quality" ->
       """SELECT doc_id,

@@ -216,4 +216,31 @@ object TextAnalysis {
     withShingles(df, textCol, k, "_sh")
       .withColumn("fingerprint", rollingFingerprintOfShingles(col("_sh")))
       .drop("_sh")
+
+  // --- vocabulary extraction -------------------------------------------------
+
+  /** Tokenizer-prep vocabulary extraction: corpus-wide counts of normalized
+    * whitespace tokens, with a frequency floor and a deterministic top-K
+    * cut ordered by (count DESC, token ASC) — the input a BPE/WordPiece
+    * trainer consumes.
+    *
+    * Scale shape: one codegen'd normalize + explode projection, then a
+    * hash aggregation with map-side partial counts (the only shuffle moves
+    * (token, partial-count) pairs, not text), and the top-K runs as
+    * TakeOrderedAndProject — per-partition heaps of K, no global sort. The
+    * tie-break on the token makes the kept SET a pure function of the
+    * corpus, independent of partitioning. */
+  def vocabulary(df: DataFrame, textCol: String,
+                 minCount: Long = 2L, topK: Int = 1 << 16): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    df.select(explode(split(normalizeText(
+        coalesce(col(textCol).cast("string"), lit(""))), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+  }
 }

@@ -174,6 +174,26 @@ class OpsSpec extends SparkTestBase {
     fp(3L) should be <= fp(1L)
   }
 
+  test("vocabulary: frequency floor, deterministic top-K tie-break, null/empty text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The quick  fox"), (2L, "the QUICK dog"), (3L, "the b a"),
+      (4L, null.asInstanceOf[String]), (5L, "   ")
+    ).toDF("doc_id", "text")
+    val all = TextAnalysis.vocabulary(df, "text", minCount = 1L, topK = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // normalized (lowercased, whitespace-collapsed); null/blank contribute 0
+    all.toMap shouldBe Map("the" -> 3L, "quick" -> 2L, "fox" -> 1L,
+      "dog" -> 1L, "b" -> 1L, "a" -> 1L)
+    // top-K with ties broken token-ASC: deterministic kept set AND order
+    val top4 = TextAnalysis.vocabulary(df, "text", minCount = 1L, topK = 4)
+      .collect().map(_.getString(0)).toSeq
+    top4 shouldBe Seq("the", "quick", "a", "b")
+    // frequency floor
+    TextAnalysis.vocabulary(df, "text", minCount = 2L, topK = 100)
+      .collect().map(_.getString(0)).toSet shouldBe Set("the", "quick")
+  }
+
   test("minhash near-dups: identical docs pair with est_jaccard 1.0") {
     // duplicate a couple docs under new ids to guarantee near-dup pairs
     val dupes = docs.limit(3).withColumn("doc_id", col("doc_id") + 1000000L)

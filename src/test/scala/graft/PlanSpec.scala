@@ -61,6 +61,14 @@ class PlanSpec extends SparkTestBase {
     p should not include "Exchange rangepartitioning"
   }
 
+  test("vocabulary extraction: partial-agg shuffle + TakeOrderedAndProject, no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.TextAnalysis.vocabulary(docs, "text", minCount = 5L, topK = 100))
+    p should include("partial_count")      // map-side combine before the shuffle
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange rangepartitioning"
+  }
+
   test("dynamic JSON validation stays inside whole-stage codegen (ValidateJsonExpr doGenCode)") {
     val q = SparkEntry.queries("q_json_validate")
     val p = plan(q(spark, sf))
