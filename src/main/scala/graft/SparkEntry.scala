@@ -1490,6 +1490,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    "q_embed_checks" -> ((s, dir) => { implicit val sp = s
+      // embedding-column validation: dims / finiteness / norm-range flags,
+      // one codegen'd projection. The synthetic vectors are all clean, so
+      // defects are injected deterministically on both engines: null
+      // vector (%101), truncated dim (%97), NaN element (%89), all-zero
+      // vector (%83 — caught by the norm floor). The raw norm is kept out
+      // of the compared columns; the norm thresholds sit far from any
+      // real vector's norm so the verdicts are float-robust.
+      val emb = t(dir, "embeddings")
+      val vec = when(pmod(col("vec_id"), lit(101)) === 0,
+          lit(null).cast("array<float>"))
+        .when(pmod(col("vec_id"), lit(97)) === 0, slice(col("embedding"), 1, 63))
+        .when(pmod(col("vec_id"), lit(89)) === 0,
+          concat(slice(col("embedding"), 1, 63), array(lit(Float.NaN))))
+        .when(pmod(col("vec_id"), lit(83)) === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+        .otherwise(col("embedding"))
+      Similarity.embeddingChecks(emb.select(col("vec_id"), vec.as("v")),
+          "vec_id", "v", expectedDim = 64, minNorm = 0.1, maxNorm = 1e6)
+        .drop("norm")
+    }),
+
     "q_image_meta" -> ((s, dir) => { implicit val sp = s
       // real multimodal header parsing (no codec): synthesize valid
       // PNG/GIF/JPEG container headers with closed-form dimensions, parse
@@ -2516,6 +2538,30 @@ object SparkEntry {
          SELECT a.id AS id_a, c.id AS id_b
          FROM capped a JOIN capped c ON a.bucket = c.bucket AND a.id < c.id
          WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.95""",
+
+    "q_embed_checks" ->
+      """WITH e AS (
+           SELECT vec_id,
+             CASE WHEN vec_id % 101 = 0 THEN NULL
+                  WHEN vec_id % 97 = 0 THEN embedding[1:63]
+                  WHEN vec_id % 89 = 0 THEN list_append(embedding[1:63], 'nan'::FLOAT)
+                  WHEN vec_id % 83 = 0 THEN list_transform(embedding, x -> 0.0::FLOAT)
+                  ELSE embedding END AS v
+           FROM embeddings),
+         c AS (
+           SELECT vec_id, len(v) AS dim, v IS NULL AS is_null,
+             CASE WHEN v IS NULL THEN false
+                  ELSE len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 END AS has_nonfinite,
+             CASE WHEN v IS NULL THEN NULL
+                  WHEN len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 THEN NULL
+                  ELSE sqrt(list_aggregate(list_transform(v, x -> (x * x)::DOUBLE), 'sum')) END AS norm
+           FROM e)
+         SELECT vec_id, dim, is_null, has_nonfinite,
+           (NOT is_null) AND dim = 64 AS dim_ok,
+           norm IS NOT NULL AND norm >= 0.1 AND norm <= 1e6 AS norm_ok,
+           (NOT is_null) AND dim = 64 AND (NOT has_nonfinite)
+             AND norm IS NOT NULL AND norm >= 0.1 AND norm <= 1e6 AS pass
+         FROM c""",
 
     "q_streaming_dedup" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),

@@ -70,6 +70,35 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
+  /** Embedding-column validation — the constraint model (SURVEY.md §2)
+    * extended to the vector modality: per-row dimension, finiteness and
+    * L2-norm checks. One codegen'd projection over the scan — no shuffle,
+    * no UDF — so it composes with the row validators in a single pass.
+    *
+    * `has_nonfinite` uses `!(|x| <= Double.MaxValue)`: comparisons with
+    * NaN are false, so the negation is true exactly for NaN and ±Inf.
+    * The norm is NULL (never NaN) for null/non-finite vectors, keeping
+    * the NaN-ordering trap out of downstream filters (see
+    * [[cosineWithNorms]]). Returns idCol, dim, is_null, has_nonfinite,
+    * norm, dim_ok, norm_ok, pass. */
+  def embeddingChecks(df: DataFrame, idCol: String, vecCol: String,
+                      expectedDim: Int, minNorm: Double = 0.0,
+                      maxNorm: Double = Double.PositiveInfinity): DataFrame = {
+    require(expectedDim >= 1, s"expectedDim must be >= 1, got $expectedDim")
+    val v = col(vecCol)
+    val nonfinite = v.isNotNull &&
+      exists(v, x => !(abs(x.cast("double")) <= lit(Double.MaxValue)))
+    df.select(col(idCol), size(v).cast("long").as("dim"),
+        v.isNull.as("is_null"), nonfinite.as("has_nonfinite"),
+        when(v.isNull || nonfinite, lit(null).cast("double"))
+          .otherwise(l2norm(v)).as("norm"))
+      .withColumn("dim_ok", !col("is_null") && col("dim") === expectedDim)
+      .withColumn("norm_ok", col("norm").isNotNull &&
+        col("norm") >= minNorm && col("norm") <= maxNorm)
+      .withColumn("pass",
+        col("dim_ok") && !col("has_nonfinite") && col("norm_ok"))
+  }
+
   /** Deterministic pseudo-random hyperplanes from a seed (driver-side;
     * xorshift64*, no java.util.Random state semantics to worry about). */
   private[ops] def randomPlanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Float]] = {

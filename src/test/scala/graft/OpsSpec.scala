@@ -174,6 +174,36 @@ class OpsSpec extends SparkTestBase {
     fp(3L) should be <= fp(1L)
   }
 
+  test("embeddingChecks: dim, finiteness and norm flags; norm never NaN") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3f, 4f)),                       // clean: norm exactly 5.0
+      (2L, null.asInstanceOf[Seq[Float]]),     // null vector
+      (3L, Seq(1f)),                           // wrong dim
+      (4L, Seq(Float.NaN, 1f)),                // NaN element
+      (5L, Seq(Float.PositiveInfinity, 0f)),   // Inf element
+      (6L, Seq(0f, 0f))                        // zero vector: norm floor
+    ).toDF("id", "v")
+    val out = graft.ops.Similarity.embeddingChecks(df, "id", "v",
+        expectedDim = 2, minNorm = 0.1, maxNorm = 100.0)
+      .orderBy("id").collect()
+    out(0).getDouble(4) shouldBe 5.0
+    out(0).getBoolean(7) shouldBe true // pass
+    out(1).getBoolean(2) shouldBe true // is_null
+    out(1).isNullAt(4) shouldBe true
+    out(1).getBoolean(7) shouldBe false
+    out(2).getLong(1) shouldBe 1L
+    out(2).getBoolean(5) shouldBe false // dim_ok
+    out(3).getBoolean(3) shouldBe true // has_nonfinite (NaN)
+    out(3).isNullAt(4) shouldBe true   // norm NULL, never NaN
+    out(4).getBoolean(3) shouldBe true // has_nonfinite (Inf)
+    out(5).getBoolean(6) shouldBe false // norm_ok: zero vector under floor
+    out(5).getBoolean(7) shouldBe false
+    // shuffle-free single projection
+    graft.ops.Similarity.embeddingChecks(df, "id", "v", 2)
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("vocabulary: frequency floor, deterministic top-K tie-break, null/empty text") {
     import spark.implicits._
     val df = Seq(
