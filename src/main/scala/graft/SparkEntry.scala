@@ -1355,6 +1355,25 @@ object SparkEntry {
           col("size_ok"), col("dense_ok"), col("mono_ts_ok"))
     }),
 
+    "q_role_sequence" -> ((s, dir) => { implicit val sp = s
+      // role-sequence validation (§2.3): tool turns only after assistant,
+      // assistant only after user/tool, conversations open with user. The
+      // event-type-derived roles violate these rules naturally, so the
+      // violating-turn set is dense and closed-form on both engines; the
+      // only per-row state is a lag(1) over a spillable sort.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val turns = t(dir, "events").select(
+        format_string("c%010d", col("user_id")).as("conv_id"),
+        (row_number().over(w) - 1).cast("long").as("turn_idx"),
+        when(col("event_type") === "purchase", "tool")
+          .when(col("event_type").isin("click", "view"), "user")
+          .otherwise("assistant").as("role"))
+      TableChecks.roleSequenceChecks(turns,
+        Map("tool" -> Seq("assistant"), "assistant" -> Seq("user", "tool")),
+        allowedStarts = Seq("user"))
+    }),
+
     "q_weak_typing" -> ((s, dir) => { implicit val sp = s
       // kWeakTypes driver surface (§2.7, basic_adapter.hpp maybe/as
       // conversions): the SAME documents carry v as a STRING of digits;
@@ -2629,6 +2648,25 @@ object SparkEntry {
          WHERE NOT (n_turns BETWEEN 1 AND 60)
             OR NOT (n_distinct_idx = n_turns AND mn = 0 AND mx = n_turns - 1)
             OR descents > 0""",
+
+    "q_role_sequence" ->
+      """WITH t AS (
+           SELECT printf('c%010d', user_id) AS conv_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS turn_idx,
+                  CASE WHEN event_type = 'purchase' THEN 'tool'
+                       WHEN event_type IN ('click','view') THEN 'user'
+                       ELSE 'assistant' END AS role
+           FROM events),
+         r AS (
+           SELECT conv_id, turn_idx, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+           FROM t)
+         SELECT conv_id, turn_idx, role, prev_role FROM r
+         WHERE (prev_role IS NULL AND role <> 'user')
+            OR (prev_role IS NOT NULL AND role = 'assistant'
+                AND prev_role NOT IN ('user','tool'))
+            OR (prev_role IS NOT NULL AND role = 'tool'
+                AND prev_role <> 'assistant')""",
 
     "q_video_meta" ->
       """SELECT event_id, 'mp4' AS format,

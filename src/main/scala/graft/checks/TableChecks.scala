@@ -136,6 +136,31 @@ object TableChecks {
       .unionAll(c.exceptAll(p).withColumn("side", lit("cur_only")))
   }
 
+  /** Role-sequence validation over (conv_id, turn_idx) order: each turn's
+    * role must be reachable from its predecessor — e.g. `tool` only after
+    * `assistant`, conversations must open with `user`. `mustFollow` maps a
+    * role to its allowed predecessors (roles absent from the map are
+    * unconstrained); `allowedStarts` constrains the first turn.
+    *
+    * Scale shape: one Exchange on conv_id + a spillable window sort; the
+    * only per-row state is a lag(1), so arbitrarily long conversations
+    * never grow memory. Returns violating turns with their predecessor
+    * role (NULL at conversation start). */
+  def roleSequenceChecks(df: DataFrame, mustFollow: Map[String, Seq[String]],
+                         allowedStarts: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val startViol =
+      col("prev_role").isNull && !col("role").isin(allowedStarts: _*)
+    val followViol = mustFollow.toSeq.sortBy(_._1).map { case (r, preds) =>
+      col("prev_role").isNotNull && col("role") === r &&
+        !col("prev_role").isin(preds: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    df.select(col("conv_id"), col("turn_idx"), col("role"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .where(startViol || followViol)
+  }
+
   /** Per-conversation ts monotonicity via a window over (conv_id, turn_idx)
     * — shuffles once on conv_id, sorts within partitions. Returns violating
     * turns. */

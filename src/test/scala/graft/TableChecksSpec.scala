@@ -98,6 +98,31 @@ class TableChecksSpec extends SparkTestBase {
     }
   }
 
+  test("roleSequenceChecks flags bad starts, bad predecessors, and nothing else") {
+    import spark.implicits._
+    val t = Seq(
+      ("c1", 0L, "user"), ("c1", 1L, "assistant"), ("c1", 2L, "tool"),
+      ("c1", 3L, "assistant"),                       // clean conversation
+      ("c2", 0L, "assistant"),                       // bad start
+      ("c2", 1L, "tool"),                            // ok: after assistant
+      ("c2", 2L, "user"), ("c2", 3L, "tool"),        // tool after user: bad
+      ("c3", 0L, "user"), ("c3", 1L, "user"),        // user unconstrained
+      ("c3", 2L, "assistant"), ("c3", 3L, "assistant") // assistant after assistant: bad
+    ).toDF("conv_id", "turn_idx", "role")
+    val out = TableChecks.roleSequenceChecks(t,
+      Map("tool" -> Seq("assistant"), "assistant" -> Seq("user", "tool")),
+      allowedStarts = Seq("user"))
+    out.select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet shouldBe
+      Set(("c2", 0L), ("c2", 3L), ("c3", 3L))
+    // start violation carries a NULL predecessor
+    out.where(col("conv_id") === "c2" && col("turn_idx") === 0)
+      .collect()(0).isNullAt(3) shouldBe true
+    // one Exchange: the lag window's hash partitioning is the only shuffle
+    "Exchange hashpartitioning".r
+      .findAllIn(out.queryExecution.executedPlan.toString).length shouldBe 1
+  }
+
   test("monotoneTs finds injected non-monotone timestamps") {
     TableChecks.monotoneTs(turns).count() should be > 0L
   }
