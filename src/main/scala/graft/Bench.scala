@@ -63,13 +63,27 @@ object Bench {
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long =
       try fn(spark, sfDir).count() catch { case e: Throwable =>
         System.err.println(s"[bench] QUERY FAILED $name: ${e.getMessage}"); -1L }
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev knob: time only queries matching a regex (and skip the scaling
+    // probe) — for attributing a single query's regression without paying
+    // the ~30-min full protocol. Unset in driver runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       // 3 calls, min: codegen/JIT for the heavier queries only settles on
       // the 3rd execution in a fresh JVM (and any lazy oracle-aux staging
       // is paid once, in the first call only)
       val ts = (1 to 3).map(_ => time(runOnce(name, fn))._2)
       System.err.println(f"[bench] $name: ${ts.map(t => f"$t%.2f").mkString("/")}s")
       name -> ts.min
+    }
+
+    if (only.isDefined) {
+      // dev mode: no scaling probe, no artifact overwrite
+      println(queryTimes.map { case (n, t) => f""""$n":$t%.3f""" }
+        .mkString("{", ",", "}"))
+      spark.stop()
+      return
     }
 
     // --- part 2: scaling run (same stored input; N, 4N, full cores) --------
