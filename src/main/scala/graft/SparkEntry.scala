@@ -687,6 +687,25 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
     }),
 
+    "q_decontaminate_bloom" -> ((s, dir) => { implicit val sp = s
+      // the decontamination SCALE path: the eval side becomes ONE Bloom
+      // sketch (Spark's own BloomFilterAggregate over xxhash64'd shingles,
+      // collected as a fixed-size binary — never the shingle set itself);
+      // the corpus scan probes it with a codegen'd might_contain fused
+      // into the shingle explode, and only the surviving candidates join
+      // the exact eval set to strip Bloom false positives. Output is
+      // bit-identical to the exact broadcast path (CurationSpec asserts
+      // this even with a deliberately undersized sketch) — the oracle
+      // below is therefore the exact formulation. Different eval split
+      // (mod 89) than q_decontaminate so the two rows aren't clones.
+      val docs = t(dir, "documents")
+      Curation.decontaminateBloom(
+        docs.where(pmod(col("doc_id"), lit(89)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(89)) === 0),
+        "doc_id", "text", k = 13)
+        .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
+    }),
+
     "q_repetition" -> ((s, dir) => { implicit val sp = s
       // Gopher-style repetition signals at word granularity: duplicate-word
       // fraction, top-bigram occurrence fraction, adjacent-duplicate
@@ -879,6 +898,19 @@ object SparkEntry {
       stageNearDupPairs(s, dir, force = false)
       val pairs = s.read.parquet(nearDupPairsPath(dir))
       Dedup.clusters(pairs).select(col("id"), col("cluster"))
+    }),
+
+    "q_dedup_survivors" -> ((s, dir) => { implicit val sp = s
+      // the dedup pipeline's FINAL step: drop every near-dup-cluster member
+      // except its min-id canonical — ids in no pair survive untouched.
+      // Reuses the staged verified pair set (same input shape as
+      // q_dedup_clusters) and the clusters() label propagation; the loser
+      // set is tiny (cluster members minus canonicals), so the anti-join
+      // broadcasts. Oracle recomputes the same survivors with the
+      // recursive transitive-closure CTE.
+      stageNearDupPairs(s, dir, force = false)
+      val pairs = s.read.parquet(nearDupPairsPath(dir))
+      Dedup.survivors(t(dir, "documents").select(col("doc_id")), "doc_id", pairs)
     }),
 
     "q_dedup_incremental" -> ((s, dir) => { implicit val sp = s
@@ -2058,6 +2090,16 @@ object SparkEntry {
          FROM sh WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev)
          GROUP BY doc_id""",
 
+    "q_decontaminate_bloom" ->
+      """WITH nd AS (SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM documents),
+         sh AS (SELECT doc_id, substring(nt, i, 13) AS s
+                FROM nd, LATERAL (SELECT unnest(generate_series(1, greatest(length(nt) - 12, 1))) AS i) t),
+         ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 89 = 0)
+         SELECT doc_id, count(DISTINCT s)::BIGINT AS n_shared
+         FROM sh WHERE doc_id % 89 <> 0 AND s IN (SELECT s FROM ev)
+         GROUP BY doc_id""",
+
     "q_repetition" ->
       """WITH w AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
@@ -2329,6 +2371,25 @@ object SparkEntry {
            UNION
            SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b)
          SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""",
+
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(norm)-6, 2)),
+                 i -> substr(norm, i::INT, 8))) AS sh FROM n),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         walk(id, lbl) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b),
+         cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster)""",
 
     "q_transcript_validation" ->
       """WITH turns AS (

@@ -214,12 +214,68 @@ object Curation {
     * shared-shingle counts. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, k: Int = 13): DataFrame = {
-    def shingleSet(df: DataFrame, keep: Column*): DataFrame =
-      df.withColumn("_norm", TextAnalysis.normalizeText(col(textCol)))
-        .select(keep :+ explode(TextAnalysis.shinglesOfNorm(col("_norm"), k)).as("_sh"): _*)
-    val evalShingles = shingleSet(evalSet).select("_sh").distinct()
-    shingleSet(corpus, col(idCol))
+    val evalShingles = shingleFrame(evalSet, textCol, k).select("_sh").distinct()
+    shingleFrame(corpus, textCol, k, col(idCol))
       .join(broadcast(evalShingles), "_sh")
+      .groupBy(idCol)
+      .agg(countDistinct(col("_sh")).as("n_shared"))
+  }
+
+  private def shingleFrame(df: DataFrame, textCol: String, k: Int,
+                           keep: Column*): DataFrame =
+    df.withColumn("_norm", TextAnalysis.normalizeText(col(textCol)))
+      .select(keep :+ explode(TextAnalysis.shinglesOfNorm(col("_norm"), k)).as("_sh"): _*)
+
+  /** Benchmark decontamination for eval sets too LARGE to broadcast exactly —
+    * the 100 TB growth path of [[decontaminate]], with IDENTICAL output.
+    *
+    * Three phases:
+    *   1. ONE Bloom filter over the eval side's distinct shingle hashes,
+    *      built with Spark's own `BloomFilterAggregate` — the sketch
+    *      machinery Catalyst's InjectRuntimeFilter uses for runtime join
+    *      pruning — and collected to the driver. This is a fixed-size
+    *      SKETCH (numBits/8 bytes), not data: the same small-by-construction
+    *      class as the IVF centroid collect, and it broadcasts with the plan
+    *      as a binary literal where a billion-shingle exact set cannot.
+    *   2. The corpus scan probes the sketch in place:
+    *      `might_contain(sketch, xxhash64(shingle))` is a codegen'd
+    *      predicate fused with the shingle explode, so the (overwhelming)
+    *      majority of corpus shingles that miss pay one 64-bit hash and NO
+    *      join at all.
+    *   3. Only the surviving candidate shingles join the exact eval set to
+    *      remove Bloom false positives — a shuffle of the tiny candidate
+    *      subset, never the corpus (AQE still picks broadcast when the eval
+    *      side happens to be small).
+    *
+    * Sizing: numBits is the textbook optimum `-n·ln(fpp)/ln²2` for the
+    * measured distinct-shingle count, subject to Spark's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` cap — raise that
+    * conf for billion-shingle eval sets. An undersized filter only raises
+    * the false-positive rate (more phase-3 work); the output never changes.
+    * An EMPTY eval set yields a null sketch, `might_contain` evaluates null,
+    * and the result is correctly empty. */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, k: Int = 13,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val evalShingles = shingleFrame(evalSet, textCol, k).select("_sh").distinct()
+    // one tiny job to size the sketch: n is the count being sketched anyway
+    val n = math.max(evalShingles.count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
+    val agg = new BloomFilterAggregate(expression(xxhash64(col("_sh"))),
+      Literal(n), Literal(numBits)).toAggregateExpression()
+    val sketch = evalShingles.select(column(agg).as("_bf"))
+      .head().getAs[Array[Byte]](0) // one row: the serialized sketch
+    val probe = column(new BloomFilterMightContain(
+      Literal(sketch, BinaryType), expression(xxhash64(col("_sh")))))
+    shingleFrame(corpus, textCol, k, col(idCol))
+      .where(probe)                 // phase 2: codegen'd in-scan prefilter
+      .join(evalShingles, "_sh")    // phase 3: exact verify, candidates only
       .groupBy(idCol)
       .agg(countDistinct(col("_sh")).as("n_shared"))
   }

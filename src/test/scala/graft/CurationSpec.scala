@@ -210,4 +210,27 @@ class CurationSpec extends SparkTestBase {
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
   }
+
+  test("decontaminateBloom matches the exact path bit-for-bit, even undersized") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpus = docs.where(pmod(col("doc_id"), lit(89)) =!= 0)
+    val eva = docs.where(pmod(col("doc_id"), lit(89)) === 0)
+    val exact = asMap(Curation.decontaminate(corpus, eva, "doc_id", "text", 13))
+    exact should not be empty // the fixture must actually exercise overlap
+    // well-sized sketch
+    asMap(Curation.decontaminateBloom(corpus, eva, "doc_id", "text", 13)) shouldBe exact
+    // deliberately UNDERSIZED sketch (fpp 0.9 → 64-bit floor → false
+    // positives all over): phase 3 must still strip every one of them
+    asMap(Curation.decontaminateBloom(corpus, eva, "doc_id", "text", 13,
+      fpp = 0.9)) shouldBe exact
+    // empty eval set → null sketch → correctly empty output
+    Curation.decontaminateBloom(corpus, eva.where(lit(false)),
+      "doc_id", "text", 13).count() shouldBe 0L
+    // plan shape: the sketch probe is IN the corpus scan stage, before any
+    // join — the codegen'd might_contain predicate is the point of the op
+    val p = Curation.decontaminateBloom(corpus, eva, "doc_id", "text", 13)
+      .queryExecution.executedPlan.toString
+    p should include("might_contain")
+  }
 }
