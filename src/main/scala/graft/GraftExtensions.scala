@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import graft.functions.{FormatCheckExpr, MinHashExpr, PropsToJsonExpr,
   RegexSearchExpr, SimHashExpr, ThompsonRegexEngine, ValidateJsonExpr,
-  YamlToJsonExpr}
+  XmlToJsonExpr, YamlToJsonExpr}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -110,6 +110,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "props_to_json(propertiesText)")
         PropsToJsonExpr(args.head)
+      }),
+    (new FunctionIdentifier("xml_to_json"),
+      new ExpressionInfo(classOf[XmlToJsonExpr].getName, "xml_to_json"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "xml_to_json(xmlText)")
+        XmlToJsonExpr(args.head)
       }))
 
   /** Register on an existing session (tests, shells). */

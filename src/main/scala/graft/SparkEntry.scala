@@ -1446,6 +1446,35 @@ object SparkEntry {
           col("v.description").as("description"))
     }),
 
+    "q_xml_ingest" -> ((s, dir) => { implicit val sp = s
+      // multi-format document ingest #3 — XML, boost::property_tree's
+      // primary wire format (the reference validates ptree documents via
+      // adapters/property_tree_adapter.hpp; read_xml is how those trees
+      // usually arrive): an XML payload column converts to canonical JSON
+      // text (codegen'd XmlToJsonExpr: attributes under "<xmlattr>",
+      // text-only elements become string leaves, repeated tags become
+      // arrays) and validates through the SAME walker under WEAK typing —
+      // every ptree leaf is a string, exactly the reference adapter's
+      // shape. Key-driven synthesis keeps the oracle closed-form: DuckDB
+      // recomputes the expected violations without parsing XML at all.
+      val xml = format_string(
+        """<m id="%d"><v>%d</v><t>a</t><t>b</t></m>""",
+        pmod(col("event_id"), lit(7)), pmod(col("event_id"), lit(150)))
+      val spec = Graft.parseSchema(
+        """{"properties":{"m":{"properties":{
+             "v":{"maximum":100},
+             "t":{"type":"array","minItems":2},
+             "<xmlattr>":{"properties":{"id":{"minimum":2}}}}}}}""")
+      val out = Graft.validateJsonColumn(
+        t(dir, "events").withColumn("__doc",
+          graft.functions.XmlToJsonExpr.xmlToJson(xml)), "__doc", spec,
+        graft.compile.CompileOptions(strictTypes = false))
+      out.select(col("event_id"), explode(col("violations")).as("v"))
+        .where(col("v.kind").isin("maximum", "minimum"))
+        .select(col("event_id"), col("v.json_pointer").as("json_pointer"),
+          col("v.description").as("description"))
+    }),
+
     "q_props_ingest" -> ((s, dir) => { implicit val sp = s
       // multi-format document ingest #2 (the reference's
       // property_tree_adapter, adapters/property_tree_adapter.hpp):
@@ -2670,6 +2699,15 @@ object SparkEntry {
 
     "q_yaml_ingest" ->
       """SELECT event_id, '/v' AS json_pointer,
+                'Expected number less than or equal to 100.000000' AS description
+         FROM events WHERE event_id % 150 > 100""",
+
+    "q_xml_ingest" ->
+      """SELECT event_id, '/m/<xmlattr>/id' AS json_pointer,
+                'Expected number greater than or equal to 2.000000' AS description
+         FROM events WHERE event_id % 7 < 2
+         UNION ALL
+         SELECT event_id, '/m/v' AS json_pointer,
                 'Expected number less than or equal to 100.000000' AS description
          FROM events WHERE event_id % 150 > 100""",
 

@@ -218,6 +218,73 @@ class JsonColumnSpec extends SparkTestBase {
     conv(deep) shouldBe deep
   }
 
+  test("XML ingest: ptree-rule mapping, weak typing, bombs pass through") {
+    import graft.functions.XmlToJsonExpr
+    def conv(s: String): String =
+      Option(XmlToJsonExpr.convert(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        .map(_.toString).orNull
+    // text-only element -> string leaf (ptree data); nesting via elements
+    conv("<m><v>42</v><kind>x</kind></m>") shouldBe
+      """{"m":{"v":"42","kind":"x"}}"""
+    // empty element -> [] (the reference's empty-ptree-is-an-ARRAY rule,
+    // property_tree_adapter.hpp:271-283)
+    conv("<m><e/></m>") shouldBe """{"m":{"e":[]}}"""
+    conv("<m/>") shouldBe """{"m":[]}"""
+    // attributes land under "<xmlattr>", boost read_xml's exact convention
+    conv("""<m id="7"><v>1</v></m>""") shouldBe
+      """{"m":{"<xmlattr>":{"id":"7"},"v":"1"}}"""
+    // repeated same-name children -> array in document order (the ptree
+    // multimap shape JSON objects cannot express)
+    conv("<m><t>a</t><t>b</t><u>c</u></m>") shouldBe
+      """{"m":{"t":["a","b"],"u":"c"}}"""
+    // mixed content keeps trimmed text under "#text"
+    conv("<m>hello <b>w</b></m>") shouldBe """{"m":{"b":"w","#text":"hello"}}"""
+    // entity escapes + CDATA resolve; text is trimmed like ptree's
+    // trim_whitespace loading
+    conv("<m> a &amp; b <![CDATA[<raw>]]> </m>") shouldBe
+      """{"m":"a & b <raw>"}"""
+    // NULL -> NULL; non-XML passes through (uniform parse violation later)
+    conv(null) shouldBe null
+    conv("not xml") shouldBe "not xml"
+    conv("<unclosed><a></unclosed>") shouldBe "<unclosed><a></unclosed>"
+    // DOCTYPE is disallowed outright: both XXE and billion-laughs entity
+    // expansion degrade to passthrough, never a file read or a blowup
+    val xxe = """<!DOCTYPE m [<!ENTITY x SYSTEM "file:///etc/passwd">]><m>&x;</m>"""
+    conv(xxe) shouldBe xxe
+    val laughs = "<!DOCTYPE m [<!ENTITY a \"x\"><!ENTITY b \"&a;&a;&a;&a;&a;&a;\">]><m>&b;</m>"
+    conv(laughs) shouldBe laughs
+    // depth bound: 100k-deep element nesting degrades to passthrough
+    val deep = (1 to 100000).map(_ => "<d>").mkString
+    conv(deep) shouldBe deep
+
+    // through the walker under WEAK typing (untyped ptree adapter shape)
+    import spark.implicits._
+    val spec = Graft.parseSchema(
+      """{"properties": {"m": {"properties": {"v": {"maximum": 100}},
+                               "required": ["v"]}}}""")
+    val docs = Seq((0L, "<m><v>42</v></m>"), (1L, "<m><v>250</v></m>"),
+      (2L, "<m><kind>x</kind></m>"), (3L, null.asInstanceOf[String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (i, x) => Row(i, x) }),
+      StructType(Seq(StructField("id", LongType), StructField("xml", StringType))))
+      .withColumn("__doc", XmlToJsonExpr.xmlToJson(col("xml")))
+    val out = Graft.validateJsonColumn(df, "__doc", spec,
+        graft.compile.CompileOptions(strictTypes = false))
+      .select("id", "pass", "violations").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        r.getSeq[Row](2).map(_.getString(2)))).toMap
+    out(0L) shouldBe ((true, Seq()))
+    out(1L)._1 shouldBe false
+    out(1L)._2 should contain("maximum")
+    out(2L)._1 shouldBe false
+    out(2L)._2 should contain("required")
+    out(3L) shouldBe ((true, Seq()))
+    // SQL surface
+    graft.GraftExtensions.register(spark)
+    spark.sql("""SELECT xml_to_json('<a><b>1</b></a>') AS j""")
+      .collect()(0).getString(0) shouldBe """{"a":{"b":"1"}}"""
+  }
+
   test("driver entry() smoke: violations present") {
     SparkEntry.entry(spark).count() should be > 0L
   }
