@@ -127,6 +127,30 @@ object SparkEntry {
     }
   }
 
+  /** Snapshot-log root for `q_snapshot_travel`: an Iceberg-analog versioned
+    * table of orders built in three append commits (o_orderkey % 3 slices),
+    * so the timed query can TIME-TRAVEL to v1 and scan exactly that
+    * snapshot's files. Built at staging time — committing snapshots is
+    * ingest work, not per-read work. */
+  def snapshotLogPath(dir: String): String =
+    "/tmp/graft_oracle_aux/snaplog_" +
+      dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def stageSnapshotLog(s: SparkSession, dir: String, force: Boolean): Unit = {
+    val base = snapshotLogPath(dir)
+    if (force || !stagedFor(base, dir)) { implicit val sp = s
+      rmTree(base)
+      val log = new graft.io.SnapshotLog(s"$base/log")
+      (0 to 2).foreach { m =>
+        val slice = s"$base/data$m"
+        t(dir, "orders").where(pmod(col("o_orderkey"), lit(3)) === m)
+          .write.mode("overwrite").parquet(slice)
+        log.commitAppend(Seq(slice))
+      }
+      stamp(base, dir)
+    }
+  }
+
   /** Files.walk streams hold open directory descriptors until closed;
     * these helpers run once per timed streaming-dedup invocation, so a
     * long bench session would otherwise accumulate fds until finalizers
@@ -266,6 +290,7 @@ object SparkEntry {
     stageMinhashLshTable(s, dir, force = true)
     stageStreamingDedupLanding(s, dir, force = true)
     stageMediaFixtures(s, dir, force = true)
+    stageSnapshotLog(s, dir, force = true)
   }
 
   /** Media-decode fixture table: one REAL PNG and one REAL WAV payload per
@@ -1868,6 +1893,82 @@ object SparkEntry {
         .select(col("o_orderkey"), col("json_pointer"),
           concat_ws("|", col("legacy_context")).as("legacy_ctx"),
           col("description"))
+    }),
+
+    "q_snapshot_travel" -> ((s, dir) => { implicit val sp = s
+      // Iceberg-analog TIME TRAVEL (north rule: snapshot-backed
+      // checkpoints): the staged log holds three append commits of orders
+      // slices (o_orderkey % 3 = 0, then 1, then 2); reading AS OF v1 must
+      // scan exactly the first two slices' files — a reader of v1 is
+      // unaffected by the later v2 commit by construction (immutable
+      // manifests + atomic CAS promotion, io/SnapshotLog.scala). Exact-sum
+      // aggregate over the snapshot so any file-set drift changes the hash.
+      stageSnapshotLog(s, dir, force = false)
+      val log = new graft.io.SnapshotLog(s"${snapshotLogPath(dir)}/log")
+      log.read(s, 1L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_custkey")).as("sum_cust"))
+    }),
+
+    "q_stats_sketch" -> ((s, dir) => { implicit val sp = s
+      // MERGEABLE per-partition stats sketches (the incremental form of
+      // q_stats): one scan builds O(partitions) sketch rows (null counts,
+      // min/max partials, DataSketches HLL per column), then table-level
+      // stats are re-derived from the SKETCH TABLE alone — the 100 TB
+      // shape where appending an increment never rescans the corpus.
+      // Exact fields (rows, nulls, min/max) are associative partials and
+      // hash-match DuckDB; the HLL distinct ESTIMATE is checked as a
+      // tolerance verdict against the exact distinct count (same contract
+      // as the lossy media paths), ±5% at lgK=14 (~0.8% expected rse).
+      val ev = t(dir, "events")
+      val sk = TableChecks.sketchStats(
+        ev.withColumn("sk_part", pmod(col("event_id"), lit(16))),
+        "sk_part", Seq("user_id", "event_type"))
+      val merged = TableChecks.mergeSketchStats(sk, Seq("user_id", "event_type"))
+      val exact = ev.agg(
+        countDistinct(col("user_id")).as("du"),
+        countDistinct(col("event_type")).as("de"))
+      merged.crossJoin(exact).select(
+        col("n_rows"),
+        col("user_id_nulls"), col("event_type_nulls"),
+        col("user_id_min"), col("user_id_max"),
+        col("event_type_min"), col("event_type_max"),
+        (abs(col("user_id_distinct_est") - col("du")) <=
+          col("du") * 0.05).as("user_id_distinct_ok"),
+        (abs(col("event_type_distinct_est") - col("de")) <=
+          col("de") * 0.05).as("event_type_distinct_ok"))
+    }),
+
+    "q_shuffle_shards" -> ((s, dir) => { implicit val sp = s
+      // deterministic corpus shuffle → training shards: shard + dense
+      // in-shard position from a pure md5-u01 of the id — one balanced
+      // hash exchange on shard + a spillable in-partition sort; NO global
+      // sort, no single-partition window. Rerun/retry/any-partitioning
+      // reproduce the identical permutation (CurationSpec asserts), and
+      // DuckDB recomputes it from the same md5 arithmetic.
+      Curation.shuffleShards(t(dir, "documents"), "doc_id",
+          numShards = 8, seed = "r5")
+        .select(col("doc_id"), col("shard"),
+          col("shard_pos"))
+    }),
+
+    "q_filter_cascade" -> ((s, dir) => { implicit val sp = s
+      // quality filter cascade with FIRST-FAIL reason codes (the C4/
+      // FineWeb keep/drop gate): ordered rules over corpus signals, one
+      // codegen'd projection fused with the scan — no shuffle. NULL
+      // predicates fail closed. Reason attribution is per-rule so ablation
+      // can size each filter's removal volume.
+      val d = t(dir, "documents")
+      val nWords = TextAnalysis.tokenCountWs(col("text"))
+      Curation.filterCascade(d, Seq(
+          "too_short" -> (nWords >= 5),
+          "too_long" -> (col("n_chars") <= lit(1500)),
+          "bad_lang" -> col("lang").isin("en", "fr", "de", "es", "pt"),
+          // mean word length ≤ 12, phrased multiplicatively so a 0-word
+          // row (already caught by too_short) can never divide by zero
+          "long_words" -> (col("n_chars").cast("double") <=
+            nWords.cast("double") * 12.0)))
+        .select(col("doc_id"), col("keep"), col("drop_reason"))
     })
   )
 
@@ -2938,6 +3039,53 @@ object SparkEntry {
                 '<root>|["o_orderpriority"]' AS legacy_ctx,
                 'Failed to match against any enum values.' AS description
          FROM orders
-         WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')"""
+         WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')""",
+
+    "q_snapshot_travel" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY o_orderstatus""",
+
+    "q_stats_sketch" ->
+      """SELECT count(*) AS n_rows,
+                CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS user_id_nulls,
+                CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) AS event_type_nulls,
+                min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+                min(event_type) AS event_type_min, max(event_type) AS event_type_max,
+                true AS user_id_distinct_ok, true AS event_type_distinct_ok
+         FROM events""",
+
+    "q_shuffle_shards" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  ('0x' || substring(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                    / 4503599627370496.0 AS key
+           FROM documents),
+         sh AS (
+           SELECT doc_id, key,
+                  CAST(least(floor(key * 8), 7) AS INTEGER) AS shard
+           FROM k)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+                     AS BIGINT) AS shard_pos
+         FROM sh""",
+
+    "q_filter_cascade" ->
+      """WITH sig AS (
+           SELECT doc_id, lang, n_chars,
+                  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+                  CASE WHEN NOT coalesce(n_words >= 5, false) THEN 'too_short'
+                       WHEN NOT coalesce(n_chars <= 1500, false) THEN 'too_long'
+                       WHEN NOT coalesce(lang IN ('en','fr','de','es','pt'), false) THEN 'bad_lang'
+                       WHEN NOT coalesce(CAST(n_chars AS DOUBLE) <= n_words * 12.0, false)
+                         THEN 'long_words'
+                       ELSE NULL END AS drop_reason
+           FROM sig)
+         SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM r"""
   )
 }

@@ -67,6 +67,61 @@ object TableChecks {
     else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-partition MERGEABLE stats sketches — the incremental form of
+    * [[stats]] and the north rule's "distinct counts via HLL sketches"
+    * made persistent: one row per `partCol` value carrying, per data
+    * column, the null count, min/max, and an Apache DataSketches HLL
+    * sketch (Spark's own `hll_sketch_agg`) of the column's values.
+    *
+    * The 100 TB contract: this table is O(partitions) rows of fixed-size
+    * binaries, APPEND-ONLY under partition-incremental ingestion — a new
+    * increment computes sketch rows for ITS partitions only (one scan of
+    * the new data) and appends them; [[mergeSketchStats]] then re-derives
+    * table-level stats from the sketch table alone, never rescanning the
+    * corpus. Values are canonicalized to strings before sketching so an
+    * increment written months later hashes identically (DataSketches hashes
+    * long(42) and "42" differently; mixing encodings would silently
+    * undercount the union).
+    *
+    * `lgK = 14` bounds the estimate's relative standard error at ~0.8%
+    * (sketch size ≤ ~10 KiB per column per partition). */
+  def sketchStats(df: DataFrame, partCol: String, dataCols: Seq[String],
+                  lgK: Int = 14): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("rows") +: dataCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"${c}_hll"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))
+    }
+    df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Roll a [[sketchStats]] table up to table-level statistics: exact row /
+    * null counts and min/max (sums and extrema of the per-partition
+    * partials), plus the HLL distinct ESTIMATE via `hll_union_agg` — all
+    * associative merges, one aggregation over O(partitions) rows. A
+    * partition whose column was entirely NULL contributes an empty/null
+    * sketch; the union treats it as zero distinct values.
+    *
+    * The exact fields (rows, nulls, min/max) are strictly associative —
+    * any increment grouping merges to identical values. The HLL ESTIMATE
+    * is order-dependent WITHIN ITS ERROR BOUNDS (DataSketches' union drops
+    * the HIP estimator on out-of-order merges, so different merge trees
+    * can differ by a fraction of the ~0.8% rse at lgK 14) — treat it as
+    * the approximation it is, never as a hashable exact value. */
+  def mergeSketchStats(sketches: DataFrame, dataCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = sum(col("rows")).as("n_rows") +: dataCols.flatMap { c =>
+      Seq(
+        sum(col(s"${c}_nulls")).as(s"${c}_nulls"),
+        hll_sketch_estimate(hll_union_agg(col(s"${c}_hll"), lit(true)))
+          .as(s"${c}_distinct_est"),
+        min(col(s"${c}_min")).as(s"${c}_min"),
+        max(col(s"${c}_max")).as(s"${c}_max"))
+    }
+    sketches.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Salted two-phase count for heavily skewed group keys (long
     * conversations): phase 1 aggregates (key, salt) partial counts, phase 2
     * merges per key. Use when a plain groupBy(key) would put one hot key's

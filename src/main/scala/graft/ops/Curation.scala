@@ -49,6 +49,64 @@ object Curation {
     df.where(u01(col(idCol)) < frac)
   }
 
+  // --- deterministic corpus shuffle → training shards ------------------------
+
+  /** Deterministic global corpus shuffle into training shards — the "shuffle
+    * the corpus once before training" step, without the global sort.
+    *
+    * Every row gets a pure-function shuffle key `u01(seed | id)`; its shard
+    * is `floor(key · numShards)` and its dense position WITHIN the shard is
+    * the rank by (key, id). Reading shards 0..numShards-1 each in shard_pos
+    * order replays one fixed uniformly-shuffled permutation of the corpus —
+    * re-runs, retries and a different Spark partitioning all reproduce it
+    * bit-for-bit (the key is a function of the row, not of RNG state).
+    *
+    * Scale shape: NO global sort and no single-partition window — one hash
+    * exchange on `shard` (u01 is uniform, so shards are balanced within
+    * sampling noise regardless of id skew) and a spillable in-partition
+    * sort for the rank. At 10^12 rows pick numShards >> cores so each
+    * shard's sort fits an executor; the per-shard output is exactly the
+    * file a training loader consumes.
+    *
+    * Adds `shuffle_key` (double), `shard` (int), `shard_pos` (long, 1-based
+    * within shard). Ids must be unique or the (key, id) order — and thus
+    * shard_pos — is nondeterministic between equal rows. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    seed: String = "",
+                    u01: Column => Column = uniform01Md5): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key",
+        u01(concat(lit(seed), lit("|"), col(idCol).cast("string"))))
+      // u01 < 1 strictly, but key*N can round UP to N at the top of the
+      // range in IEEE space — clamp so the last shard absorbs the edge
+      .withColumn("shard",
+        least(floor(col("shuffle_key") * numShards), lit(numShards - 1L)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
+  // --- quality filter cascade ---------------------------------------------------
+
+  /** Quality filter cascade with reason codes (the FineWeb/C4-style keep/drop
+    * gate): rules apply IN ORDER and a dropped row reports the FIRST rule it
+    * failed, so downstream ablation can attribute removal volume per rule.
+    * A rule whose predicate evaluates NULL (e.g. a signal over NULL text)
+    * fails that rule — filters are fail-closed.
+    *
+    * Adds `drop_reason` (first failing rule name, NULL when kept) and
+    * `keep`. One codegen'd projection — no shuffle, no UDF — so the cascade
+    * fuses with the scan and with the signal projections feeding it. */
+  def filterCascade(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterCascade needs at least one rule")
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((name, pred), later) =>
+        when(!coalesce(pred, lit(false)), lit(name)).otherwise(later)
+    }
+    df.withColumn("drop_reason", reason)
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
   // --- per-stratum token-budget packing --------------------------------------
 
   /** Greedy token-budget packing: within each stratum, rank rows by the

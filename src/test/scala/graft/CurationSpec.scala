@@ -233,4 +233,55 @@ class CurationSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     p should include("might_contain")
   }
+
+  test("shuffleShards: deterministic balanced permutation with dense in-shard positions") {
+    val a = Curation.shuffleShards(docs, "doc_id", numShards = 8, seed = "s1")
+      .select("doc_id", "shard", "shard_pos")
+    val b = Curation.shuffleShards(docs.repartition(7), "doc_id", numShards = 8, seed = "s1")
+      .select("doc_id", "shard", "shard_pos")
+    // pure function of the id: identical layout under any input partitioning
+    a.exceptAll(b).count() shouldBe 0L
+    b.exceptAll(a).count() shouldBe 0L
+    val rows = a.collect()
+    // a permutation: every doc exactly once
+    rows.map(_.getLong(0)).toSet.size shouldBe docs.count()
+    // dense 1..n positions within each shard
+    rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      rs.map(_.getLong(2)).sorted.toSeq shouldBe (1L to rs.length.toLong)
+    }
+    // balanced within sampling noise (500 docs / 8 shards ≈ 62 ± band)
+    val sizes = rows.groupBy(_.getInt(1)).view.mapValues(_.length)
+    sizes.keys.toSet shouldBe (0 until 8).toSet
+    all(sizes.values.toSeq) should (be >= 30 and be <= 100)
+    // a different seed produces a different permutation
+    val c = Curation.shuffleShards(docs, "doc_id", numShards = 8, seed = "s2")
+      .select("doc_id", "shard", "shard_pos")
+    c.exceptAll(a).count() should be > 0L
+    // plan shape: one hash exchange on shard, never a single-partition window
+    val plan = a.queryExecution.executedPlan.toString
+    plan should include("hashpartitioning(shard")
+    plan should not include "SinglePartition"
+  }
+
+  test("filterCascade: first-fail attribution, fail-closed NULLs, keep iff all pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10), Some(true)),   // passes both
+      (2L, Some(-1), Some(true)),   // fails rule1 (and would fail rule2)
+      (3L, Some(10), Some(false)),  // fails rule2 only
+      (4L, None: Option[Int], Some(true)) // NULL predicate → fails rule1
+    ).toDF("id", "x", "ok")
+    val out = Curation.filterCascade(df, Seq(
+      "nonneg" -> (col("x") >= 0),
+      "flag" -> col("ok"))).select("id", "keep", "drop_reason").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)))).toMap
+    out(1L) shouldBe (true, None)
+    out(2L) shouldBe (false, Some("nonneg")) // FIRST failing rule, not "flag"
+    out(3L) shouldBe (false, Some("flag"))
+    out(4L) shouldBe (false, Some("nonneg")) // NULL fails closed
+    // rule order changes attribution, not the kept set
+    val flipped = Curation.filterCascade(df, Seq(
+      "flag" -> col("ok"), "nonneg" -> (col("x") >= 0)))
+    flipped.where(col("keep")).select("id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+  }
 }

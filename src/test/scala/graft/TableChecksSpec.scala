@@ -240,4 +240,53 @@ class TableChecksSpec extends SparkTestBase {
     v2.count() shouldBe 1L // exactly the NULL-part verdict row again
     v2.where(col("part_id").isNull).agg(sum("rows")).head().getLong(0) shouldBe nullRows
   }
+
+  test("sketchStats/mergeSketchStats: exact partials match; HLL estimate within tolerance") {
+    val withPart = turns.withColumn("sk_part", pmod(hash(col("conv_id")), lit(16)))
+    val sk = TableChecks.sketchStats(withPart, "sk_part", Seq("conv_id", "role"))
+    sk.count() shouldBe withPart.select("sk_part").distinct().count()
+    val m = TableChecks.mergeSketchStats(sk, Seq("conv_id", "role")).head()
+    val e = turns.agg(
+      count(lit(1)), sum(when(col("conv_id").isNull, 1L).otherwise(0L)),
+      sum(when(col("role").isNull, 1L).otherwise(0L)),
+      countDistinct(col("conv_id")), countDistinct(col("role")),
+      min(col("conv_id")), max(col("conv_id"))).head()
+    m.getAs[Long]("n_rows") shouldBe e.getLong(0)
+    m.getAs[Long]("conv_id_nulls") shouldBe e.getLong(1)
+    m.getAs[Long]("role_nulls") shouldBe e.getLong(2)
+    m.getAs[String]("conv_id_min") shouldBe e.getString(5)
+    m.getAs[String]("conv_id_max") shouldBe e.getString(6)
+    val exactConv = e.getLong(3).toDouble
+    math.abs(m.getAs[Long]("conv_id_distinct_est") - exactConv) should be <= exactConv * 0.03
+    // role cardinality is tiny — the sketch is still in exact coupon range
+    m.getAs[Long]("role_distinct_est") shouldBe e.getLong(4)
+  }
+
+  test("sketchStats: two increments' sketch rows merge to the one-shot stats (no corpus rescan)") {
+    val withPart = turns.withColumn("sk_part", pmod(hash(col("conv_id")), lit(16)))
+    // increment A = partitions 0-7 scanned alone; increment B = 8-15 alone;
+    // the APPEND-ONLY sketch table is their union — merging it must equal
+    // merging a single-pass build, because every merge is associative
+    val incA = TableChecks.sketchStats(withPart.where(col("sk_part") < 8),
+      "sk_part", Seq("conv_id", "role"))
+    val incB = TableChecks.sketchStats(withPart.where(col("sk_part") >= 8),
+      "sk_part", Seq("conv_id", "role"))
+    val mInc = TableChecks.mergeSketchStats(incA.unionAll(incB),
+      Seq("conv_id", "role")).head()
+    val mOne = TableChecks.mergeSketchStats(
+      TableChecks.sketchStats(withPart, "sk_part", Seq("conv_id", "role")),
+      Seq("conv_id", "role")).head()
+    // exact fields are associative: identical under any increment grouping
+    for (f <- Seq("n_rows", "conv_id_nulls", "role_nulls"))
+      mInc.getAs[Long](f) shouldBe mOne.getAs[Long](f)
+    for (f <- Seq("conv_id_min", "conv_id_max", "role_min", "role_max"))
+      mInc.getAs[String](f) shouldBe mOne.getAs[String](f)
+    // the HLL estimate is order-dependent only WITHIN its error bounds
+    // (DataSketches drops the HIP estimator on out-of-order unions): both
+    // merge trees must land within tolerance of the exact count
+    val exact = turns.agg(countDistinct(col("conv_id"))).head().getLong(0).toDouble
+    math.abs(mInc.getAs[Long]("conv_id_distinct_est") - exact) should be <= exact * 0.03
+    math.abs(mOne.getAs[Long]("conv_id_distinct_est") - exact) should be <= exact * 0.03
+    mInc.getAs[Long]("role_distinct_est") shouldBe mOne.getAs[Long]("role_distinct_est")
+  }
 }
