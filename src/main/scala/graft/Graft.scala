@@ -132,4 +132,41 @@ object Graft {
 
   def validateJsonColumn(df: DataFrame, jsonCol: String, schemaJson: String): DataFrame =
     validateJsonColumn(df, jsonCol, parseSchema(schemaJson))
+
+  /** Validate a JSON column against a schema SELECTED PER ROW by a key
+    * column — the agent-transcript shape: each tool call's `arguments`
+    * document validates against that tool's own registered schema.
+    *
+    * One codegen'd projection: the CaseWhen dispatch evaluates only the
+    * matching branch per row, so every row pays exactly ONE parse + ONE
+    * document walk no matter how many schemas are registered — never
+    * per-schema scans, a join, or a shuffle. Scale-wise this is the same
+    * single-scan shape as [[validateJsonColumn]]; the schema registry
+    * rides the plan as compiled constants (broadcast with the closure).
+    *
+    * Keys absent from the registry (including NULL keys) follow
+    * `default`: `Some(spec)` validates against it, `None` passes —
+    * absent schema = unconstrained, the same rule the reference applies
+    * to unknown `format` values. Enforce the key vocabulary itself with
+    * [[graft.checks.TableChecks.referential]]; that check, not a schema
+    * dispatch, is where "unknown tool" belongs. */
+  def validateJsonColumnBy(df: DataFrame, jsonCol: String, keyCol: String,
+                           specs: Map[String, SchemaSpec],
+                           default: Option[SchemaSpec] = None,
+                           opts: CompileOptions = CompileOptions()): DataFrame = {
+    require(specs.nonEmpty, "validateJsonColumnBy needs at least one schema")
+    def res(spec: SchemaSpec): Column =
+      graft.functions.ValidateJsonExpr.validate(col(jsonCol), spec,
+        opts.strictDateTime, opts.strictTypes, opts.regexEngine)
+    val fallback = default.map(res).getOrElse(
+      struct(lit(true).as("pass"),
+        array().cast(Compiler.violationArrayType).as("violations")))
+    val dispatched = specs.toSeq.sortBy(_._1).foldRight(fallback) {
+      case ((k, spec), other) => when(col(keyCol) === k, res(spec)).otherwise(other)
+    }
+    df.withColumn("__graft_res", dispatched)
+      .withColumn("pass", col("__graft_res.pass"))
+      .withColumn("violations", col("__graft_res.violations"))
+      .drop("__graft_res")
+  }
 }

@@ -1895,6 +1895,27 @@ object SparkEntry {
           col("description"))
     }),
 
+    "q_schema_dispatch" -> ((s, dir) => { implicit val sp = s
+      // per-key schema dispatch (the agent-transcript shape: each tool's
+      // arguments validate against that tool's own schema): ONE scan, one
+      // parse + one walk per row — the CaseWhen evaluates only the
+      // matching branch; never per-schema scans or a join. `signup` has
+      // no registered schema → default None → passes (vocabulary
+      // enforcement is q_referential's job, not the dispatcher's).
+      val specs = Map(
+        "click" -> Graft.parseSchema("""{"properties":{"k":{"maximum":50}}}"""),
+        "view" -> Graft.parseSchema("""{"properties":{"k":{"minimum":20}}}"""),
+        "purchase" -> Graft.parseSchema("""{"properties":{"k":{"multipleOf":3}}}"""),
+        "error" -> Graft.parseSchema("""{"properties":{"k":{"exclusiveMaximum":80}}}"""))
+      Graft.validateJsonColumnBy(t(dir, "events"), "props", "event_type", specs)
+        .where(!col("pass"))
+        .select(col("event_id"), col("event_type"), explode(col("violations")).as("v"))
+        .where(col("v.kind") =!= "properties") // wrapper rows: kind-pinned leaves suffice
+        .select(col("event_id"), col("event_type"),
+          col("v.json_pointer").as("json_pointer"),
+          col("v.description").as("description"), col("v.kind").as("kind"))
+    }),
+
     "q_snapshot_travel" -> ((s, dir) => { implicit val sp = s
       // Iceberg-analog TIME TRAVEL (north rule: snapshot-backed
       // checkpoints): the staged log holds three append commits of orders
@@ -3040,6 +3061,31 @@ object SparkEntry {
                 'Failed to match against any enum values.' AS description
          FROM orders
          WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')""",
+
+    "q_schema_dispatch" ->
+      """WITH kv AS (
+           SELECT event_id, event_type,
+                  CAST(json_extract_string(props, '$.k') AS INT) AS k
+           FROM events)
+         SELECT event_id, event_type, '/k' AS json_pointer,
+                'Expected number less than or equal to 50.000000' AS description,
+                'maximum' AS kind
+         FROM kv WHERE event_type = 'click' AND NOT (k <= 50)
+         UNION ALL
+         SELECT event_id, event_type, '/k' AS json_pointer,
+                'Expected number greater than or equal to 20.000000' AS description,
+                'minimum' AS kind
+         FROM kv WHERE event_type = 'view' AND NOT (k >= 20)
+         UNION ALL
+         SELECT event_id, event_type, '/k' AS json_pointer,
+                'Value should be a multiple of 3' AS description,
+                'multipleOf' AS kind
+         FROM kv WHERE event_type = 'purchase' AND NOT (k = 0 OR k % 3 = 0)
+         UNION ALL
+         SELECT event_id, event_type, '/k' AS json_pointer,
+                'Expected number less than 80.000000' AS description,
+                'maximum' AS kind
+         FROM kv WHERE event_type = 'error' AND NOT (k < 80)""",
 
     "q_snapshot_travel" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

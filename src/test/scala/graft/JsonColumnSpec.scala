@@ -288,4 +288,37 @@ class JsonColumnSpec extends SparkTestBase {
   test("driver entry() smoke: violations present") {
     SparkEntry.entry(spark).count() should be > 0L
   }
+
+  test("validateJsonColumnBy dispatches per key; unknown/NULL keys follow default") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "lo", """{"k": 5}"""),   // lo: k<=10 → pass
+        Row(2L, "lo", """{"k": 50}"""),  // lo: fail maximum 10
+        Row(3L, "hi", """{"k": 50}"""),  // hi: k>=20 → pass
+        Row(4L, "hi", """{"k": 5}"""),   // hi: fail minimum 20
+        Row(5L, "mystery", """{"k": -1}"""), // unregistered key
+        Row(6L, null, """{"k": -1}"""))),    // NULL key
+      StructType(Seq(StructField("id", LongType),
+        StructField("tool", StringType), StructField("args", StringType))))
+    val specs = Map(
+      "lo" -> Graft.parseSchema("""{"properties":{"k":{"maximum":10}}}"""),
+      "hi" -> Graft.parseSchema("""{"properties":{"k":{"minimum":20}}}"""))
+    def passMap(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "pass").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val noDefault = Graft.validateJsonColumnBy(df, "args", "tool", specs)
+    passMap(noDefault) shouldBe Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> true)
+    // the failing row carries the DISPATCHED schema's exact violation
+    noDefault.where(col("id") === 2L).select(explode(col("violations")))
+      .select("col.kind").collect().map(_.getString(0)) should contain("maximum")
+    // with a default, unknown and NULL keys validate against it
+    val withDefault = Graft.validateJsonColumnBy(df, "args", "tool", specs,
+      default = Some(Graft.parseSchema("""{"properties":{"k":{"minimum":0}}}""")))
+    passMap(withDefault) shouldBe Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false)
+    // single projection: no join/exchange anywhere in the plan
+    val plan = noDefault.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
 }
