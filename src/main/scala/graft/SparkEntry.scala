@@ -18,6 +18,23 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events→transcript-turns projection shared by q_conv_render,
+    * q_sft_pairs and q_role_sequence (conv = user, turn order = event
+    * order, roles from event_type). ONE definition so the three query
+    * bodies and their mirrored printf/row_number oracle SQL cannot
+    * silently desynchronize. */
+  private def eventTurns(dir: String)(implicit s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(dir, "events").select(
+      format_string("c%010d", col("user_id")).as("conv_id"),
+      (row_number().over(w) - 1).cast("long").as("turn_idx"),
+      when(col("event_type") === "purchase", "tool")
+        .when(col("event_type").isin("click", "view"), "user")
+        .otherwise("assistant").as("role"),
+      concat(lit("msg "), col("event_id")).as("text"))
+  }
+
   /** Side-channel path where the (HOF-oracled) simhash signature stage is
     * persisted so DuckDB can independently recompute the banding +
     * bucket-cap + Hamming stages in SQL (the signature hash itself —
@@ -879,16 +896,7 @@ object SparkEntry {
       // truncation path is exercised). The transcript frame derives from
       // events exactly like q_transcript_validation's, so DuckDB
       // recomputes the rendering with string_agg over the same rows.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      val turns = t(dir, "events").select(
-        format_string("c%010d", col("user_id")).as("conv_id"),
-        (row_number().over(w) - 1).cast("long").as("turn_idx"),
-        when(col("event_type") === "purchase", "tool")
-          .when(col("event_type").isin("click", "view"), "user")
-          .otherwise("assistant").as("role"),
-        concat(lit("msg "), col("event_id")).as("text"))
-      Transcripts.renderConversations(turns, "conv_id", "turn_idx",
+      Transcripts.renderConversations(eventTurns(dir), "conv_id", "turn_idx",
         "role", "text", maxTurns = 8)
     }),
 
@@ -896,16 +904,7 @@ object SparkEntry {
       // SFT pair extraction: every assistant turn paired with its up-to-3
       // preceding turns rendered as context — the sliding-frame collect is
       // bounded by the frame, so no conversation length can inflate state.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      val turns = t(dir, "events").select(
-        format_string("c%010d", col("user_id")).as("conv_id"),
-        (row_number().over(w) - 1).cast("long").as("turn_idx"),
-        when(col("event_type") === "purchase", "tool")
-          .when(col("event_type").isin("click", "view"), "user")
-          .otherwise("assistant").as("role"),
-        concat(lit("msg "), col("event_id")).as("text"))
-      Transcripts.contextResponsePairs(turns, "conv_id", "turn_idx",
+      Transcripts.contextResponsePairs(eventTurns(dir), "conv_id", "turn_idx",
         "role", "text", contextTurns = 3)
     }),
 
@@ -1418,15 +1417,7 @@ object SparkEntry {
       // event-type-derived roles violate these rules naturally, so the
       // violating-turn set is dense and closed-form on both engines; the
       // only per-row state is a lag(1) over a spillable sort.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      val turns = t(dir, "events").select(
-        format_string("c%010d", col("user_id")).as("conv_id"),
-        (row_number().over(w) - 1).cast("long").as("turn_idx"),
-        when(col("event_type") === "purchase", "tool")
-          .when(col("event_type").isin("click", "view"), "user")
-          .otherwise("assistant").as("role"))
-      TableChecks.roleSequenceChecks(turns,
+      TableChecks.roleSequenceChecks(eventTurns(dir),
         Map("tool" -> Seq("assistant"), "assistant" -> Seq("user", "tool")),
         allowedStarts = Seq("user"))
     }),
@@ -2253,7 +2244,10 @@ object SparkEntry {
 
     "q_repetition" ->
       """WITH w AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+           SELECT doc_id,
+                  CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                       ELSE string_split_regex(trim(text), '\s+') END AS words
+           FROM documents),
          b AS (
            SELECT doc_id, words, len(words) AS nw,
                   CASE WHEN len(words) >= 2 THEN

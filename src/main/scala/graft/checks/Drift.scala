@@ -125,6 +125,11 @@ object Drift {
                  specs: Seq[(String, Column, Double, Double, Int)])
       : Map[String, Histogram] = {
     if (specs.isEmpty) return Map.empty
+    // the Map return would silently drop all but one histogram for a
+    // duplicated name (two baselines legally targeting the same COLUMN are
+    // fine — give them distinct names, as TableRunner's index keys do)
+    require(specs.map(_._1).distinct.size == specs.size,
+      s"sketchMany spec names must be distinct, got ${specs.map(_._1)}")
     val aggs = specs.flatMap { case (name, c, lo, hi, n) =>
       val d = c.cast("double")
       val bucket = bucketExpr(d, lo, hi, n)

@@ -320,8 +320,17 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
+    // Pinned: the distinct eval-shingle set is read three times (the sizing
+    // count, the sketch aggregation, the phase-3 exact join) — without the
+    // persist each read would re-run the eval scan + shingle explode + the
+    // distinct's full shuffle, tripling exactly the work this growth path
+    // exists to bound. MEMORY_AND_DISK so a billion-shingle eval set spills
+    // rather than OOMs; the blocks are released by Spark's ContextCleaner
+    // when the returned frame's lineage is dropped.
     val evalShingles = shingleFrame(evalSet, textCol, k).select("_sh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one tiny job to size the sketch: n is the count being sketched anyway
+    // (and it materializes the cache the two later reads hit)
     val n = math.max(evalShingles.count(), 1L)
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
