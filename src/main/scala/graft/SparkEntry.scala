@@ -1453,8 +1453,11 @@ object SparkEntry {
       val yaml = format_string("kind: yaml\nv: %d",
         pmod(col("event_id"), lit(150)))
       val spec = Graft.parseSchema("""{"properties":{"v":{"maximum":100}}}""")
+      // the events fixture is ONE parquet row group, so without a re-split
+      // this CPU-bound parse would run on one core (scans split only at
+      // row-group boundaries) — same idiom as the media-fixture layout
       val out = Graft.validateJsonColumn(
-        t(dir, "events").withColumn("__doc",
+        t(dir, "events").repartition(32).withColumn("__doc",
           graft.functions.YamlToJsonExpr.yamlToJson(yaml)), "__doc", spec)
       out.select(col("event_id"), explode(col("violations")).as("v"))
         .where(col("v.kind") === "maximum")
@@ -1481,8 +1484,10 @@ object SparkEntry {
              "v":{"maximum":100},
              "t":{"type":"array","minItems":2},
              "<xmlattr>":{"properties":{"id":{"minimum":2}}}}}}}""")
+      // one-row-group fixture: re-split so the SAX parse parallelizes
+      // (see q_yaml_ingest's note)
       val out = Graft.validateJsonColumn(
-        t(dir, "events").withColumn("__doc",
+        t(dir, "events").repartition(32).withColumn("__doc",
           graft.functions.XmlToJsonExpr.xmlToJson(xml)), "__doc", spec,
         graft.compile.CompileOptions(strictTypes = false))
       out.select(col("event_id"), explode(col("violations")).as("v"))
@@ -1504,8 +1509,10 @@ object SparkEntry {
         pmod(col("event_id"), lit(150)))
       val spec = Graft.parseSchema(
         """{"properties":{"meta":{"properties":{"v":{"maximum":100}}}}}""")
+      // one-row-group fixture: re-split so the line parse parallelizes
+      // (see q_yaml_ingest's note)
       val out = Graft.validateJsonColumn(
-        t(dir, "events").withColumn("__doc",
+        t(dir, "events").repartition(32).withColumn("__doc",
           graft.functions.PropsToJsonExpr.propsToJson(props)), "__doc", spec,
         graft.compile.CompileOptions(strictTypes = false))
       out.select(col("event_id"), explode(col("violations")).as("v"))

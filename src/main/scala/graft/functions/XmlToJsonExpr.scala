@@ -81,11 +81,16 @@ object XmlToJsonExpr {
     override def fillInStackTrace(): Throwable = this // hot path: no stacks
   }
 
-  // SAXParserFactory is not guaranteed thread-safe; parsers are single-use
-  // per parse anyway, so build one parser per call from a per-thread factory.
-  @transient private lazy val saxFactory =
-    new ThreadLocal[javax.xml.parsers.SAXParserFactory] {
-      override def initialValue(): javax.xml.parsers.SAXParserFactory = {
+  // ONE SAXParser per executor thread, reused across rows via reset():
+  // constructing a parser (newSAXParser + secure-processing init) costs
+  // ~ms — per-ROW construction made the scan ~10x slower than the parse
+  // itself. SAXParser is not thread-safe but IS reusable; reset() restores
+  // the factory-configured state even after a mid-parse abort (our Guard
+  // throws), and the security features live on the FACTORY config, which
+  // reset() re-applies — a hostile document cannot un-harden the parser.
+  @transient private lazy val saxParser =
+    new ThreadLocal[javax.xml.parsers.SAXParser] {
+      override def initialValue(): javax.xml.parsers.SAXParser = {
         val f = javax.xml.parsers.SAXParserFactory.newInstance()
         f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
         // no DOCTYPE at all: entity bombs and XXE are unrepresentable
@@ -94,7 +99,7 @@ object XmlToJsonExpr {
         f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
         f.setNamespaceAware(false)
         f.setXIncludeAware(false)
-        f
+        f.newSAXParser()
       }
     }
 
@@ -177,8 +182,10 @@ object XmlToJsonExpr {
           stack.peek().add(f.name, f.render())
         }
       }
-      saxFactory.get().newSAXParser().parse(
+      val parser = saxParser.get()
+      try parser.parse(
         new org.xml.sax.InputSource(new java.io.StringReader(text)), handler)
+      finally parser.reset()
       // well-formed XML has exactly one document element; render it as a
       // one-member object keyed by its tag, matching boost read_xml's ptree
       val doc = jsonMapper.createObjectNode()
