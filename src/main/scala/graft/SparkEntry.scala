@@ -1947,7 +1947,25 @@ object SparkEntry {
       val exact = ev.agg(
         countDistinct(col("user_id")).as("du"),
         countDistinct(col("event_type")).as("de"))
-      merged.crossJoin(exact).select(
+      // KLL quantile verdicts (numeric column only): the estimate's exact
+      // rank bracket must contain the target within the merged-sketch rank
+      // bound (k=200 → ±1.65% @99%; ±2.5% asserted — same tolerance-verdict
+      // contract as the HLL estimate and the lossy media paths). The < / <=
+      // bracket absorbs duplicated integer values (rank is lumpy there).
+      val ranks = ev.crossJoin(broadcast(merged.select(
+          col("user_id_q50").as("_q50"), col("user_id_q95").as("_q95"),
+          col("user_id_q99").as("_q99"))))
+        .where(col("user_id").isNotNull)
+        .agg(
+          avg(when(col("user_id") < col("_q50"), 1.0).otherwise(0.0)).as("lt50"),
+          avg(when(col("user_id") <= col("_q50"), 1.0).otherwise(0.0)).as("le50"),
+          avg(when(col("user_id") < col("_q95"), 1.0).otherwise(0.0)).as("lt95"),
+          avg(when(col("user_id") <= col("_q95"), 1.0).otherwise(0.0)).as("le95"),
+          avg(when(col("user_id") < col("_q99"), 1.0).otherwise(0.0)).as("lt99"),
+          avg(when(col("user_id") <= col("_q99"), 1.0).otherwise(0.0)).as("le99"))
+      def qOk(lt: String, le: String, target: Double) =
+        col(lt) - 0.025 <= target && lit(target) <= col(le) + 0.025
+      merged.crossJoin(exact).crossJoin(ranks).select(
         col("n_rows"),
         col("user_id_nulls"), col("event_type_nulls"),
         col("user_id_min"), col("user_id_max"),
@@ -1955,7 +1973,10 @@ object SparkEntry {
         (abs(col("user_id_distinct_est") - col("du")) <=
           col("du") * 0.05).as("user_id_distinct_ok"),
         (abs(col("event_type_distinct_est") - col("de")) <=
-          col("de") * 0.05).as("event_type_distinct_ok"))
+          col("de") * 0.05).as("event_type_distinct_ok"),
+        qOk("lt50", "le50", 0.50).as("user_id_q50_ok"),
+        qOk("lt95", "le95", 0.95).as("user_id_q95_ok"),
+        qOk("lt99", "le99", 0.99).as("user_id_q99_ok"))
     }),
 
     "q_shuffle_shards" -> ((s, dir) => { implicit val sp = s
@@ -3100,7 +3121,8 @@ object SparkEntry {
                 CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) AS event_type_nulls,
                 min(user_id) AS user_id_min, max(user_id) AS user_id_max,
                 min(event_type) AS event_type_min, max(event_type) AS event_type_max,
-                true AS user_id_distinct_ok, true AS event_type_distinct_ok
+                true AS user_id_distinct_ok, true AS event_type_distinct_ok,
+                true AS user_id_q50_ok, true AS user_id_q95_ok, true AS user_id_q99_ok
          FROM events""",
 
     "q_shuffle_shards" ->

@@ -84,15 +84,29 @@ object TableChecks {
     * undercount the union).
     *
     * `lgK = 14` bounds the estimate's relative standard error at ~0.8%
-    * (sketch size ≤ ~10 KiB per column per partition). */
+    * (sketch size ≤ ~10 KiB per column per partition).
+    *
+    * NUMERIC columns additionally get a mergeable KLL quantile sketch
+    * (`{c}_kll` binary, [[graft.functions.KllSketch]]) — the north rule's
+    * "quantiles via t-digest" as a persisted, append-only partial:
+    * [[mergeSketchStats]] re-derives table-level p50/p95/p99 from the
+    * sketch table alone, so quantiles too survive incremental ingestion
+    * without a corpus rescan (`percentile_approx` buffers cannot be
+    * persisted across jobs). */
   def sketchStats(df: DataFrame, partCol: String, dataCols: Seq[String],
-                  lgK: Int = 14): DataFrame = {
+                  lgK: Int = 14, kllK: Int = graft.functions.KllSketch.DefaultK): DataFrame = {
+    val schema = df.schema
     val aggs: Seq[Column] = count(lit(1)).as("rows") +: dataCols.flatMap { c =>
-      Seq(
+      val base = Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
         hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"${c}_hll"),
         min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max"))
+      schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          base :+ graft.functions.KllSketch.kllBuild(col(c), kllK).as(s"${c}_kll")
+        case _ => base
+      }
     }
     df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -109,17 +123,32 @@ object TableChecks {
     * is order-dependent WITHIN ITS ERROR BOUNDS (DataSketches' union drops
     * the HIP estimator on out-of-order merges, so different merge trees
     * can differ by a fraction of the ~0.8% rse at lgK 14) — treat it as
-    * the approximation it is, never as a hashable exact value. */
+    * the approximation it is, never as a hashable exact value.
+    *
+    * Columns that carried a `{c}_kll` quantile sketch additionally yield
+    * `{c}_q50/_q95/_q99` estimates (KLL union + rank query; same
+    * approximate-within-rank-bounds contract — ±1.65% normalized rank at
+    * k=200, preserved by merging). */
   def mergeSketchStats(sketches: DataFrame, dataCols: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = sum(col("rows")).as("n_rows") +: dataCols.flatMap { c =>
+    val have = sketches.columns.toSet
+    val kllCols = dataCols.filter(c => have(s"${c}_kll"))
+    val aggs: Seq[Column] = (sum(col("rows")).as("n_rows") +: dataCols.flatMap { c =>
       Seq(
         sum(col(s"${c}_nulls")).as(s"${c}_nulls"),
         hll_sketch_estimate(hll_union_agg(col(s"${c}_hll"), lit(true)))
           .as(s"${c}_distinct_est"),
         min(col(s"${c}_min")).as(s"${c}_min"),
         max(col(s"${c}_max")).as(s"${c}_max"))
-    }
-    sketches.agg(aggs.head, aggs.tail: _*)
+    }) ++ kllCols.map(c =>
+      // union ONCE per column; rank queries run on the merged binary below
+      graft.functions.KllSketch.kllMerge(col(s"${c}_kll")).as(s"_${c}_kllm"))
+    val agged = sketches.agg(aggs.head, aggs.tail: _*)
+    val quantiles = kllCols.flatMap(c => Seq(
+      graft.functions.KllSketch.kllQuantile(col(s"_${c}_kllm"), 0.50).as(s"${c}_q50"),
+      graft.functions.KllSketch.kllQuantile(col(s"_${c}_kllm"), 0.95).as(s"${c}_q95"),
+      graft.functions.KllSketch.kllQuantile(col(s"_${c}_kllm"), 0.99).as(s"${c}_q99")))
+    agged
+      .select((agged.columns.filterNot(_.startsWith("_")).map(col).toSeq ++ quantiles): _*)
   }
 
   /** Salted two-phase count for heavily skewed group keys (long

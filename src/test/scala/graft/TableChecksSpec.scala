@@ -289,4 +289,47 @@ class TableChecksSpec extends SparkTestBase {
     math.abs(mOne.getAs[Long]("conv_id_distinct_est") - exact) should be <= exact * 0.03
     mInc.getAs[Long]("role_distinct_est") shouldBe mOne.getAs[Long]("role_distinct_est")
   }
+
+  test("sketchStats: KLL quantile sketches persist, merge across increments, and answer within rank bounds") {
+    val withPart = turns.withColumn("sk_part", pmod(hash(col("conv_id")), lit(16)))
+    val sk = TableChecks.sketchStats(withPart, "sk_part", Seq("turn_idx", "role"))
+    // numeric column gets the quantile sketch; string column does not
+    sk.columns should contain("turn_idx_kll")
+    sk.columns should not contain "role_kll"
+
+    // exact rank of each estimate must be within the KLL k=200 bound
+    // (±1.65% @99%, merged over 16 partials — assert a conservative ±2.5%)
+    val m = TableChecks.mergeSketchStats(sk, Seq("turn_idx", "role")).head()
+    for ((f, target) <- Seq(("turn_idx_q50", 0.50), ("turn_idx_q95", 0.95), ("turn_idx_q99", 0.99))) {
+      val est = m.getAs[Double](f)
+      // lumpy discrete data: the estimate's mid-rank must bracket the target
+      val r = turns.where(col("turn_idx").isNotNull).agg(
+        avg(when(col("turn_idx") < est, 1.0).otherwise(0.0)),
+        avg(when(col("turn_idx") <= est, 1.0).otherwise(0.0))).head()
+      assert(r.getDouble(0) - 0.025 <= target && target <= r.getDouble(1) + 0.025,
+        s"$f=$est rank=[${r.getDouble(0)}, ${r.getDouble(1)}] target=$target")
+    }
+
+    // append-only increments: union of two partial sketch tables answers
+    // within the same bound (merging preserves the rank guarantee)
+    val incA = TableChecks.sketchStats(withPart.where(col("sk_part") < 8),
+      "sk_part", Seq("turn_idx"))
+    val incB = TableChecks.sketchStats(withPart.where(col("sk_part") >= 8),
+      "sk_part", Seq("turn_idx"))
+    val mi = TableChecks.mergeSketchStats(incA.unionAll(incB), Seq("turn_idx")).head()
+    val estI = mi.getAs[Double]("turn_idx_q50")
+    val ri = turns.where(col("turn_idx").isNotNull).agg(
+      avg(when(col("turn_idx") < estI, 1.0).otherwise(0.0)),
+      avg(when(col("turn_idx") <= estI, 1.0).otherwise(0.0))).head()
+    assert(ri.getDouble(0) - 0.025 <= 0.50 && 0.50 <= ri.getDouble(1) + 0.025,
+      s"incremental q50=$estI rank=[${ri.getDouble(0)}, ${ri.getDouble(1)}]")
+
+    // a column that is entirely NULL yields an empty sketch → NULL quantile
+    val mn = TableChecks.mergeSketchStats(
+      TableChecks.sketchStats(
+        withPart.withColumn("turn_idx", lit(null).cast("int")),
+        "sk_part", Seq("turn_idx")),
+      Seq("turn_idx")).head()
+    assert(mn.isNullAt(mn.fieldIndex("turn_idx_q50")))
+  }
 }
