@@ -1581,6 +1581,72 @@ object SparkEntry {
       }.toDF("name", "bucket", "cnt")
     }),
 
+    "q_drift_ks" -> ((s, dir) => { implicit val sp = s
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.KllSketch
+      // Kolmogorov-Smirnov drift over persisted KLL sketches — the
+      // quantile-sketch counterpart of the PSI histogram path (no bucket
+      // grid to pick; any CDF shift registers). Two test pairs from ONE
+      // corpus scan: even-vs-odd l_orderkey halves (same distribution →
+      // no drift) and even-vs-shifted(+25) (clear drift). Exact fields
+      // (sample sizes, exact two-sample KS delta via cumulative-count
+      // windows) hash-match DuckDB; the sketch-side delta/verdict is
+      // checked as a tolerance verdict (rank error ≤ 2×1.65% at k=200),
+      // same contract as the HLL/quantile estimates in q_stats_sketch.
+      val base = t(dir, "lineitem").where(col("l_quantity").isNotNull)
+        .select(col("l_quantity").cast("double").as("v"),
+          (pmod(col("l_orderkey"), lit(2)) === 0).as("is_a"))
+      // exact two-sample KS per pair: one shuffle on (pair, v), cumulative
+      // CDF gap via ordered window over the ~50 distinct values
+      val samples = base.select(explode(array(
+          struct(lit("even_vs_odd").as("pair"), col("v").as("v"),
+            col("is_a").as("is_a")),
+          struct(lit("even_vs_shifted").as("pair"),
+            when(col("is_a"), col("v")).otherwise(col("v") + 25.0).as("v"),
+            col("is_a").as("is_a")))).as("s"))
+        .select(col("s.pair").as("pair"), col("s.v").as("v"),
+          col("s.is_a").as("is_a"))
+      val cnt = samples.groupBy(col("pair"), col("v")).agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val wOrd = Window.partitionBy("pair").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("pair")
+      val exact = cnt
+        .withColumn("cum_a", sum("ca").over(wOrd))
+        .withColumn("cum_b", sum("cb").over(wOrd))
+        .withColumn("tot_a", sum("ca").over(wAll))
+        .withColumn("tot_b", sum("cb").over(wAll))
+        .groupBy("pair").agg(
+          max(abs(col("cum_a").cast("double") / col("tot_a").cast("double") -
+                  col("cum_b").cast("double") / col("tot_b").cast("double")))
+            .as("exact_delta_raw"),
+          max(col("tot_a")).as("n_a"), max(col("tot_b")).as("n_b"))
+      // sketch side: three KLL sketches in ONE aggregation over the same
+      // scan, then the frame-side KS expressions on the sketch bytes —
+      // nothing is collected to the driver
+      val skRow = base.agg(
+        KllSketch.kllBuild(when(col("is_a"), col("v"))).as("sk_a"),
+        KllSketch.kllBuild(when(!col("is_a"), col("v"))).as("sk_b"),
+        KllSketch.kllBuild(when(!col("is_a"), col("v") + 25.0)).as("sk_c"))
+      val pairs = skRow.select(explode(array(
+          struct(lit("even_vs_odd").as("pair"), col("sk_a").as("a"),
+            col("sk_b").as("b")),
+          struct(lit("even_vs_shifted").as("pair"), col("sk_a").as("a"),
+            col("sk_c").as("b")))).as("p"))
+        .select(col("p.pair").as("pair"),
+          KllSketch.kllN(col("p.a")).as("kn_a"),
+          KllSketch.kllN(col("p.b")).as("kn_b"),
+          KllSketch.kllKsDelta(col("p.a"), col("p.b")).as("sk_delta"),
+          KllSketch.kllKsDrifted(col("p.a"), col("p.b"), 0.05).as("drifted"))
+      exact.join(pairs, "pair").select(
+        col("pair"), col("n_a"), col("n_b"),
+        round(col("exact_delta_raw"), 6).as("exact_delta"),
+        (col("kn_a") === col("n_a") && col("kn_b") === col("n_b")).as("n_ok"),
+        (abs(col("sk_delta") - col("exact_delta_raw")) <= lit(0.05)).as("delta_ok"),
+        col("drifted"))
+    }),
+
     "q_embed_neardups" -> ((s, dir) => { implicit val sp = s
       // embedding-cosine near-dups: hyperplane-LSH buckets (native
       // single-pass signature), exact cosine inside buckets; the bucket
@@ -2778,6 +2844,41 @@ object SparkEntry {
          UNION ALL
          SELECT 'l_quantity' AS name, g.bucket, coalesce(qt.c, 0) AS cnt
          FROM grid g LEFT JOIN qt ON g.bucket = qt.bucket""",
+
+    "q_drift_ks" ->
+      """WITH base AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS v, l_orderkey % 2 = 0 AS is_a
+           FROM lineitem WHERE l_quantity IS NOT NULL),
+         samples AS (
+           SELECT 'even_vs_odd' AS pair, v, is_a FROM base
+           UNION ALL
+           SELECT 'even_vs_shifted' AS pair,
+                  CASE WHEN is_a THEN v ELSE v + 25.0 END AS v, is_a
+           FROM base),
+         cnt AS (
+           SELECT pair, v,
+                  count(*) FILTER (WHERE is_a) AS ca,
+                  count(*) FILTER (WHERE NOT is_a) AS cb
+           FROM samples GROUP BY 1, 2),
+         cdf AS (
+           SELECT pair,
+                  sum(ca) OVER (PARTITION BY pair ORDER BY v) AS cum_a,
+                  sum(cb) OVER (PARTITION BY pair ORDER BY v) AS cum_b,
+                  sum(ca) OVER (PARTITION BY pair) AS tot_a,
+                  sum(cb) OVER (PARTITION BY pair) AS tot_b
+           FROM cnt),
+         ex AS (
+           SELECT pair,
+                  max(abs(CAST(cum_a AS DOUBLE) / CAST(tot_a AS DOUBLE) -
+                          CAST(cum_b AS DOUBLE) / CAST(tot_b AS DOUBLE)))
+                    AS exact_delta_raw,
+                  CAST(max(tot_a) AS BIGINT) AS n_a,
+                  CAST(max(tot_b) AS BIGINT) AS n_b
+           FROM cdf GROUP BY pair)
+         SELECT pair, n_a, n_b, round(exact_delta_raw, 6) AS exact_delta,
+                true AS n_ok, true AS delta_ok,
+                (pair = 'even_vs_shifted') AS drifted
+         FROM ex""",
 
     "q_embed_neardups" ->
       """WITH b AS (

@@ -115,6 +115,29 @@ object Drift {
     verdictOf(sketch(df, c, baseline.lo, baseline.hi, baseline.n),
       baseline, psiThreshold)
 
+  /** Two-sample Kolmogorov-Smirnov drift verdict over persisted KLL
+    * sketches (the quantile-sketch counterpart of the PSI/KL histogram
+    * path: no bucket grid to pick, sensitive to any CDF shift). The
+    * threshold is DATA-DEPENDENT — the classical two-sample bound at
+    * `pValue` on the sketches' retained sample sizes, widened by both
+    * sketches' normalized rank errors — so the verdict carries it instead
+    * of a fixed constant. `pass` = no detectable drift.
+    *
+    * Driver-side form; the frame-side equivalents for per-partition
+    * verdicts over a sketch table are `KllSketch.kllKsDelta` /
+    * `kllKsThreshold` / `kllKsDrifted`.
+    *
+    * @throws IllegalArgumentException if either sketch is NULL/empty — a
+    *   drift CHECK against a missing baseline is a caller bug, not a pass. */
+  def ksCheck(current: Array[Byte], baseline: Array[Byte],
+              pValue: Double = 0.05): DriftVerdict = {
+    val delta = graft.functions.KllSketch.ksDeltaBoxed(current, baseline)
+    val thr = graft.functions.KllSketch.ksThresholdBoxed(current, baseline, pValue)
+    require(delta != null && thr != null,
+      "ksCheck requires two non-empty KLL sketches")
+    DriftVerdict("ks", delta.doubleValue(), thr.doubleValue())
+  }
+
   /** ALL sketches in ONE table scan: per (name, column, lo, hi, n) spec,
     * n+2 conditional-count aggregates (bucket tagging identical to
     * [[histogramDF]]/[[HistogramAgg]], NaN → underflow) in a single

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.datasketches.common.SketchesException
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.KolmogorovSmirnov
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -135,6 +136,52 @@ object KllSketch {
     java.lang.Long.valueOf(KllDoublesSketch.heapify(Memory.wrap(bytes)).getN)
   }
 
+  /** Scalar column: two-sample Kolmogorov-Smirnov delta (max CDF gap)
+    * between two persisted sketches; NULL if either side is NULL/empty. */
+  def kllKsDelta(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      KllKsDeltaExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Scalar column: the KS rejection threshold at target p-value for the
+    * two sketches (data-dependent: retained-item counts + both sketches'
+    * normalized rank errors); NULL if either side is NULL/empty. The test
+    * verdict "distributions differ" is `kllKsDelta > kllKsThreshold`. */
+  def kllKsThreshold(a: Column, b: Column, pValue: Double): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      KllKsThresholdExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b),
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          org.apache.spark.sql.functions.lit(pValue))))
+
+  /** Boolean column: sketch-based two-sample KS test — TRUE when the
+    * sketches' max CDF gap exceeds the p-value threshold ("drifted"). */
+  def kllKsDrifted(a: Column, b: Column, pValue: Double): Column =
+    kllKsDelta(a, b) > kllKsThreshold(a, b, pValue)
+
+  /** Interpreted/codegen kernels for the KS expressions. Boxed so a NULL
+    * verdict is expressible for NULL/empty sketches (KS is undefined on an
+    * empty sample); malformed bytes fail loudly, same contract as
+    * [[quantileBoxed]]. */
+  def ksDeltaBoxed(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    if (a == null || a.isEmpty || b == null || b.isEmpty) return null
+    val sa = KllDoublesSketch.heapify(Memory.wrap(a))
+    val sb = KllDoublesSketch.heapify(Memory.wrap(b))
+    if (sa.isEmpty || sb.isEmpty) null
+    else java.lang.Double.valueOf(KolmogorovSmirnov.computeKSDelta(sa, sb))
+  }
+
+  def ksThresholdBoxed(a: Array[Byte], b: Array[Byte], p: Double): java.lang.Double = {
+    if (a == null || a.isEmpty || b == null || b.isEmpty) return null
+    require(p > 0.0 && p < 1.0, s"KS target p-value must be in (0,1), got $p")
+    val sa = KllDoublesSketch.heapify(Memory.wrap(a))
+    val sb = KllDoublesSketch.heapify(Memory.wrap(b))
+    if (sa.isEmpty || sb.isEmpty) null
+    else java.lang.Double.valueOf(KolmogorovSmirnov.computeKSThreshold(sa, sb, p))
+  }
+
   /** True iff `bytes` parses as a KLL doubles sketch (diagnostic guard for
     * externally-supplied stats tables). */
   def isValidSketch(bytes: Array[Byte]): Boolean =
@@ -203,4 +250,73 @@ case class KllNExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): KllNExpr =
     copy(child = newChild)
+}
+
+/** `kll_ks_delta(a, b)` — two-sample Kolmogorov-Smirnov statistic (max
+  * absolute CDF difference) between two persisted KLL doubles sketches.
+  * NULL if either input is NULL or an empty sketch. This is the frame-side
+  * form of the drift test: a sketch TABLE row (per partition / per day) can
+  * be compared against a broadcast baseline sketch without collecting
+  * either — per-partition drift verdicts stay distributed. */
+@ExpressionDescription(
+  usage = "kll_ks_delta(a, b) - two-sample KS statistic between KLL sketch bytes")
+case class KllKsDeltaExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kll_ks_delta requires (binary, binary), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KllSketch.ksDeltaBoxed(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double graftKsD = graft.functions.KllSketch.ksDeltaBoxed($a, $b);
+      if (graftKsD == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftKsD.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): KllKsDeltaExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kll_ks_threshold(a, b, p)` — the rejection threshold the KS delta is
+  * compared against at target p-value `p`: the classical two-sample bound
+  * on the sketches' RETAINED sample sizes plus both sketches' normalized
+  * rank errors (the estimate can be off by at most that much, so the
+  * threshold absorbs it). NULL if either sketch is NULL/empty. */
+@ExpressionDescription(
+  usage = "kll_ks_threshold(a, b, p) - KS rejection threshold at p-value for two KLL sketches")
+case class KllKsThresholdExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kll_ks_threshold requires (binary, binary, double), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, p: Any): Any =
+    KllSketch.ksThresholdBoxed(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], p.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, p) => s"""
+      java.lang.Double graftKsT = graft.functions.KllSketch.ksThresholdBoxed($a, $b, $p);
+      if (graftKsT == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftKsT.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): KllKsThresholdExpr =
+    copy(first = f, second = s, third = t)
 }

@@ -332,4 +332,49 @@ class TableChecksSpec extends SparkTestBase {
       Seq("turn_idx")).head()
     assert(mn.isNullAt(mn.fieldIndex("turn_idx_q50")))
   }
+
+  test("KS drift over KLL sketches: same distribution passes, a shift drifts, empties are NULL") {
+    import graft.functions.KllSketch
+    // split ROWS (not conversations — the generator injects a giant
+    // conversation whose long turn_idx tail would make conv-keyed halves
+    // genuinely different distributions, which KS rightly flags) into two
+    // iid halves of the same distribution + a shifted copy
+    val withPart = turns.withColumn("sk_part",
+      pmod(hash(col("conv_id"), col("turn_idx"), col("role")), lit(2)))
+    val sk = withPart.agg(
+      KllSketch.kllBuild(when(col("sk_part") === 0, col("turn_idx"))).as("a"),
+      KllSketch.kllBuild(when(col("sk_part") === 1, col("turn_idx"))).as("b"),
+      KllSketch.kllBuild(when(col("sk_part") === 1, col("turn_idx") + 1000)).as("c"),
+      KllSketch.kllBuild(lit(null).cast("double")).as("e")).head()
+    val (a, b, c, e) = (sk.getAs[Array[Byte]]("a"), sk.getAs[Array[Byte]]("b"),
+      sk.getAs[Array[Byte]]("c"), sk.getAs[Array[Byte]]("e"))
+
+    // driver-side verdict API
+    val same = Drift.ksCheck(a, b)
+    same.metric shouldBe "ks"
+    assert(same.pass, s"same-distribution halves flagged drifted: $same")
+    val shifted = Drift.ksCheck(a, c)
+    assert(!shifted.pass, s"+1000 shift not flagged: $shifted")
+    // most turn_idx mass sits below 1000, so the CDF gap is large (not ≈1:
+    // the injected giant conversation's tail overlaps the shifted support)
+    shifted.value should be > 0.5
+    an[IllegalArgumentException] should be thrownBy Drift.ksCheck(a, e)
+    an[IllegalArgumentException] should be thrownBy Drift.ksCheck(a, b, pValue = 0.0)
+
+    // frame-side expressions agree with the driver-side verdict (the
+    // per-partition sketch-table shape: nothing collected)
+    val row = withPart.sparkSession.range(1).select(
+      KllSketch.kllKsDelta(lit(a), lit(b)).as("d_same"),
+      KllSketch.kllKsDrifted(lit(a), lit(b), 0.05).as("f_same"),
+      KllSketch.kllKsDelta(lit(a), lit(c)).as("d_shift"),
+      KllSketch.kllKsDrifted(lit(a), lit(c), 0.05).as("f_shift"),
+      KllSketch.kllKsDelta(lit(a), lit(e)).as("d_empty"),
+      KllSketch.kllKsThreshold(lit(a), lit(b), 0.05).as("thr")).head()
+    row.getAs[Double]("d_same") shouldBe same.value +- 1e-12
+    row.getAs[Boolean]("f_same") shouldBe false
+    row.getAs[Double]("d_shift") shouldBe shifted.value +- 1e-12
+    row.getAs[Boolean]("f_shift") shouldBe true
+    assert(row.isNullAt(row.fieldIndex("d_empty")))
+    row.getAs[Double]("thr") shouldBe same.threshold +- 1e-12
+  }
 }
