@@ -95,14 +95,16 @@ object TableChecks {
     * persisted across jobs). */
   def sketchStats(df: DataFrame, partCol: String, dataCols: Seq[String],
                   lgK: Int = 14, kllK: Int = graft.functions.KllSketch.DefaultK): DataFrame = {
-    val schema = df.schema
     val aggs: Seq[Column] = count(lit(1)).as("rows") +: dataCols.flatMap { c =>
       val base = Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
         hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"${c}_hll"),
         min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max"))
-      schema(c).dataType match {
+      // resolve the type through col(c), not StructType.apply — `c` may be
+      // a nested field path ("meta.v"), which the analyzer resolves but a
+      // top-level schema lookup rejects
+      df.select(col(c)).schema.head.dataType match {
         case _: org.apache.spark.sql.types.NumericType =>
           base :+ graft.functions.KllSketch.kllBuild(col(c), kllK).as(s"${c}_kll")
         case _ => base
@@ -129,26 +131,37 @@ object TableChecks {
     * `{c}_q50/_q95/_q99` estimates (KLL union + rank query; same
     * approximate-within-rank-bounds contract — ±1.65% normalized rank at
     * k=200, preserved by merging). */
-  def mergeSketchStats(sketches: DataFrame, dataCols: Seq[String]): DataFrame = {
+  def mergeSketchStats(sketches: DataFrame, dataCols: Seq[String],
+                       kllK: Int = graft.functions.KllSketch.DefaultK): DataFrame = {
     val have = sketches.columns.toSet
     val kllCols = dataCols.filter(c => have(s"${c}_kll"))
+    // backtick-quoted references: a sketch table built over a NESTED field
+    // path ("meta.v") has flat stat columns with dots in their names, which
+    // a bare col() would mis-parse as a field path
+    def q(name: String): Column = col(s"`$name`")
     val aggs: Seq[Column] = (sum(col("rows")).as("n_rows") +: dataCols.flatMap { c =>
       Seq(
-        sum(col(s"${c}_nulls")).as(s"${c}_nulls"),
-        hll_sketch_estimate(hll_union_agg(col(s"${c}_hll"), lit(true)))
+        sum(q(s"${c}_nulls")).as(s"${c}_nulls"),
+        hll_sketch_estimate(hll_union_agg(q(s"${c}_hll"), lit(true)))
           .as(s"${c}_distinct_est"),
-        min(col(s"${c}_min")).as(s"${c}_min"),
-        max(col(s"${c}_max")).as(s"${c}_max"))
+        min(q(s"${c}_min")).as(s"${c}_min"),
+        max(q(s"${c}_max")).as(s"${c}_max"))
     }) ++ kllCols.map(c =>
-      // union ONCE per column; rank queries run on the merged binary below
-      graft.functions.KllSketch.kllMerge(col(s"${c}_kll")).as(s"_${c}_kllm"))
+      // union ONCE per column; rank queries run on the merged binary below.
+      // kllK must be >= the build-time k: a KLL merge result carries the
+      // accuracy of the SMALLEST k participant, gadget included — a
+      // too-small merge gadget silently degrades sketches built wider
+      graft.functions.KllSketch.kllMerge(q(s"${c}_kll"), kllK).as(s"_${c}_kllm"))
     val agged = sketches.agg(aggs.head, aggs.tail: _*)
     val quantiles = kllCols.flatMap(c => Seq(
-      graft.functions.KllSketch.kllQuantile(col(s"_${c}_kllm"), 0.50).as(s"${c}_q50"),
-      graft.functions.KllSketch.kllQuantile(col(s"_${c}_kllm"), 0.95).as(s"${c}_q95"),
-      graft.functions.KllSketch.kllQuantile(col(s"_${c}_kllm"), 0.99).as(s"${c}_q99")))
+      graft.functions.KllSketch.kllQuantile(q(s"_${c}_kllm"), 0.50).as(s"${c}_q50"),
+      graft.functions.KllSketch.kllQuantile(q(s"_${c}_kllm"), 0.95).as(s"${c}_q95"),
+      graft.functions.KllSketch.kllQuantile(q(s"_${c}_kllm"), 0.99).as(s"${c}_q99")))
+    // drop exactly the merge temporaries — a prefix test would also drop
+    // the stats of any user column that itself starts with an underscore
+    val tmp = kllCols.map(c => s"_${c}_kllm").toSet
     agged
-      .select((agged.columns.filterNot(_.startsWith("_")).map(col).toSeq ++ quantiles): _*)
+      .select((agged.columns.filterNot(tmp).map(q).toSeq ++ quantiles): _*)
   }
 
   /** Salted two-phase count for heavily skewed group keys (long

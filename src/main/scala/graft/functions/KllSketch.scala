@@ -157,7 +157,11 @@ object KllSketch {
           org.apache.spark.sql.functions.lit(pValue))))
 
   /** Boolean column: sketch-based two-sample KS test — TRUE when the
-    * sketches' max CDF gap exceeds the p-value threshold ("drifted"). */
+    * sketches' max CDF gap exceeds the p-value threshold ("drifted").
+    * Composed from the two expressions above, so each sketch is heapified
+    * twice per row; acceptable because sketch tables are O(partitions)
+    * rows (~KiB each) by construction, never per-turn data — select
+    * delta/threshold separately if a caller ever needs to shave that. */
   def kllKsDrifted(a: Column, b: Column, pValue: Double): Column =
     kllKsDelta(a, b) > kllKsThreshold(a, b, pValue)
 
@@ -211,11 +215,17 @@ case class KllQuantileExpr(left: Expression, right: Expression)
     KllSketch.quantileBoxed(bytes.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (b, q) => s"""
-      java.lang.Double graftKllQ = graft.functions.KllSketch.quantileBoxed($b, $q);
-      if (graftKllQ == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = graftKllQ.doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (b, q) => {
+      // freshName: two instances of this expression can share one codegen
+      // scope (nullSafeCodeGen adds no braces for non-nullable children) —
+      // a fixed local name would be a janino redefinition error there
+      val tmp = ctx.freshName("graftKllQ")
+      s"""
+      java.lang.Double $tmp = graft.functions.KllSketch.quantileBoxed($b, $q);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+    """
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): KllQuantileExpr =
     copy(left = newLeft, right = newRight)
@@ -242,11 +252,14 @@ case class KllNExpr(child: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, b => s"""
-      java.lang.Long graftKllN = graft.functions.KllSketch.nOf($b);
-      if (graftKllN == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = graftKllN.longValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, b => {
+      val tmp = ctx.freshName("graftKllN")
+      s"""
+      java.lang.Long $tmp = graft.functions.KllSketch.nOf($b);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.longValue(); }
+    """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): KllNExpr =
     copy(child = newChild)
@@ -276,11 +289,14 @@ case class KllKsDeltaExpr(left: Expression, right: Expression)
     KllSketch.ksDeltaBoxed(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double graftKsD = graft.functions.KllSketch.ksDeltaBoxed($a, $b);
-      if (graftKsD == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = graftKsD.doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("graftKsD")
+      s"""
+      java.lang.Double $tmp = graft.functions.KllSketch.ksDeltaBoxed($a, $b);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+    """
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): KllKsDeltaExpr =
     copy(left = newLeft, right = newRight)
@@ -310,11 +326,14 @@ case class KllKsThresholdExpr(first: Expression, second: Expression, third: Expr
       a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], p.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b, p) => s"""
-      java.lang.Double graftKsT = graft.functions.KllSketch.ksThresholdBoxed($a, $b, $p);
-      if (graftKsT == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = graftKsT.doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b, p) => {
+      val tmp = ctx.freshName("graftKsT")
+      s"""
+      java.lang.Double $tmp = graft.functions.KllSketch.ksThresholdBoxed($a, $b, $p);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+    """
+    })
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): KllKsThresholdExpr =

@@ -185,7 +185,14 @@ object XmlToJsonExpr {
       val parser = saxParser.get()
       try parser.parse(
         new org.xml.sax.InputSource(new java.io.StringReader(text)), handler)
-      finally parser.reset()
+      finally {
+        // reset() is optional in JAXP (pre-1.3 impls throw); if it fails,
+        // discard the thread's parser so the next call re-creates one —
+        // a throw here must never mask a SUCCESSFUL parse (the outer
+        // NonFatal catch would silently return the raw text)
+        try parser.reset()
+        catch { case scala.util.control.NonFatal(_) => saxParser.remove() }
+      }
       // well-formed XML has exactly one document element; render it as a
       // one-member object keyed by its tag, matching boost read_xml's ptree
       val doc = jsonMapper.createObjectNode()

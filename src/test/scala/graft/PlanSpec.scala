@@ -195,6 +195,15 @@ class PlanSpec extends SparkTestBase {
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
   }
 
+  test("q_drift_ks: pairs side broadcasts, no cartesian product") {
+    val df = SparkEntry.queries("q_drift_ks")(spark, sf)
+    df.collect() // finalize the adaptive plan before asserting its shape
+    val p = df.queryExecution.executedPlan.toString
+    // the 2-row sketch-pairs side must join by broadcast, never cartesian
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("transcript validation end-to-end plan: one shuffle for verdicts only") {
     val turns = TranscriptGen.turns(spark, 100, parts = 2, numParts = 4)
     val spec = SpecParser.parse(TranscriptGen.transcriptSchemaJson)

@@ -377,4 +377,51 @@ class TableChecksSpec extends SparkTestBase {
     assert(row.isNullAt(row.fieldIndex("d_empty")))
     row.getAs[Double]("thr") shouldBe same.threshold +- 1e-12
   }
+
+  test("sketchStats/mergeSketchStats: underscore-prefixed names and nested field paths survive the roundtrip") {
+    // regression: the merge's temp-column cleanup used a startsWith("_")
+    // prefix test that also dropped the stats of a user column literally
+    // named with a leading underscore; and the build's type dispatch used
+    // a top-level schema lookup that rejected nested field paths
+    val df = turns
+      .withColumn("_score", col("turn_idx") * 2)
+      .withColumn("meta", struct(col("turn_idx").as("v")))
+      .withColumn("sk_part", pmod(hash(col("conv_id")), lit(4)))
+    val m = TableChecks.mergeSketchStats(
+      TableChecks.sketchStats(df, "sk_part", Seq("_score", "meta.v")),
+      Seq("_score", "meta.v")).head()
+    val expect = df.agg(count(lit(1)), max(col("_score")), max(col("meta.v"))).head()
+    m.getAs[Long]("n_rows") shouldBe expect.getLong(0)
+    m.getAs[Long]("_score_nulls") shouldBe 0L
+    m.getAs[Int]("_score_max") shouldBe expect.getInt(1)
+    m.getAs[Long]("meta.v_nulls") shouldBe 0L
+    m.getAs[Int]("meta.v_max") shouldBe expect.getInt(2)
+    // both numeric columns carried KLL sketches through the merge
+    assert(!m.isNullAt(m.fieldIndex("_score_q50")))
+    assert(!m.isNullAt(m.fieldIndex("meta.v_q50")))
+  }
+
+  test("KLL expressions codegen-compile with repeated instances in one projection (no interpreted fallback)") {
+    import graft.functions.KllSketch
+    val sk = turns.agg(KllSketch.kllBuild(col("turn_idx"))).head().getAs[Array[Byte]](0)
+    // CODEGEN_ONLY turns a janino compile error (e.g. a fixed-name local
+    // declared twice when two instances share one non-nullable-child
+    // codegen scope) into a hard failure instead of silent fallback
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.range(1).select(
+        KllSketch.kllQuantile(lit(sk), 0.5).as("q1"),
+        KllSketch.kllQuantile(lit(sk), 0.9).as("q2"),
+        KllSketch.kllN(lit(sk)).as("n1"),
+        KllSketch.kllN(lit(sk)).as("n2"),
+        KllSketch.kllKsDelta(lit(sk), lit(sk)).as("d1"),
+        KllSketch.kllKsDelta(lit(sk), lit(sk)).as("d2"),
+        KllSketch.kllKsThreshold(lit(sk), lit(sk), 0.05).as("t1"),
+        KllSketch.kllKsThreshold(lit(sk), lit(sk), 0.05).as("t2")).head()
+      r.getAs[Double]("d1") shouldBe 0.0
+      r.getAs[Long]("n1") shouldBe r.getAs[Long]("n2")
+    } finally conf.set("spark.sql.codegen.factoryMode", prev)
+  }
 }
