@@ -95,21 +95,24 @@ object TableChecks {
     * persisted across jobs). */
   def sketchStats(df: DataFrame, partCol: String, dataCols: Seq[String],
                   lgK: Int = 14, kllK: Int = graft.functions.KllSketch.DefaultK): DataFrame = {
-    val aggs: Seq[Column] = count(lit(1)).as("rows") +: dataCols.flatMap { c =>
-      val base = Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"${c}_hll"),
-        min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max"))
-      // resolve the type through col(c), not StructType.apply — `c` may be
-      // a nested field path ("meta.v"), which the analyzer resolves but a
-      // top-level schema lookup rejects
-      df.select(col(c)).schema.head.dataType match {
-        case _: org.apache.spark.sql.types.NumericType =>
-          base :+ graft.functions.KllSketch.kllBuild(col(c), kllK).as(s"${c}_kll")
-        case _ => base
+    // resolve every column type in ONE analyzer pass (col(c), not
+    // StructType.apply — `c` may be a nested field path ("meta.v"), which
+    // the analyzer resolves but a top-level schema lookup rejects; a
+    // per-column df.select would re-analyze the whole plan N times)
+    val resolved = df.select(dataCols.map(col): _*).schema.map(_.dataType)
+    val aggs: Seq[Column] = count(lit(1)).as("rows") +:
+      dataCols.zip(resolved).flatMap { case (c, dt) =>
+        val base = Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"${c}_hll"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))
+        dt match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            base :+ graft.functions.KllSketch.kllBuild(col(c), kllK).as(s"${c}_kll")
+          case _ => base
+        }
       }
-    }
     df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -131,8 +134,7 @@ object TableChecks {
     * `{c}_q50/_q95/_q99` estimates (KLL union + rank query; same
     * approximate-within-rank-bounds contract — ±1.65% normalized rank at
     * k=200, preserved by merging). */
-  def mergeSketchStats(sketches: DataFrame, dataCols: Seq[String],
-                       kllK: Int = graft.functions.KllSketch.DefaultK): DataFrame = {
+  def mergeSketchStats(sketches: DataFrame, dataCols: Seq[String]): DataFrame = {
     val have = sketches.columns.toSet
     val kllCols = dataCols.filter(c => have(s"${c}_kll"))
     // backtick-quoted references: a sketch table built over a NESTED field
@@ -148,10 +150,10 @@ object TableChecks {
         max(q(s"${c}_max")).as(s"${c}_max"))
     }) ++ kllCols.map(c =>
       // union ONCE per column; rank queries run on the merged binary below.
-      // kllK must be >= the build-time k: a KLL merge result carries the
-      // accuracy of the SMALLEST k participant, gadget included — a
-      // too-small merge gadget silently degrades sketches built wider
-      graft.functions.KllSketch.kllMerge(q(s"${c}_kll"), kllK).as(s"_${c}_kllm"))
+      // The merged sketch inherits the persisted sketches' k (the gadget
+      // adopts the first input — KllSketch.MergeAgg), so a table built at
+      // a wider k keeps its accuracy without the caller re-supplying it
+      graft.functions.KllSketch.kllMerge(q(s"${c}_kll")).as(s"_${c}_kllm"))
     val agged = sketches.agg(aggs.head, aggs.tail: _*)
     val quantiles = kllCols.flatMap(c => Seq(
       graft.functions.KllSketch.kllQuantile(q(s"_${c}_kllm"), 0.50).as(s"${c}_q50"),

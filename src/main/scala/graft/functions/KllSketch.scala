@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.datasketches.common.SketchesException
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.KolmogorovSmirnov
@@ -54,12 +53,15 @@ object KllSketch {
     * happens only at aggregation exchanges, never per row. */
   final class Holder(@transient var sk: KllDoublesSketch) extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      if (sk == null) { out.writeInt(-1); return } // MergeAgg's lazy zero
       val b = sk.toByteArray
       out.writeInt(b.length)
       out.write(b)
     }
     private def readObject(in: java.io.ObjectInputStream): Unit = {
-      val b = new Array[Byte](in.readInt())
+      val len = in.readInt()
+      if (len < 0) { sk = null; return }
+      val b = new Array[Byte](len)
       in.readFully(b)
       sk = KllDoublesSketch.heapify(Memory.wrap(b))
     }
@@ -82,17 +84,30 @@ object KllSketch {
   /** Union previously-persisted sketch binaries; NULL/empty cells (a
     * partition whose column was entirely NULL) contribute nothing.
     * Malformed binaries fail loudly — a corrupt stats table must not
-    * silently skew quantiles. */
-  final class MergeAgg(k: Int) extends Aggregator[Option[Array[Byte]], Holder, Array[Byte]] {
-    override def zero: Holder = new Holder(KllDoublesSketch.newHeapInstance(k))
+    * silently skew quantiles.
+    *
+    * The merge gadget's k is taken from the FIRST merged sketch, not a
+    * caller parameter: a KLL merge result carries the accuracy of the
+    * smallest-k participant, gadget included, so a fixed default gadget
+    * would silently cap sketches built wider than it. The persisted bytes
+    * already know their k — the caller never has to re-supply it. */
+  final class MergeAgg extends Aggregator[Option[Array[Byte]], Holder, Array[Byte]] {
+    override def zero: Holder = new Holder(null) // k unknown until the first sketch
     override def reduce(b: Holder, x: Option[Array[Byte]]): Holder = {
       x.foreach { bytes =>
-        if (bytes.nonEmpty) b.sk.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
+        if (bytes.nonEmpty) {
+          val in = KllDoublesSketch.heapify(Memory.wrap(bytes))
+          if (b.sk == null) b.sk = in else b.sk.merge(in)
+        }
       }
       b
     }
-    override def merge(a: Holder, b: Holder): Holder = { a.sk.merge(b.sk); a }
-    override def finish(r: Holder): Array[Byte] = r.sk.toByteArray
+    override def merge(a: Holder, b: Holder): Holder =
+      if (a.sk == null) b
+      else if (b.sk == null) a
+      else { a.sk.merge(b.sk); a }
+    override def finish(r: Holder): Array[Byte] =
+      (if (r.sk == null) KllDoublesSketch.newHeapInstance(DefaultK) else r.sk).toByteArray
     override def bufferEncoder: Encoder[Holder] = Encoders.javaSerialization[Holder]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
@@ -102,9 +117,10 @@ object KllSketch {
     udaf(new BuildAgg(k), ExpressionEncoder[Option[Double]]())
       .apply(c.cast("double"))
 
-  /** Aggregate column: union of persisted KLL sketch binaries. */
-  def kllMerge(c: Column, k: Int = DefaultK): Column =
-    udaf(new MergeAgg(k), ExpressionEncoder[Option[Array[Byte]]]()).apply(c)
+  /** Aggregate column: union of persisted KLL sketch binaries. The merged
+    * sketch inherits the inputs' k (see [[MergeAgg]]). */
+  def kllMerge(c: Column): Column =
+    udaf(new MergeAgg, ExpressionEncoder[Option[Array[Byte]]]()).apply(c)
 
   /** Scalar column: the value at normalized rank `q` (0..1, inclusive
     * search criterion) from sketch bytes; NULL for NULL/empty sketches. */
@@ -187,11 +203,17 @@ object KllSketch {
   }
 
   /** True iff `bytes` parses as a KLL doubles sketch (diagnostic guard for
-    * externally-supplied stats tables). */
+    * externally-supplied stats tables). Any parse failure means "not a
+    * valid sketch" — DataSketches signals corruption through several
+    * unrelated exception types (SketchesException for garbage preambles,
+    * MemoryBoundsException for TRUNCATED byte arrays — the most realistic
+    * corruption — IndexOutOfBoundsException in older paths), so a guard
+    * that enumerated them would crash on exactly the inputs it exists to
+    * absorb. */
   def isValidSketch(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.nonEmpty && {
       try { KllDoublesSketch.heapify(Memory.wrap(bytes)); true }
-      catch { case _: SketchesException | _: IndexOutOfBoundsException => false }
+      catch { case scala.util.control.NonFatal(_) => false }
     }
 }
 

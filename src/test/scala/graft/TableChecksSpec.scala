@@ -424,4 +424,34 @@ class TableChecksSpec extends SparkTestBase {
       r.getAs[Long]("n1") shouldBe r.getAs[Long]("n2")
     } finally conf.set("spark.sql.codegen.factoryMode", prev)
   }
+
+  test("KLL merge inherits the build-time k; isValidSketch absorbs truncated and garbage bytes") {
+    import graft.functions.KllSketch
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    // a stats table built WIDER than the default k must keep its accuracy
+    // through the merge: the merge gadget adopts the first input's k
+    // instead of capping at a fixed default (a KLL merge result carries
+    // the accuracy of the smallest-k participant, gadget included)
+    val withPart = turns.withColumn("sk_part", pmod(hash(col("conv_id")), lit(4)))
+    val sk = TableChecks.sketchStats(withPart, "sk_part", Seq("turn_idx"), kllK = 800)
+    val merged = sk.agg(KllSketch.kllMerge(col("turn_idx_kll"))).head().getAs[Array[Byte]](0)
+    KllDoublesSketch.heapify(Memory.wrap(merged)).getK shouldBe 800
+    // lazy gadget: a group whose cells are all NULL/empty still merges to
+    // a well-formed empty sketch
+    val empty = sk.limit(0).agg(KllSketch.kllMerge(col("turn_idx_kll")))
+      .head().getAs[Array[Byte]](0)
+    assert(KllSketch.isValidSketch(empty))
+    assert(KllDoublesSketch.heapify(Memory.wrap(empty)).isEmpty)
+
+    // the diagnostic guard must CLASSIFY corruption, not crash on it:
+    // truncation raises MemoryBoundsException, garbage preambles raise
+    // SketchesArgumentException — both are "not a sketch"
+    assert(KllSketch.isValidSketch(merged))
+    assert(!KllSketch.isValidSketch(merged.dropRight(1)))
+    assert(!KllSketch.isValidSketch(merged.take(4)))
+    assert(!KllSketch.isValidSketch(Array.fill[Byte](64)(0x5A)))
+    assert(!KllSketch.isValidSketch(Array.emptyByteArray))
+    assert(!KllSketch.isValidSketch(null))
+  }
 }
