@@ -90,7 +90,13 @@ object KllSketch {
     * caller parameter: a KLL merge result carries the accuracy of the
     * smallest-k participant, gadget included, so a fixed default gadget
     * would silently cap sketches built wider than it. The persisted bytes
-    * already know their k — the caller never has to re-supply it. */
+    * already know their k — the caller never has to re-supply it. With
+    * HETEROGENEOUS-k inputs (a table built across a k config change),
+    * which k the gadget physically adopts is scheduling-dependent, but the
+    * accuracy bound is not: the result behaves as built at the smallest
+    * participating k either way — the same
+    * order-dependent-within-rank-bounds contract every KLL merge already
+    * carries. */
   final class MergeAgg extends Aggregator[Option[Array[Byte]], Holder, Array[Byte]] {
     override def zero: Holder = new Holder(null) // k unknown until the first sketch
     override def reduce(b: Holder, x: Option[Array[Byte]]): Holder = {

@@ -204,7 +204,13 @@ object Dedup {
     val cands = estCandidates(sigd, numHashes, bands,
         jaccardThreshold = jaccardThreshold / 2, maxBucketSize)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(false) // small; reused for the id set and the final join
+      // small; reused for the id set and the final join. localCheckpoint
+      // (not persist) is deliberate for these one-shot batch frames: the
+      // blocks are freed by the ContextCleaner when the frame is GC'd,
+      // with no unpersist hook needed — whereas long-lived repeating
+      // callers (StreamingDedup's per-batch base) persist + unpersist so
+      // release is deterministic per batch, not GC-paced.
+      .localCheckpoint(false)
     val candIds = cands.select(col("id_a").as("id"))
       .unionAll(cands.select(col("id_b").as("id"))).distinct()
     val sh = base.join(broadcast(candIds), "id")
@@ -283,6 +289,26 @@ object Dedup {
                                   numHashes: Int, bands: Int,
                                   prefixBuckets: Int): Unit = {
     val rowsPerBand = bandRows(numHashes, bands)
+    // An all-empty write would create a _SUCCESS-only directory: every
+    // later [[lshTableExists]] says yes, every later read throws ("unable
+    // to infer schema") — one empty first micro-batch permanently poisons
+    // the stream. Skip the write instead, and honor overwrite semantics by
+    // deleting whatever is at the path (an empty corpus HAS no layout;
+    // keyed on raw directory existence, not _SUCCESS, so the part files of
+    // a previously INTERRUPTED write can't resurface under a later
+    // append's _SUCCESS). The emptiness probe is an extra take(1) job, so
+    // it runs only where the poison can arise — never on the hot path of
+    // appending to an already-live layout.
+    if (mode == "overwrite" || !lshTableExists(path)) {
+      if (base.where(col("sig").isNotNull).isEmpty) {
+        if (mode == "overwrite") {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(base.sparkSession.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        return
+      }
+    }
     base
       .where(col("sig").isNotNull)
       .select(col("id"), col("sig"), col("norm"),
@@ -371,8 +397,13 @@ object Dedup {
     def estOk(a: Column, b: Column): Column =
       (aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / numHashes) >= jaccardThreshold / 2
+    // a.id =!= b.id: a replayed increment (streaming batch retried after
+    // its append landed) probes against its own corpus copy — identical
+    // ids would emit meaningless (X, X) self-pairs that poison downstream
+    // keep-one-of-each-pair logic into deleting sole document copies
     val probeCands = banded.as("a")
-      .join(corpus.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .join(corpus.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") =!= col("b.id"))
       .where(estOk(col("a.sig"), col("b.sig")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("b.norm").as("_nb"))
     val cands0 =

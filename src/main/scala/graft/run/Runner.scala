@@ -30,6 +30,16 @@ object Runner {
   final case class RowCheckOutput(flagged: DataFrame, violations: DataFrame,
                                   partitionVerdicts: DataFrame)
 
+  /** The ONE derived-partition rule: when the table has no `partCol`,
+    * bucket by a hash of the first key column. Shared by the row pass, the
+    * slim row output and TableRunner's stats path — three private copies
+    * of this expression would let the buckets silently diverge between the
+    * verdict and stats tables of the same run. */
+  private[run] def withPartCol(df: DataFrame, partCol: String,
+                               keyCols: Seq[String]): DataFrame =
+    if (df.columns.contains(partCol)) df
+    else df.withColumn(partCol, pmod(hash(col(keyCols.head)), lit(64)))
+
   /** Row-level validation: adds `pass`, explodes violations for failing
     * rows, aggregates per-partition verdicts.
     *
@@ -39,37 +49,22 @@ object Runner {
   def rowChecks(df: DataFrame, spec: SchemaSpec, keyCols: Seq[String],
                 partCol: String = "part_id",
                 opts: CompileOptions = CompileOptions()): RowCheckOutput = {
-    val withPart =
-      if (df.columns.contains(partCol)) df
-      else df.withColumn(partCol, pmod(hash(col(keyCols.head)), lit(64)))
+    val withPart = withPartCol(df, partCol, keyCols)
     // Compile against the schema AS GIVEN (pre part_id injection): the
     // bookkeeping column must not become a property of the validated
     // document (it would trip additionalProperties/maxProperties/
     // propertyNames specs on every row).
     val compiled = Compiler.compileRow(spec, df.schema, opts)
-
     val flagged = withPart.withColumn("pass", compiled.pass)
-
-    // Exhaustive pass only for failing rows; stable order (conv, turn,
-    // constraint_seq) comes from posexplode position = parser insertion
-    // order (schema_parser.hpp:825-1149).
-    val violations = flagged
-      .where(!col("pass"))
-      .select(keyCols.map(col) :+ col(partCol) :+
-        posexplode(compiled.violations).as(Seq("constraint_seq", "__graft_viol")): _*)
-      .select(keyCols.map(col) :+ col(partCol) :+ col("constraint_seq") :+
-        col("__graft_viol.json_pointer").as("json_pointer") :+
-        col("__graft_viol.description").as("description") :+
-        col("__graft_viol.kind").as("kind"): _*)
-
-    val verdicts = flagged
-      .groupBy(col(partCol))
-      .agg(
-        count(lit(1)).as("rows"),
-        sum(when(col("pass"), 0L).otherwise(1L)).as("fail_rows"))
-      .withColumn("pass", col("fail_rows") === 0)
-
-    RowCheckOutput(flagged, violations, verdicts)
+    // violations and verdicts derive from the SAME slim projection the
+    // resumable runner uses ([[rowOutput]] → [[violationsOf]]/[[verdictsOf]])
+    // rather than a parallel inline pipeline — the two copies had already
+    // drifted once (verdictsOf gained violation_count, this one hadn't).
+    // Catalyst collapses the projection and pushes the !pass conjunct to
+    // the scan, so the fail-fast plan shape is unchanged (PlanSpec).
+    val rowOut = slimRowOutput(withPart, compiled, keyCols, partCol)
+    RowCheckOutput(flagged, violationsOf(rowOut, keyCols, partCol),
+      verdictsOf(rowOut, partCol))
   }
 
   /** Single-scan row-level output: one slim projection
@@ -81,11 +76,12 @@ object Runner {
     * intermediate without ever re-scanning or re-validating the source. */
   def rowOutput(df: DataFrame, spec: SchemaSpec, keyCols: Seq[String],
                 partCol: String = "part_id",
-                opts: CompileOptions = CompileOptions()): DataFrame = {
-    val withPart =
-      if (df.columns.contains(partCol)) df
-      else df.withColumn(partCol, pmod(hash(col(keyCols.head)), lit(64)))
-    val compiled = Compiler.compileRow(spec, df.schema, opts)
+                opts: CompileOptions = CompileOptions()): DataFrame =
+    slimRowOutput(withPartCol(df, partCol, keyCols),
+      Compiler.compileRow(spec, df.schema, opts), keyCols, partCol)
+
+  private def slimRowOutput(withPart: DataFrame, compiled: graft.compile.Compiled,
+                            keyCols: Seq[String], partCol: String): DataFrame = {
     val empty = array().cast(Compiler.violationArrayType)
     withPart.select(keyCols.map(col) :+ col(partCol) :+
       compiled.pass.as("pass") :+
@@ -128,32 +124,50 @@ object Runner {
   // Manifest ledger (Iceberg-snapshot stand-in; SURVEY.md §6 hard part 6)
   // -------------------------------------------------------------------------
 
-  /** Append-only ledger of completed partition ids for a run. */
+  /** Append-only ledger of completed partition ids for a run. Ids are
+    * STRINGS (the canonical rendering of the partition value): an Iceberg
+    * partition value is as often a date or a region name as an integer,
+    * and a Long-keyed ledger NPE'd after the sinks were already written
+    * for any non-numeric `partCol`. Numeric values round-trip through
+    * their canonical string form unchanged. The line-oriented file escapes
+    * %/newline/CR in values — rejecting them instead would fire AFTER the
+    * sink appends, stranding the run in an append-duplicates-then-throw
+    * loop on every retry. */
   final class Manifest(dir: String, runId: String) {
     private val path = Paths.get(dir, s"manifest-$runId.txt")
     Files.createDirectories(Paths.get(dir))
 
-    def completed(): Set[Long] =
-      if (!Files.exists(path)) Set.empty
-      else Files.readAllLines(path).asScala.filter(_.nonEmpty).map(_.toLong).toSet
+    private def esc(id: String): String =
+      id.replace("%", "%25").replace("\n", "%0A").replace("\r", "%0D")
+    private def unesc(line: String): String =
+      line.replace("%0D", "\r").replace("%0A", "\n").replace("%25", "%")
 
-    def markDone(partIds: Seq[Long]): Unit = {
-      val line = partIds.mkString("", "\n", "\n")
+    /** Completed ids, in their original (unescaped) value form. */
+    def completed(): Set[String] =
+      if (!Files.exists(path)) Set.empty
+      else Files.readAllLines(path).asScala.filter(_.nonEmpty).map(unesc).toSet
+
+    def markDone(partIds: Seq[String]): Unit = {
+      val line = partIds.map(esc).mkString("", "\n", "\n")
       Files.write(path, line.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
   }
 
   /** Filter out partitions recorded as completed — with a storage-level
-    * `part_id` partition column this prunes whole directories at scan time.
-    * Rows with a NULL part id can never be marked done (the manifest keys
-    * by Long), so they must survive the NOT-IN filter explicitly: under
-    * SQL three-valued logic `!isin(...)` is NULL for a NULL part id and
-    * the rows would silently vanish from every increment after the first. */
+    * `part_id` partition column this prunes whole directories at scan time
+    * (the NOT-IN predicate references only the partition column, so
+    * PruneFileSourcePartitions evaluates it on partition metadata even
+    * through the cast). Rows with a NULL part id can never be marked done
+    * (the manifest keys by the value's string form), so they must survive
+    * the NOT-IN filter explicitly: under SQL three-valued logic
+    * `!isin(...)` is NULL for a NULL part id and the rows would silently
+    * vanish from every increment after the first. */
   def resume(df: DataFrame, manifest: Manifest, partCol: String = "part_id"): DataFrame = {
     val done = manifest.completed()
     if (done.isEmpty) df
-    else df.where(col(partCol).isNull || !col(partCol).isin(done.toSeq: _*))
+    else df.where(col(partCol).isNull ||
+      !col(partCol).cast("string").isin(done.toSeq: _*))
   }
 
   /** Run row checks partition-incrementally: validate the remaining
@@ -171,12 +185,17 @@ object Runner {
                    keyCols: Seq[String], outDir: String, runId: String,
                    partCol: String = "part_id"): DataFrame = {
     val manifest = new Manifest(outDir, runId)
-    val remaining = resume(df, manifest, partCol)
     val attemptId = java.util.UUID.randomUUID().toString
     val t0 = System.nanoTime()
     // ONE scan of the source: the slim row output is persisted, and both
     // sinks (violation rows, per-partition verdicts) derive from it.
-    val rowOut = rowOutput(remaining, spec, keyCols, partCol)
+    // `resume` filters the ROW OUTPUT, not the raw df: when `partCol` is
+    // absent from the source it only exists after rowOutput derives it
+    // (filtering the raw df crashed every resume on the derived path), and
+    // when it IS a storage partition column Catalyst pushes the NOT-IN
+    // predicate through the slim projection to the scan, so directory
+    // pruning is unchanged.
+    val rowOut = resume(rowOutput(df, spec, keyCols, partCol), manifest, partCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       violationsOf(rowOut, keyCols, partCol)
@@ -187,18 +206,25 @@ object Runner {
       verdicts.withColumn("attempt_id", lit(attemptId))
         .write.mode("append").parquet(s"$outDir/verdicts")
       val doneIds = verdicts.where(col(partCol).isNotNull)
-        .select(col(partCol).cast("long")).collect().map(_.getLong(0)).toSeq
+        .select(col(partCol).cast("string")).collect().map(_.getString(0)).toSeq
       manifest.markDone(doneIds)
       // per-run lineage + metrics line (north rule: "per-partition lineage
-      // and metrics logged"); JSONL, one record per increment
+      // and metrics logged"); JSONL, one record per increment. Serialized
+      // with Jackson: runId is caller-supplied free text and string
+      // concatenation produced unparseable lines for ids with quotes.
       val agg = verdicts.agg(sum("rows"), sum("fail_rows")).head()
       val rows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
       val failRows = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-      val metrics = s"""{"run_id":"$runId","attempt_id":"$attemptId",""" +
-        s""""partitions":${doneIds.length},""" +
-        s""""rows":$rows,"fail_rows":$failRows,""" +
-        s""""wall_sec":${(System.nanoTime() - t0) / 1e9},""" +
-        s""""part_ids":[${doneIds.sorted.mkString(",")}]}\n"""
+      val rec = new java.util.LinkedHashMap[String, Any]
+      rec.put("run_id", runId)
+      rec.put("attempt_id", attemptId)
+      rec.put("partitions", doneIds.length)
+      rec.put("rows", rows)
+      rec.put("fail_rows", failRows)
+      rec.put("wall_sec", (System.nanoTime() - t0) / 1e9)
+      rec.put("part_ids", doneIds.sorted.toArray)
+      val metrics =
+        new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(rec) + "\n"
       Files.write(Paths.get(outDir, s"metrics-$runId.jsonl"), metrics.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       verdicts

@@ -54,19 +54,43 @@ object TableRunner {
     }
   }
 
+  /** Disambiguate report-map keys when two specs legally share one: the
+    * duplicates get a `#index` suffix (`"tool"`, `"tool#1"`) instead of
+    * silently collapsing in `.toMap` — a collapsed entry's check never ran,
+    * so `pass()` could return true over unexamined violations (the exact
+    * Map-collision Drift.sketchMany was already hardened against). Suffixed
+    * keys are checked against everything already assigned, so a literal
+    * spec key like "tool#1" can never collide with a generated suffix. */
+  private def keyed[A](specs: Seq[A])(key: A => String): Seq[(String, A)] = {
+    val used = scala.collection.mutable.Set[String]()
+    specs.zipWithIndex.map { case (s, i) =>
+      var k = key(s)
+      var j = i
+      while (used(k)) { k = s"${key(s)}#$j"; j += 1 }
+      used += k
+      k -> s
+    }
+  }
+
   def run(df: DataFrame, cfg: TableValidationConfig): TableValidationReport = {
     val row = Runner.rowChecks(df, cfg.rowSpec, cfg.keyCols, cfg.partCol)
-    val dups = cfg.uniqueness.map { u =>
-      u.keys.mkString(",") -> TableChecks.uniqueness(df, u.keys)
+    val dups = keyed(cfg.uniqueness)(_.keys.mkString(",")).map { case (k, u) =>
+      k -> TableChecks.uniqueness(df, u.keys)
     }.toMap
-    val refs = cfg.referential.map { r =>
-      r.column -> (r.vocab match {
+    val refs = keyed(cfg.referential)(_.column).map { case (k, r) =>
+      k -> (r.vocab match {
         case Left(values)        => TableChecks.referentialStatic(df, r.column, values)
         case Right((vdf, vcol))  => TableChecks.referential(df, r.column, vdf, vcol)
       })
     }.toMap
+    // stats groupBy the partition column, which (like rowChecks) may need
+    // deriving — TableChecks.stats on the raw df crashed any statsCols
+    // config whose table lacked partCol, the case rowChecks supports.
+    // Runner.withPartCol is THE derivation rule, so stats buckets always
+    // align with the verdict table's.
     val stats = if (cfg.statsCols.nonEmpty)
-      Some(TableChecks.stats(df, Seq(cfg.partCol), cfg.statsCols)) else None
+      Some(TableChecks.stats(Runner.withPartCol(df, cfg.partCol, cfg.keyCols),
+        Seq(cfg.partCol), cfg.statsCols)) else None
     // drift verdicts are the one EAGER element of the report (they collect
     // O(buckets) sketches) — all K drift specs share ONE table scan
     // instead of K (Drift.sketchMany), so adding a drift column does not

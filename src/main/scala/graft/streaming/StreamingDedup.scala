@@ -28,7 +28,14 @@ import graft.ops.Dedup
   * at-least-once on batch RETRY after a mid-batch crash; the emitted
   * `batch_id` column makes downstream dedup of replayed batches trivial,
   * and a transactional table format would make both writes exactly-once
-  * without changing this code's shape.
+  * without changing this code's shape. A retry that crashed BETWEEN the
+  * append and the offset commit re-probes the batch against its own
+  * corpus copy: self-pairs (a document colliding with its replayed twin
+  * under the same id) are filtered inside the probe
+  * ([[graft.ops.Dedup.incrementalNearDupsFromBase]] joins on `id_a =!=
+  * id_b`), and the duplicated layout rows cost storage + bucket-cap
+  * headroom but never duplicate emitted pairs (candidate pairs are
+  * de-duplicated per batch before verification).
   *
   * Within-batch recall: because a batch is appended only AFTER it is
   * probed, two near-identical documents arriving in the SAME micro-batch
@@ -39,9 +46,13 @@ import graft.ops.Dedup
   * `(new doc, corpus doc)`. */
 object StreamingDedup {
 
-  private def pairsSchema: StructType = StructType(Seq(
-    StructField("id_a", LongType), StructField("id_b", LongType),
-    StructField("batch_id", LongType)))
+  /** Pairs carry the DOCUMENT id type: a blanket cast("long") silently
+    * nulled every non-numeric id (string/UUID document keys), filling the
+    * sink with (null, null) rows while the query ran green. */
+  private def pairsSchema(idType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType),
+      StructField("batch_id", LongType)))
 
   /** Start the incremental-dedup stream over `docs` (a STREAMING frame with
     * `idCol` and `textCol`). Pairs land in `pairsSink` (parquet, appended
@@ -66,9 +77,13 @@ object StreamingDedup {
           }
         // normalize+minhash the batch ONCE: probe, intra-batch self-join
         // and the layout append all derive from this pinned (id, norm,
-        // sig) frame — the dominant per-increment compute is not repeated
+        // sig) frame — the dominant per-increment compute is not repeated.
+        // persist, NOT localCheckpoint: unpersist() on a checkpointed
+        // Dataset is a no-op (the blocks belong to the checkpoint RDD, not
+        // the cache manager), so each batch's blocks lingered until driver
+        // GC — storage pressure the finally-block was written to prevent.
         val base = Dedup.minhashBase(batch, idCol, textCol, numHashes, shingleK)
-          .localCheckpoint(false)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val pairs =
             if (Dedup.lshTableExists(lshTablePath))
@@ -79,17 +94,18 @@ object StreamingDedup {
                   numHashes, bands, jaccardThreshold, shingleK, maxBucketSize,
                   includeWithinIncrement = withinBatch,
                   prefixBuckets = prefixBuckets)
-                .select(col("id_a").cast("long"), col("id_b").cast("long"))
+                .select(col("id_a"), col("id_b"))
                 .withColumn("batch_id", lit(batchId))
             else if (withinBatch)
               // first batch: no corpus to probe, but intra-batch near-dups
               // (the seed batch's blind spot) still need the self-join
               Dedup.minhashNearDupsVerifiedFromBase(base,
                   numHashes, bands, jaccardThreshold, shingleK, maxBucketSize)
-                .select(col("id_a").cast("long"), col("id_b").cast("long"))
+                .select(col("id_a"), col("id_b"))
                 .withColumn("batch_id", lit(batchId))
             else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[Row], pairsSchema)
+              spark.sparkContext.emptyRDD[Row],
+              pairsSchema(batch.schema(idCol).dataType))
           tm("pairs_write") { pairs.write.mode("append").parquet(pairsSink) }
           tm("append") { Dedup.appendMinhashLshTableFromBase(base, lshTablePath,
             numHashes, bands, prefixBuckets) }

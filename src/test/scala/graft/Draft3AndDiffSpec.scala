@@ -59,6 +59,11 @@ class Draft3AndDiffSpec extends SparkTestBase {
       java.nio.file.Paths.get(dir, "metrics-m1.jsonl"))
     metrics should include(""""run_id":"m1"""")
     metrics should include(""""partitions":4""")
-    metrics should include(""""part_ids":[0,1,2,3]""")
+    // part ids are strings now (partition values may be dates/names, not
+    // just ints), and the record is Jackson-serialized so a runId with
+    // quotes/backslashes can no longer produce an unparseable line
+    metrics should include(""""part_ids":["0","1","2","3"]""")
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(metrics.linesIterator.next()) should not be null
   }
 }

@@ -972,5 +972,45 @@ class OpsSpec extends SparkTestBase {
     got.size should be > 0
   }
 
+  test("incremental dedup replay: probing the batch's own corpus copy emits no self-pairs") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val textA = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val textB = "unrelated text that matches nothing else in this corpus at all"
+    val batch = Seq((2L, textA), (7L, textA), (13L, textB)).toDF("doc_id", "text")
+    // simulate a streaming batch retried after its append landed but before
+    // the offset commit: the batch is already IN the layout when re-probed
+    Dedup.writeMinhashLshTable(batch, "doc_id", "text", path)
+    val got = Dedup.incrementalNearDups(batch, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every doc collides with its replayed twin under the same id — the
+    // meaningless (X, X) self-pairs are filtered in the probe join; the
+    // genuine near-dup survives (both orientations: each side is an
+    // increment doc probing the other's corpus copy)
+    got shouldBe Set((2L, 7L), (7L, 2L))
+  }
+
+  test("LSH layout: an all-empty write never creates a poisoned _SUCCESS-only layout") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-emptylsh").toString + "/t"
+    val textA = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // an empty FIRST write must not leave a _SUCCESS-only directory: later
+    // exists() would say yes and every read would fail schema inference —
+    // one empty first micro-batch used to poison the stream permanently
+    Dedup.writeMinhashLshTable(empty, "doc_id", "text", path)
+    Dedup.lshTableExists(path) shouldBe false
+    // a live layout accepts an empty append as a no-op
+    Dedup.writeMinhashLshTable(Seq((1L, textA)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    Dedup.appendMinhashLshTable(empty, "doc_id", "text", path)
+    Dedup.lshTableExists(path) shouldBe true
+    spark.read.parquet(path).count() shouldBe 8L // 1 doc x 8 bands
+    // overwriting with an empty corpus REMOVES the layout (an empty corpus
+    // has no layout) instead of leaving a poisoned or stale one
+    Dedup.writeMinhashLshTable(empty, "doc_id", "text", path)
+    Dedup.lshTableExists(path) shouldBe false
+  }
+
   private def fn_len(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.length(c)
 }

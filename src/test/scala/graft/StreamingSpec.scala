@@ -138,6 +138,44 @@ class StreamingSpec extends SparkTestBase {
     run(withinBatch = true, "on") shouldBe Set((2L, 11L))
   }
 
+  test("streaming dedup: empty first batch cannot poison the layout; string doc ids reach the sink intact") {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    import graft.streaming.StreamingDedup
+    val root = java.nio.file.Files.createTempDirectory("graft-sdedup-es")
+    val landing = root.resolve("landing"); java.nio.file.Files.createDirectories(landing)
+    val layout = root.resolve("layout").toString
+    val sink = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    def stage(name: String, rows: Seq[(String, String)], mtime: Long): Unit = {
+      val tmp = root.resolve("tmp_" + name)
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = landing.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    val textA = "the quick brown fox jumps over the lazy dog again and again tonight"
+    // batch 0 is EMPTY (a zero-row parquet file): the old append wrote a
+    // _SUCCESS-only layout, so batch 1 took the probe branch and died on
+    // schema inference — permanently, since restarts replay the same batch
+    stage("a.parquet", Seq.empty, t0)
+    stage("b.parquet", Seq(("doc-x", textA)), t0 + 30000)
+    stage("c.parquet", Seq(("doc-y", textA)), t0 + 60000)
+
+    val schema = new StructType().add("doc_id", StringType).add("text", StringType)
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    StreamingDedup.start(docs, "doc_id", "text", layout, sink, ckpt).awaitTermination()
+    // string ids survive end-to-end (the old blanket cast('long') nulled
+    // them, leaving (null, null) pairs)
+    val pairs = spark.read.parquet(sink).select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    pairs shouldBe Set(("doc-y", "doc-x"))
+  }
+
   test("flatMapGroupsWithState flags duplicate/gap turn_idx and non-monotone ts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TurnEvent]

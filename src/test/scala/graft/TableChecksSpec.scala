@@ -241,6 +241,36 @@ class TableChecksSpec extends SparkTestBase {
     v2.where(col("part_id").isNull).agg(sum("rows")).head().getLong(0) shouldBe nullRows
   }
 
+  test("resumable runner: derived part_id (absent from the source) resumes instead of crashing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-run-derived").toString
+    val noPart = turns.drop("part_id")
+    val v1 = Runner.runResumable(spark, noPart, spec, Seq("conv_id", "turn_idx"), dir, "rd")
+    v1.count() should be > 0L
+    // pre-fix: the second invocation filtered the RAW df on the
+    // not-yet-derived part_id column and threw AnalysisException — the
+    // resume filter now applies over the row output, where the derived
+    // column exists
+    val v2 = Runner.runResumable(spark, noPart, spec, Seq("conv_id", "turn_idx"), dir, "rd")
+    v2.count() shouldBe 0L
+  }
+
+  test("resumable runner: string partition values (dates/names) are first-class manifest keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-run-str").toString
+    // one bucket's value carries %, newline and CR: the line-oriented
+    // manifest must escape them (a post-write reject would strand the run
+    // in an append-duplicates-then-throw loop)
+    val bucket = pmod(hash(col("conv_id")), lit(4)).cast("string")
+    val withStr = turns.withColumn("part_id",
+      when(bucket === "0", lit("day%\n\r-0"))
+        .otherwise(concat(lit("day-"), bucket)))
+    val v1 = Runner.runResumable(spark, withStr, spec, Seq("conv_id", "turn_idx"), dir, "rs")
+    v1.count() shouldBe 4L
+    // pre-fix: doneIds cast part values to LONG — 'day-N' became NULL and
+    // getLong NPE'd after the sinks were already written
+    val v2 = Runner.runResumable(spark, withStr, spec, Seq("conv_id", "turn_idx"), dir, "rs")
+    v2.count() shouldBe 0L
+  }
+
   test("sketchStats/mergeSketchStats: exact partials match; HLL estimate within tolerance") {
     val withPart = turns.withColumn("sk_part", pmod(hash(col("conv_id")), lit(16)))
     val sk = TableChecks.sketchStats(withPart, "sk_part", Seq("conv_id", "role"))

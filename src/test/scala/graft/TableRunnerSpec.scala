@@ -57,6 +57,36 @@ class TableRunnerSpec extends SparkTestBase {
     report.violations.count() shouldBe 0L
   }
 
+  test("two referential specs on one column both run (Map collision used to silently drop one)") {
+    val cfg = TableValidationConfig(
+      rowSpec = spec,
+      keyCols = Seq("conv_id", "turn_idx"),
+      referential = Seq(
+        ReferentialSpec("role", Left(TranscriptGen.roleVocab)), // narrator violates
+        ReferentialSpec("role", Left(Seq("user")))))            // much stricter
+    val report = TableRunner.run(turns, cfg)
+    // pre-fix: .toMap keyed by column collapsed these to ONE entry, so the
+    // dropped spec's violations were never computed and pass() could lie
+    report.referentialViolations.keySet shouldBe Set("role", "role#1")
+    val loose = report.referentialViolations("role").count()
+    val strict = report.referentialViolations("role#1").count()
+    loose should be > 0L
+    strict should be > loose
+  }
+
+  test("statsCols over a table without the partition column derives it like the row pass") {
+    val noPart = turns.drop("part_id")
+    val cfg = TableValidationConfig(
+      rowSpec = spec,
+      keyCols = Seq("conv_id", "turn_idx"),
+      statsCols = Seq("role"))
+    // pre-fix: TableChecks.stats groupBy'd the raw df on the absent column
+    // and run() threw AnalysisException before returning a report
+    val report = TableRunner.run(noPart, cfg)
+    report.stats.get.count() should be > 0L
+    report.stats.get.columns should contain("part_id")
+  }
+
   test("Graft.validate honors CompileOptions (rowChecks used to drop opts silently)") {
     // a digit STRING column against a numeric bound — the q_weak_typing
     // divergence: strict mode skips numeric constraints on non-numbers
