@@ -21,24 +21,11 @@ import graft.data.TranscriptGen
   */
 object Bench {
 
-  private def newSession(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // scan-split sizing: keep >=2 waves of input tasks at full cores
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.sql.files.openCostInBytes", "1m")
-      // shuffle/spill on tmpfs: /dev/vda writeback storms otherwise inject
-      // 30-60s stalls into timed runs on this VM
-      .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // session config lives in ScalingProbe.newBenchSession — ONE definition
+  // for the query sweep and the pinned probe children, so a knob can never
+  // silently apply to one and not the other
+  private def newSession(cores: Int): SparkSession =
+    graft.tools.ScalingProbe.newBenchSession(cores, s"graft-bench-$cores")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -67,29 +54,44 @@ object Bench {
     // probe) — for attributing a single query's regression without paying
     // the ~30-min full protocol. Unset in driver runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val failedQueries = scala.collection.mutable.ListBuffer[String]()
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
       // 3 calls, min: codegen/JIT for the heavier queries only settles on
       // the 3rd execution in a fresh JVM (and any lazy oracle-aux staging
-      // is paid once, in the first call only)
-      val ts = (1 to 3).map(_ => time(runOnce(name, fn))._2)
-      System.err.println(f"[bench] $name: ${ts.map(t => f"$t%.2f").mkString("/")}s")
-      name -> ts.min
+      // is paid once, in the first call only). A failing call's wall time
+      // must never pose as a result: -1 rows marks the attempt failed, and
+      // a query with zero successful attempts ships in `failed_queries`
+      // (and fails the run), not as a near-zero "fast" entry.
+      val rs = (1 to 3).map(_ => time(runOnce(name, fn)))
+      val okTimes = rs.collect { case (rows, t) if rows >= 0L => t }
+      System.err.println(s"[bench] $name: " +
+        rs.map { case (r, t) => if (r >= 0) f"$t%.2f" else "FAIL" }.mkString("/") + "s")
+      if (okTimes.isEmpty) { failedQueries += name; None }
+      else Some(name -> okTimes.min)
     }
 
     if (only.isDefined) {
       // dev mode: no scaling probe, no artifact overwrite
-      println(queryTimes.map { case (n, t) => f""""$n":$t%.3f""" }
+      println(queryTimes.map { case (n, t) =>
+        "\"" + n + "\":" + graft.tools.ScalingProbe.num(t, 3) }
         .mkString("{", ",", "}"))
       spark.stop()
+      if (failedQueries.nonEmpty) {
+        System.err.println(s"[bench] FAILED QUERIES: ${failedQueries.mkString(", ")}")
+        sys.exit(1)
+      }
       return
     }
 
     // --- part 2: scaling run (same stored input; N, 4N, full cores) --------
     // materialize the synthetic table once (untimed) — the engine under
-    // test reads from parquet, like a real run against the lake
-    val benchPath = s"/dev/shm/graft-bench-turns-$benchConvs"
+    // test reads from parquet, like a real run against the lake. The cache
+    // key carries TranscriptGen.generatorVersion: without it, a generator
+    // change would silently benchmark the new engine against a stale
+    // /dev/shm table from the old generator.
+    val benchPath = s"/dev/shm/graft-bench-turns-v${TranscriptGen.generatorVersion}-$benchConvs"
     if (!new java.io.File(benchPath, "_SUCCESS").exists()) {
       TranscriptGen.turns(spark, benchConvs, parts = cpus * 2, numParts = 64)
         .write.mode("overwrite").parquet(benchPath)
@@ -108,6 +110,10 @@ object Bench {
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val innerReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_INNER", "3").toInt
+    // every child's FIRST rep is dropped as JIT-cold; one rep per child
+    // would silently keep the cold rep and ship it as a steady sample
+    require(innerReps >= 2, s"SPARK_GRAFT_SCALE_INNER=$innerReps: need >= 2 " +
+      "(the first rep of each child is always dropped as JIT-cold)")
 
     def pinnedLevel(cores: Int, path: String, reps: Int): LevelRun = {
       val java = sys.props("java.home") + "/bin/java"
@@ -129,10 +135,14 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-      proc.waitFor()
+      val exit = proc.waitFor()
+      // a crashed child (OOM after rep 1, say) must abort the protocol, not
+      // contribute its partial JIT-cold timings to the shipped artifact
+      require(exit == 0, s"pinned level $cores child exited $exit:\n${out.mkString("\n")}")
       val re = """rows=(\d+) time=([0-9.]+)s""".r.unanchored
       val parsed = out.collect { case re(r, t) => (r.toLong, t.toDouble) }
-      require(parsed.nonEmpty, s"pinned level $cores produced no timings:\n${out.mkString("\n")}")
+      require(parsed.size == reps,
+        s"pinned level $cores produced ${parsed.size}/$reps timings:\n${out.mkString("\n")}")
       val stepRe = """\[steps\] cores=\d+ rep=\d+ (.*)""".r.unanchored
       val kv = """([a-z]+)=([0-9.]+)""".r
       val steps = out.collect { case stepRe(body) =>
@@ -156,86 +166,107 @@ object Bench {
     require(rowsLo == rows4n && rowsLo == rowsFull,
       s"determinism breach: $rowsLo/$rows4n/$rowsFull")
     // drop each child's first (JIT-cold) rep, then min across rounds
-    def steadyReps(ts: Seq[LevelRun]): Seq[Double] =
-      ts.flatMap(t => if (t.reps.size > 1) t.reps.drop(1) else t.reps)
+    // (innerReps >= 2 is enforced above, so every child has steady reps)
+    def steadyReps(ts: Seq[LevelRun]): Seq[Double] = ts.flatMap(_.reps.drop(1))
     def steady(ts: Seq[LevelRun]): Double = steadyReps(ts).min
-    def median(ts: Seq[LevelRun]): Double = {
-      val s = steadyReps(ts).sorted
-      s(s.size / 2)
+    // true median: mean of the middle pair for even sizes — upper-middle
+    // alone biases the shipped *_median fields upward under the one-sided
+    // additive noise this VM exhibits
+    def medianOf(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    def median(ts: Seq[LevelRun]): Double = medianOf(steadyReps(ts))
 
     // NOISE PROTOCOL (symmetric — no level gets special treatment):
     // this shared VM has minute-scale ONE-SIDED ADDITIVE noise, so min-of-
     // steady-reps is the estimator for EVERY level; extra samples can only
     // move a min DOWN toward the quiet-window truth, never fabricate a
     // better-than-true value. Guards, each resampling the level whose
-    // estimate the invariant indicts (bounded):
+    // estimate the invariant indicts (per-guard bounded):
     //   (a) t_full <= t_4N           — more pinned cores cannot be slower;
     //   (b) t_4N  <= t_N            — same;
-    //   (c) top-pair proportionality — if (t_4N / t_full)/4 falls below the
-    //       quiet-window band the FULL level is suspected stall-inflated
-    //       (the round-3 artifact shipped exactly this: 32 cores looking
-    //       1.12x faster than 8 with no guard firing) → resample full;
-    //   (d) efficiency below the band → resample N AND 4N;
+    //   (c) top-pair proportionality — if (t_4N/t_full)/idealRatio falls
+    //       below the quiet-window band the FULL level is suspected
+    //       stall-inflated (the round-3 artifact shipped exactly this:
+    //       32 cores looking 1.12x faster than 8 with no guard firing)
+    //       → resample full. The divisor is cpus/(4·scaleN), NOT a
+    //       hardcoded 4 — with non-default core counts the band would
+    //       otherwise fire spuriously on ideal scaling;
+    //   (d) efficiency below the band → resample 4N ONLY: eff=(t_N/t_4N)/4
+    //       is low when t_4N is stall-inflated; a new N sample can only
+    //       LOWER min(t_N) and push eff further down, so resampling N here
+    //       is pure wasted wall-clock (it is the expensive level, too);
     //   (e) efficiency above 1.0 is physically implausible (the N level
     //       must be stall-inflated) → resample N. (d)+(e) make the
     //       suspicion triggers SYMMETRIC: noise that would overstate
-    //       efficiency now has a corrective trigger too.
+    //       efficiency has a corrective trigger too.
+    // The guards run inside a FIXPOINT loop: a later guard's resample can
+    // lower its level's min and re-break an earlier invariant (e.g. (d)'s
+    // new 4N min dropping below t_full re-breaks (a)), so one linear pass
+    // could ship exactly the inversion it claims to enforce. Each guard
+    // keeps its own total resample budget across passes, so the loop is
+    // bounded either way.
     var fullRuns: Seq[LevelRun] = triples.map(_._1)
     var t4nRuns: Seq[LevelRun] = triples.map(_._2)
     var tLoRuns: Seq[LevelRun] = triples.map(_._3)
     def tFull = steady(fullRuns)
     def t4n = steady(t4nRuns)
     def tLo = steady(tLoRuns)
-
-    var inv4n = 0
-    while (t4n > tLo && inv4n < 3) { // (b): 8 cores slower than 2 is noise
-      System.err.println(f"[bench] 4N min ${t4n}%.2fs > N min ${tLo}%.2fs — noise artifact; resampling 4N")
-      t4nRuns :+= pinnedLevel(scaleN * 4, benchPath, innerReps + 3)
-      inv4n += 1
-    }
-    var invFull = 0
-    while (tFull > t4n && invFull < 3) { // (a)
-      System.err.println(f"[bench] full-box min ${tFull}%.2fs > 4N min ${t4n}%.2fs — noise artifact; resampling full")
-      fullRuns :+= pinnedLevel(cpus, benchPath, innerReps + 3)
-      invFull += 1
-    }
-    // (c) top-pair proportionality band: quiet-window 8→32 headroom sits
-    // around 0.5-0.7 on this input (4x the cores buys >= ~1.8x); below
-    // 0.45 the full level is treated like a suspect N/4N level would be
-    var invTop = 0
-    while ((t4n / tFull) / 4.0 < 0.45 && invTop < 3) {
-      System.err.println(f"[bench] top-pair ratio ${(t4n / tFull) / 4.0}%.3f below band — resampling full")
-      fullRuns :+= pinnedLevel(cpus, benchPath, innerReps + 3)
-      invTop += 1
-    }
+    // ideal full/4N wall-time ratio from the core counts (4.0 at defaults)
+    val topDiv = cpus.toDouble / (scaleN * 4)
+    def topPair = (t4n / tFull) / topDiv
     def eff = (tLo / t4n) / 4.0
-    var extra = 0
-    while (eff < 0.85 && extra < 3) { // (d)
-      System.err.println(f"[bench] efficiency ${eff}%.3f below quiet-window band; resampling N AND 4N")
-      t4nRuns :+= pinnedLevel(scaleN * 4, benchPath, innerReps + 3)
-      tLoRuns :+= pinnedLevel(scaleN, benchPath, innerReps)
-      if (tFull > t4n) fullRuns :+= pinnedLevel(cpus, benchPath, innerReps + 3)
-      extra += 1
-    }
-    var extraHi = 0
-    while (eff > 1.0 && extraHi < 3) { // (e): > perfect scaling — N inflated
-      System.err.println(f"[bench] efficiency ${eff}%.3f above 1.0 (implausible); resampling N")
-      tLoRuns :+= pinnedLevel(scaleN, benchPath, innerReps)
-      extraHi += 1
+
+    var inv4n, invFull, invTop, extra, extraHi = 0
+    var guardPass = 0
+    var changed = true
+    while (changed && guardPass < 4) {
+      changed = false
+      while (t4n > tLo && inv4n < 3) { // (b): 8 cores slower than 2 is noise
+        System.err.println(f"[bench] 4N min ${t4n}%.2fs > N min ${tLo}%.2fs — noise artifact; resampling 4N")
+        t4nRuns :+= pinnedLevel(scaleN * 4, benchPath, innerReps + 3)
+        inv4n += 1; changed = true
+      }
+      while (tFull > t4n && invFull < 3) { // (a)
+        System.err.println(f"[bench] full-box min ${tFull}%.2fs > 4N min ${t4n}%.2fs — noise artifact; resampling full")
+        fullRuns :+= pinnedLevel(cpus, benchPath, innerReps + 3)
+        invFull += 1; changed = true
+      }
+      // (c) top-pair proportionality band: quiet-window 8→32 headroom sits
+      // around 0.5-0.7 of ideal on this input; below 0.45 the full level
+      // is treated like a suspect N/4N level would be
+      while (topPair < 0.45 && invTop < 3) {
+        System.err.println(f"[bench] top-pair ratio ${topPair}%.3f below band — resampling full")
+        fullRuns :+= pinnedLevel(cpus, benchPath, innerReps + 3)
+        invTop += 1; changed = true
+      }
+      while (eff < 0.85 && extra < 3) { // (d)
+        System.err.println(f"[bench] efficiency ${eff}%.3f below quiet-window band; resampling 4N")
+        t4nRuns :+= pinnedLevel(scaleN * 4, benchPath, innerReps + 3)
+        extra += 1; changed = true
+      }
+      while (eff > 1.0 && extraHi < 3) { // (e): > perfect scaling — N inflated
+        System.err.println(f"[bench] efficiency ${eff}%.3f above 1.0 (implausible); resampling N")
+        tLoRuns :+= pinnedLevel(scaleN, benchPath, innerReps)
+        extraHi += 1; changed = true
+      }
+      guardPass += 1
     }
 
-    def jNum(v: Double): String = f"$v%.3f"
+    // Locale.ROOT-pinned: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would make the artifact invalid JSON
+    def jNum(v: Double): String = graft.tools.ScalingProbe.num(v, 3)
     def jSteps(runs: Seq[LevelRun]): String =
       runs.flatMap(_.steps).map(m =>
         graft.tools.ScalingProbe.stepNames.flatMap(n => m.get(n).map(v => "\"" + n + "\":" + jNum(v)))
           .mkString("{", ",", "}")).mkString("[", ",", "]")
     def jStepMedian(runs: Seq[LevelRun]): String = {
       // per-step median over steady reps (first rep of each child dropped)
-      val steadySteps = runs.flatMap(r => if (r.steps.size > 1) r.steps.drop(1) else r.steps)
+      val steadySteps = runs.flatMap(_.steps.drop(1))
       graft.tools.ScalingProbe.stepNames.flatMap { n =>
-        val vs = steadySteps.flatMap(_.get(n)).sorted
-        if (vs.isEmpty) None else Some("\"" + n + "\":" + jNum(vs(vs.size / 2)))
+        val vs = steadySteps.flatMap(_.get(n))
+        if (vs.isEmpty) None else Some("\"" + n + "\":" + jNum(medianOf(vs)))
       }.mkString("{", ",", "}")
     }
 
@@ -257,7 +288,10 @@ object Bench {
       s""""t_full_median":${jNum(median(fullRuns))},""" +
       s""""scaling_efficiency":${jNum(eff)},""" +
       s""""scaling_efficiency_median":${jNum((median(tLoRuns) / median(t4nRuns)) / 4.0)},""" +
-      s""""top_pair_ratio":${jNum((t4n / tFull) / 4.0)},""" +
+      s""""top_pair_ratio":${jNum(topPair)},""" +
+      (if (failedQueries.nonEmpty)
+        s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+      else "") +
       s""""steps_median":{"full":${jStepMedian(fullRuns)},"4n":${jStepMedian(t4nRuns)},"n":${jStepMedian(tLoRuns)}}}"""
     val stepsJson =
       s"""{"steps":{"full":${jSteps(fullRuns)},"4n":${jSteps(t4nRuns)},"n":${jSteps(tLoRuns)}}}"""
@@ -267,5 +301,11 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     // stdout LAST line (unprefixed via build.sbt outputStrategy)
     println(json)
+    if (failedQueries.nonEmpty) {
+      // loud failure AFTER the artifact ships: the driver still captures
+      // the line (with its failed_queries field) but the run is marked bad
+      System.err.println(s"[bench] FAILED QUERIES: ${failedQueries.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -29,6 +29,11 @@ object TranscriptGen {
   val toolVocab: Seq[String] = (0 until 16).map(i => f"tool_$i%02d")
   val baseEpoch: Long = 1600000000L // fixed, deterministic
 
+  /** Bump on ANY change to the generated data (columns, rates, lengths):
+    * Bench keys its /dev/shm input cache on this, so a stale table from an
+    * older generator can never be silently benchmarked against. */
+  val generatorVersion: Int = 1
+
   def convs(spark: SparkSession, numConvs: Long, parts: Int = 32): DataFrame = {
     val c = spark.range(0, numConvs, 1, parts).toDF("cid")
     c.withColumn("len",

@@ -30,13 +30,21 @@ object ScalingProbe {
   val stepNames = Seq("rowpass", "verdicts", "violations", "uniqueness",
     "referential", "stats", "drift")
 
-  def main(args: Array[String]): Unit = {
-    val cores = args(0).toInt
-    val path = args(1)
-    val reps = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder().master(s"local[$cores]")
+  /** Locale-pinned number rendering: the `[scaling]`/`[steps]` lines are
+    * PARSED by Bench and the artifact must be valid JSON — a comma-decimal
+    * default locale would corrupt both. */
+  def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
+  /** THE bench Spark session config — one definition for Bench's part-1
+    * query sweep and every pinned probe level, so a knob (split sizing,
+    * tmpfs spill dir) can never apply to one and not the other. */
+  def newBenchSession(cores: Int, appName: String): SparkSession = {
+    val s = SparkSession.builder().master(s"local[$cores]")
+      .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       // size scan splits so the input stage has >= 2 waves at full cores
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("GRAFT_MAX_PART", "16m"))
       .config("spark.sql.files.openCostInBytes", "1m")
@@ -44,7 +52,15 @@ object ScalingProbe {
       // 30-60s stalls into timed runs on this VM
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val path = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = newBenchSession(cores, s"graft-probe-$cores")
 
     // pool sized for the check-job fan-out; Spark's scheduler interleaves
     // the concurrent jobs' task sets over the `cores` task slots
@@ -107,9 +123,10 @@ object ScalingProbe {
       val t0 = System.nanoTime()
       val (rows, steps) = pass()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"[scaling] cores=$cores rep=$i rows=$rows time=$t%.2fs thr=${rows / t}%.0f turns/s")
+      println(s"[scaling] cores=$cores rep=$i rows=$rows time=${num(t, 2)}s " +
+        s"thr=${num(rows / t, 0)} turns/s")
       println(s"[steps] cores=$cores rep=$i " +
-        stepNames.flatMap(n => steps.get(n).map(v => f"$n=$v%.3f")).mkString(" "))
+        stepNames.flatMap(n => steps.get(n).map(v => s"$n=${num(v, 3)}")).mkString(" "))
     }
     spark.stop()
     sys.exit(0) // don't wait on the non-daemon pool threads
