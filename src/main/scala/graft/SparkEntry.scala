@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.checks.TableChecks
+import graft.checks.{Suggest, TableChecks}
 import graft.data.TranscriptGen
 import graft.ops.{Curation, Dedup, Similarity, TextAnalysis, Transcripts}
 
@@ -1995,6 +1995,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), sum(col("o_custkey")).as("sum_cust"))
     }),
 
+    "q_snapshot_delta" -> ((s, dir) => { implicit val sp = s
+      // INCREMENTAL validation over snapshot growth: validate ONLY the
+      // files the v2 commit added to the staged log (the o_orderkey%3==2
+      // slice) — the per-ingest-batch shape a 100 TB lake actually runs,
+      // where re-validating the whole table per commit is days of work.
+      // Runner.validateDelta scans exactly files(v2)--files(v1); the
+      // oracle recomputes the same violations from the slice predicate, so
+      // a delta that accidentally re-reads v1 files (extra rows) or drops
+      // part of the new slice changes the hash.
+      stageSnapshotLog(s, dir, force = false)
+      val log = new graft.io.SnapshotLog(s"${snapshotLogPath(dir)}/log")
+      val out = graft.run.Runner.validateDelta(s, log, 1L, 2L,
+        Graft.parseSchema("""{"properties":{"o_orderstatus":{"enum":["O","F"]}}}"""),
+        Seq("o_orderkey")).getOrElse(sys.error("empty delta v1..v2"))
+      // leaf rows only (the enclosing properties-level violation rides the
+      // same array; q_enum_violations hashes the same filter)
+      out.violations.where(col("kind") === "enum")
+        .select(col("o_orderkey"), col("json_pointer"), col("description"))
+    }),
+
     "q_stats_sketch" -> ((s, dir) => { implicit val sp = s
       // MERGEABLE per-partition stats sketches (the incremental form of
       // q_stats): one scan builds O(partitions) sketch rows (null counts,
@@ -2043,6 +2063,21 @@ object SparkEntry {
         qOk("lt50", "le50", 0.50).as("user_id_q50_ok"),
         qOk("lt95", "le95", 0.95).as("user_id_q95_ok"),
         qOk("lt99", "le99", 0.99).as("user_id_q99_ok"))
+    }),
+
+    "q_suggest" -> ((s, dir) => { implicit val sp = s
+      // CONSTRAINT SUGGESTION (Deequ/Great-Expectations analog; the
+      // "where does the schema come from" half of a validation engine):
+      // profile the documents table in two skew-safe scans (one
+      // associative-partial agg + one melt→(column,value) hash agg — never
+      // a per-column collect_set buffer) and emit the constraint spec the
+      // data already satisfies, in the reference's own keyword vocabulary.
+      // The oracle recomputes every RULE (type/required/min/max/length
+      // bounds/enum eligibility) closed-form, so a drifted threshold or a
+      // wrong bound changes the hash. SuggestSpec asserts the round-trip:
+      // the suggested schema validates its own source with zero violations.
+      Suggest.suggestions(t(dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),
 
     "q_shuffle_shards" -> ((s, dir) => { implicit val sp = s
@@ -3216,6 +3251,11 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 3 IN (0, 1)
          GROUP BY o_orderstatus""",
 
+    "q_snapshot_delta" ->
+      """SELECT o_orderkey, '/o_orderstatus' AS json_pointer,
+                'Failed to match against any enum values.' AS description
+         FROM orders WHERE o_orderkey % 3 = 2 AND o_orderstatus NOT IN ('O','F')""",
+
     "q_stats_sketch" ->
       """SELECT count(*) AS n_rows,
                 CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS user_id_nulls,
@@ -3225,6 +3265,56 @@ object SparkEntry {
                 true AS user_id_distinct_ok, true AS event_type_distinct_ok,
                 true AS user_id_q50_ok, true AS user_id_q95_ok, true AS user_id_q99_ok
          FROM events""",
+
+    "q_suggest" ->
+      """WITH s AS (
+           SELECT count(*) AS total,
+                  count(doc_id) AS nn_doc_id,
+                  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+                  count(n_chars) AS nn_n_chars,
+                  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars,
+                  count(text) AS nn_text,
+                  min(length(text)) AS lmin_text, max(length(text)) AS lmax_text,
+                  count(DISTINCT text) AS d_text,
+                  count(lang) AS nn_lang,
+                  min(length(lang)) AS lmin_lang, max(length(lang)) AS lmax_lang,
+                  count(DISTINCT lang) AS d_lang,
+                  count(source) AS nn_source,
+                  min(length(source)) AS lmin_source, max(length(source)) AS lmax_source,
+                  count(DISTINCT source) AS d_source
+           FROM documents)
+         SELECT 'doc_id' AS col_name, 'type' AS keyword, '"integer"' AS value FROM s
+         UNION ALL SELECT 'doc_id', 'required', 'true' FROM s WHERE nn_doc_id = total AND total > 0
+         UNION ALL SELECT 'doc_id', 'minimum', CAST(min_doc_id AS VARCHAR) FROM s WHERE nn_doc_id > 0
+         UNION ALL SELECT 'doc_id', 'maximum', CAST(max_doc_id AS VARCHAR) FROM s WHERE nn_doc_id > 0
+         UNION ALL SELECT 'n_chars', 'type', '"integer"' FROM s
+         UNION ALL SELECT 'n_chars', 'required', 'true' FROM s WHERE nn_n_chars = total AND total > 0
+         UNION ALL SELECT 'n_chars', 'minimum', CAST(min_n_chars AS VARCHAR) FROM s WHERE nn_n_chars > 0
+         UNION ALL SELECT 'n_chars', 'maximum', CAST(max_n_chars AS VARCHAR) FROM s WHERE nn_n_chars > 0
+         UNION ALL SELECT 'text', 'type', '"string"' FROM s
+         UNION ALL SELECT 'text', 'required', 'true' FROM s WHERE nn_text = total AND total > 0
+         UNION ALL SELECT 'text', 'minLength', CAST(lmin_text AS VARCHAR) FROM s WHERE nn_text > 0
+         UNION ALL SELECT 'text', 'maxLength', CAST(lmax_text AS VARCHAR) FROM s WHERE nn_text > 0
+         UNION ALL SELECT 'text', 'enum',
+           (SELECT '[' || string_agg(to_json(v), ',' ORDER BY v) || ']'
+            FROM (SELECT DISTINCT text AS v FROM documents WHERE text IS NOT NULL))
+           FROM s WHERE d_text BETWEEN 2 AND 8 AND d_text <= 0.5 * nn_text
+         UNION ALL SELECT 'lang', 'type', '"string"' FROM s
+         UNION ALL SELECT 'lang', 'required', 'true' FROM s WHERE nn_lang = total AND total > 0
+         UNION ALL SELECT 'lang', 'minLength', CAST(lmin_lang AS VARCHAR) FROM s WHERE nn_lang > 0
+         UNION ALL SELECT 'lang', 'maxLength', CAST(lmax_lang AS VARCHAR) FROM s WHERE nn_lang > 0
+         UNION ALL SELECT 'lang', 'enum',
+           (SELECT '[' || string_agg(to_json(v), ',' ORDER BY v) || ']'
+            FROM (SELECT DISTINCT lang AS v FROM documents WHERE lang IS NOT NULL))
+           FROM s WHERE d_lang BETWEEN 2 AND 8 AND d_lang <= 0.5 * nn_lang
+         UNION ALL SELECT 'source', 'type', '"string"' FROM s
+         UNION ALL SELECT 'source', 'required', 'true' FROM s WHERE nn_source = total AND total > 0
+         UNION ALL SELECT 'source', 'minLength', CAST(lmin_source AS VARCHAR) FROM s WHERE nn_source > 0
+         UNION ALL SELECT 'source', 'maxLength', CAST(lmax_source AS VARCHAR) FROM s WHERE nn_source > 0
+         UNION ALL SELECT 'source', 'enum',
+           (SELECT '[' || string_agg(to_json(v), ',' ORDER BY v) || ']'
+            FROM (SELECT DISTINCT source AS v FROM documents WHERE source IS NOT NULL))
+           FROM s WHERE d_source BETWEEN 2 AND 8 AND d_source <= 0.5 * nn_source""",
 
     "q_shuffle_shards" ->
       """WITH k AS (

@@ -113,6 +113,31 @@ final class SnapshotLog(dir: String) {
   /** Scan the latest snapshot. */
   def readLatest(spark: SparkSession): DataFrame =
     read(spark, latest().getOrElse(sys.error(s"empty snapshot log $dir")))
+
+  /** Files ADDED between two snapshots: `files(to) -- files(from)`.
+    * Versions are 0-based ([[commit]] returns 0 for the first commit), so
+    * the "before any commit" base is `from = -1` (everything in `to` is
+    * new). Append-only logs never remove files, but a rewritten file set
+    * (compaction) is handled correctly too — only genuinely new paths are
+    * returned. */
+  def deltaFiles(fromVersion: Long, toVersion: Long): Seq[String] = {
+    require(fromVersion >= -1 && toVersion >= fromVersion,
+      s"bad version range v$fromVersion..v$toVersion")
+    val before =
+      if (fromVersion == -1) Set.empty[String] else files(fromVersion).toSet
+    files(toVersion).filterNot(before)
+  }
+
+  /** Scan ONLY the files added between two snapshots — the incremental-
+    * validation shape: a 100 TB lake validates each new snapshot's delta,
+    * never the whole table (`read` exists for full-table / time-travel
+    * audits). Returns None when the delta is empty, so callers don't have
+    * to conjure an empty frame with the right schema. */
+  def readDelta(spark: SparkSession, fromVersion: Long,
+                toVersion: Long): Option[DataFrame] = {
+    val fs = deltaFiles(fromVersion, toVersion)
+    if (fs.isEmpty) None else Some(spark.read.parquet(fs: _*))
+  }
 }
 
 object SnapshotLog {

@@ -230,4 +230,19 @@ object Runner {
       verdicts
     } finally rowOut.unpersist() // even when a sink write throws
   }
+
+  /** Validate ONLY the rows added between two snapshots of a
+    * [[graft.io.SnapshotLog]]-versioned table — the incremental form of
+    * [[rowChecks]]: each new commit validates its delta files, never the
+    * whole table (at 100 TB a full re-validation per ingest batch is the
+    * difference between minutes and days). Returns None when the delta is
+    * empty. Verdict/violation rows are exactly what a full validation of
+    * those files would produce; callers tag them with the version range if
+    * they append to a shared sink. */
+  def validateDelta(spark: SparkSession, log: graft.io.SnapshotLog,
+                    fromVersion: Long, toVersion: Long, spec: SchemaSpec,
+                    keyCols: Seq[String], partCol: String = "part_id",
+                    opts: CompileOptions = CompileOptions()): Option[RowCheckOutput] =
+    log.readDelta(spark, fromVersion, toVersion)
+      .map(delta => rowChecks(delta, spec, keyCols, partCol, opts))
 }

@@ -88,4 +88,36 @@ class SnapshotLogSpec extends SparkTestBase {
     results.count(identity) shouldBe 1
     log.latest() shouldBe Some(1L)
   }
+
+  test("delta scan reads exactly the files a commit added; validateDelta validates only them") {
+    val dir = tempDir()
+    val log = new SnapshotLog(s"$dir/log")
+    val a = writeSlice(dir, "a", 0, 100)
+    val b = writeSlice(dir, "b", 100, 150)
+    log.commitAppend(Seq(a))
+    log.commitAppend(Seq(b))
+    // -1 = before any commit (versions are 0-based)
+    log.deltaFiles(-1, 0) shouldBe Seq(a)
+    log.deltaFiles(0, 1) shouldBe Seq(b)
+    log.deltaFiles(1, 1) shouldBe Seq()
+    log.readDelta(spark, 1, 1) shouldBe None
+    log.readDelta(spark, 0, 1).get.count() shouldBe 50L
+    an[IllegalArgumentException] should be thrownBy log.deltaFiles(1, 0)
+
+    // incremental validation: only v1's rows are checked — a v0 row that
+    // violates the spec must NOT appear in the delta's violations
+    val spec = Graft.parseSchema("""{"properties":{"v":{"maximum":120}}}""")
+    val out = graft.run.Runner.validateDelta(spark, log, 0, 1, spec, Seq("v")).get
+    out.flagged.count() shouldBe 50L
+    // leaf violations only — the enclosing properties-level row rides the
+    // same array per the reference's error model
+    out.violations.where(col("kind") === "maximum")
+      .select("v").as[Int].collect().sorted.toSeq shouldBe (121 to 149)
+
+    // compaction rewrite: the rewritten file is "new" relative to v1 even
+    // though its rows are not — deltas are FILE-level, as documented
+    val c = writeSlice(dir, "c", 0, 150)
+    log.commit(Seq(c), log.latest())
+    log.deltaFiles(1, 2) shouldBe Seq(c)
+  }
 }
