@@ -2080,6 +2080,21 @@ object SparkEntry {
         Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),
 
+    "q_suggest_json" -> ((s, dir) => { implicit val sp = s
+      // JSON-payload SCHEMA INDUCTION (the per-tool `arguments` shape of
+      // agent transcripts): three skew-safe scans — Spark's
+      // schema_of_variant_agg merged schema, one associative-partial agg
+      // over every induced path (presence separates absent from JSON
+      // null), and the shared melt enum pass — emit the nested spec the
+      // payloads already satisfy, as (pointer, keyword, value) rows. The
+      // oracle recomputes the RULES from json_type()/json_extract()
+      // (object-ness, per-path type census incl. the numeric widening and
+      // null-union cases, presence-based required, integer bounds), so a
+      // drifted rule or a presence/null confusion changes the hash.
+      // JsonSuggestSpec asserts the round-trip on nested/mixed corpora.
+      graft.checks.JsonSuggest.suggestions(t(dir, "events"), "props")
+    }),
+
     "q_shuffle_shards" -> ((s, dir) => { implicit val sp = s
       // deterministic corpus shuffle → training shards: shard + dense
       // in-shard position from a pure md5-u01 of the id — one balanced
@@ -3315,6 +3330,40 @@ object SparkEntry {
            (SELECT '[' || string_agg(to_json(v), ',' ORDER BY v) || ']'
             FROM (SELECT DISTINCT source AS v FROM documents WHERE source IS NOT NULL))
            FROM s WHERE d_source BETWEEN 2 AND 8 AND d_source <= 0.5 * nn_source""",
+
+    "q_suggest_json" ->
+      """WITH p AS (SELECT try_cast(props AS JSON) AS j FROM events),
+         d AS (SELECT j FROM p WHERE j IS NOT NULL),
+         s AS (
+           SELECT count(*) AS n_parsed,
+                  count(CASE WHEN json_type(j) = 'OBJECT' THEN 1 END) AS n_obj,
+                  count(json_extract(j, '$.k')) AS p_k,
+                  count(CASE WHEN json_type(j, '$.k') = 'NULL' THEN 1 END) AS nul_k,
+                  count(CASE WHEN json_type(j, '$.k') IN ('BIGINT','UBIGINT') THEN 1 END) AS int_k,
+                  count(CASE WHEN json_type(j, '$.k') = 'DOUBLE' THEN 1 END) AS dbl_k,
+                  count(CASE WHEN json_type(j, '$.k') NOT IN ('BIGINT','UBIGINT','DOUBLE','NULL')
+                              AND json_extract(j, '$.k') IS NOT NULL THEN 1 END) AS oth_k,
+                  min(CAST(j->>'$.k' AS BIGINT)) AS min_k,
+                  max(CAST(j->>'$.k' AS BIGINT)) AS max_k
+           FROM d)
+         SELECT '' AS pointer, 'type' AS keyword, '"object"' AS value
+           FROM s WHERE n_obj = n_parsed AND n_parsed > 0
+         UNION ALL SELECT '/k', 'type', '"integer"'
+           FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0 AND nul_k = 0
+         UNION ALL SELECT '/k', 'type', '["integer","null"]'
+           FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0 AND nul_k > 0
+         UNION ALL SELECT '/k', 'type', '"number"'
+           FROM s WHERE dbl_k > 0 AND oth_k = 0 AND nul_k = 0
+         UNION ALL SELECT '/k', 'type', '["number","null"]'
+           FROM s WHERE dbl_k > 0 AND oth_k = 0 AND nul_k > 0
+         UNION ALL SELECT '/k', 'type', '"null"'
+           FROM s WHERE int_k = 0 AND dbl_k = 0 AND oth_k = 0 AND nul_k > 0
+         UNION ALL SELECT '/k', 'required', 'true'
+           FROM s WHERE p_k = n_parsed AND n_parsed > 0
+         UNION ALL SELECT '/k', 'minimum', CAST(min_k AS VARCHAR)
+           FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0
+         UNION ALL SELECT '/k', 'maximum', CAST(max_k AS VARCHAR)
+           FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0""",
 
     "q_shuffle_shards" ->
       """WITH k AS (

@@ -120,40 +120,9 @@ object Suggest {
     val enumInfo: Map[String, (Long, Option[Vector[(String, String)]])] =
       if (stringCols.isEmpty) Map.empty
       else {
-        val pairs = df.select(explode(array(stringCols.map(n =>
-            struct(lit(n).as("column"),
-                   col(n).cast(StringType).as("value"))): _*)).as("p"))
-          .select(col("p.column").as("column"), col("p.value").as("value"))
-          .where(col("value").isNotNull)
-        // spillable hash agg; output is one row per distinct (column, value)
-        val valueCounts = pairs.groupBy("column", "value")
-          .agg(count(lit(1)).as("cnt"))
-        // per-column cardinality over the value-count frame (small relative
-        // to the corpus; still a distributed agg, no driver work)
-        val perCol = valueCounts.groupBy("column")
-          .agg(count(lit(1)).as("distinct_cnt"))
-        val dcnts = perCol.collect()
-          .map(r => r.getAs[String]("column") -> r.getAs[Long]("distinct_cnt"))
-          .toMap
-        val eligible = stringCols.filter { n =>
-          val d = dcnts.getOrElse(n, 0L)
-          val nn = opt[Long](s"nn__$n").getOrElse(0L)
-          d >= 2 && d <= opts.enumMaxDistinct && d <= opts.enumMaxFraction * nn
-        }
-        val vals: Map[String, Vector[(String, String)]] =
-          if (eligible.isEmpty) Map.empty
-          else valueCounts.where(col("column").isin(eligible: _*))
-            // bounded: ≤ enumMaxDistinct values per eligible column, sorted
-            // by RAW value (rendering may not preserve order under escapes)
-            .groupBy("column")
-            .agg(array_sort(collect_list(struct(col("value"),
-              jsonRendered(col("value")).as("rendered")))).as("vs"))
-            .collect()
-            .map(r => r.getAs[String]("column") ->
-              r.getAs[Seq[Row]]("vs")
-                .map(p => (p.getAs[String]("value"),
-                           p.getAs[String]("rendered"))).toVector)
-            .toMap
+        val (dcnts, vals) = enumCandidates(df,
+          stringCols.map(n => n -> col(n)),
+          n => opt[Long](s"nn__$n").getOrElse(0L), opts)
         stringCols.map(n => n -> (dcnts.getOrElse(n, 0L), vals.get(n))).toMap
       }
 
@@ -178,6 +147,50 @@ object Suggest {
         distinct = enumInfo.get(n).map(_._1),
         enumValues = enumInfo.get(n).flatMap(_._2))
     }
+  }
+
+  /** Shared enum-candidacy machinery (also used by [[JsonSuggest]] for
+    * string leaf paths): melt the labelled string columns into
+    * (label, value) rows, hash-aggregate per-(label, value) counts
+    * (spillable, map-side combined — NEVER a per-label collect_set
+    * buffer; a high-cardinality label just yields more small agg rows),
+    * derive per-label cardinality from the tiny value-count frame, then
+    * collect values ONLY for eligible labels (≤ enumMaxDistinct each by
+    * construction), sorted by RAW value with a Jackson-escaped JSON
+    * rendering alongside. Returns (distinct counts for every label,
+    * sorted values for eligible labels). */
+  private[checks] def enumCandidates(df: DataFrame,
+      labelled: Seq[(String, Column)],
+      nonNull: String => Long,
+      opts: Options): (Map[String, Long], Map[String, Vector[(String, String)]]) = {
+    if (labelled.isEmpty) return (Map.empty, Map.empty)
+    val melted = df.select(explode(array(labelled.map { case (label, c) =>
+        struct(lit(label).as("column"), c.cast(StringType).as("value")) }: _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.value").as("value"))
+      .where(col("value").isNotNull)
+    val valueCounts = melted.groupBy("column", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val perCol = valueCounts.groupBy("column").agg(count(lit(1)).as("distinct_cnt"))
+    val dcnts = perCol.collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Long]("distinct_cnt"))
+      .toMap
+    val eligible = labelled.map(_._1).filter { n =>
+      val d = dcnts.getOrElse(n, 0L)
+      d >= 2 && d <= opts.enumMaxDistinct && d <= opts.enumMaxFraction * nonNull(n)
+    }
+    val vals: Map[String, Vector[(String, String)]] =
+      if (eligible.isEmpty) Map.empty
+      else valueCounts.where(col("column").isin(eligible: _*))
+        .groupBy("column")
+        .agg(array_sort(collect_list(struct(col("value"),
+          jsonRendered(col("value")).as("rendered")))).as("vs"))
+        .collect()
+        .map(r => r.getAs[String]("column") ->
+          r.getAs[Seq[Row]]("vs")
+            .map(p => (p.getAs[String]("value"),
+                       p.getAs[String]("rendered"))).toVector)
+        .toMap
+    (dcnts, vals)
   }
 
   private def anyToLong(v: Any): Long = v match {

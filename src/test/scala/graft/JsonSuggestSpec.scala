@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.checks.{JsonSuggest, Suggest}
+
+/** JSON-payload schema induction: variant schema-string parsing, the
+  * per-path suggestion rules (presence vs JSON null, nesting, mixed
+  * types, arrays), and the round-trip invariant. */
+class JsonSuggestSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("variant schema-string parser: nesting, quoting, decimals") {
+    import JsonSuggest._
+    parseVariantSchema("BIGINT") shouldBe VScalar("BIGINT")
+    parseVariantSchema("OBJECT<>") shouldBe VObject(Vector.empty)
+    parseVariantSchema("OBJECT<a: BIGINT, b: STRING>") shouldBe
+      VObject(Vector("a" -> VScalar("BIGINT"), "b" -> VScalar("STRING")))
+    parseVariantSchema("OBJECT<`a b`: DECIMAL(3,2), c: ARRAY<STRING>>") shouldBe
+      VObject(Vector("a b" -> VScalar("DECIMAL(3,2)"),
+                     "c" -> VArray(VScalar("STRING"))))
+    parseVariantSchema("OBJECT<`x``y`: OBJECT<z: DOUBLE>>") shouldBe
+      VObject(Vector("x`y" -> VObject(Vector("z" -> VScalar("DOUBLE")))))
+    an[IllegalArgumentException] should be thrownBy
+      parseVariantSchema("OBJECT<a BIGINT>")
+  }
+
+  private val corpus = Seq(
+    """{"k": 1, "s": "a", "arr": [1,2], "nested": {"x": "u"}}""",
+    """{"k": 5, "s": "b", "arr": [1], "nested": {"x": "v"}}""",
+    """{"k": 3, "s": "a"}"""
+  ).toDF("doc")
+
+  test("induced suggestions: nesting, presence-based required, bounds") {
+    val rows = JsonSuggest.suggestions(corpus, "doc")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    rows shouldBe Set(
+      ("", "type", "\"object\""),
+      ("/k", "type", "\"integer\""),
+      ("/k", "required", "true"),
+      ("/k", "minimum", "1"),
+      ("/k", "maximum", "5"),
+      ("/s", "type", "\"string\""),
+      ("/s", "required", "true"),
+      ("/s", "minLength", "1"),
+      ("/s", "maxLength", "1"),
+      // s: 2 distinct of 3 → fails the default 0.5 fraction rule, no enum
+      ("/arr", "type", "\"array\""),       // present 2 of 3 → not required
+      ("/arr", "minItems", "1"),
+      ("/arr", "maxItems", "2"),
+      ("/nested", "type", "\"object\""),
+      ("/nested/x", "type", "\"string\""),
+      ("/nested/x", "required", "true"),   // present in BOTH docs with nested
+      ("/nested/x", "minLength", "1"),
+      ("/nested/x", "maxLength", "1"))
+
+    val loose = JsonSuggest.suggestions(corpus, "doc",
+      Suggest.Options(enumMaxFraction = 1.0))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    loose should contain(("/s", "enum", "[\"a\",\"b\"]"))
+    loose should contain(("/nested/x", "enum", "[\"u\",\"v\"]"))
+  }
+
+  test("mixed types, JSON nulls and invalid rows follow the variant merge") {
+    val messy = Seq(
+      """{"m": 1, "n": null, "v": null}""",
+      """{"m": "x", "n": 2, "v": null}""",
+      """not valid json at all""",
+      null.asInstanceOf[String]
+    ).toDF("doc")
+    val rows = JsonSuggest.suggestions(messy, "doc")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // m merges BIGINT+STRING → VARIANT: presence rules only, no type
+    rows should contain(("/m", "required", "true"))
+    rows.filter(_._1 == "/m").map(_._2) shouldBe Set("required")
+    // n mixes JSON null with BIGINT → faithful ["integer","null"] union
+    rows should contain(("/n", "type", "[\"integer\",\"null\"]"))
+    rows should contain(("/n", "minimum", "2"))
+    // v is ONLY JSON null → VOID → type "null"
+    rows should contain(("/v", "type", "\"null\""))
+    // the invalid row and the NULL row are excluded from every rule
+    rows should contain(("/m", "required", "true")) // 2 of 2 parsed docs
+  }
+
+  test("round-trip: suggested schema validates its own messy source clean; drift fails") {
+    val messy = Seq(
+      """{"k": 1, "s": "aa", "n": null}""",
+      """{"k": 9, "s": "bb", "n": 4}""",
+      """{"k": 4, "s": "cc"}"""
+    ).toDF("doc")
+    val spec = JsonSuggest.suggestSchema(messy, "doc",
+      Suggest.Options(enumMaxFraction = 1.0))
+    val clean = Graft.validateJsonColumn(messy, "doc", spec)
+    clean.where(!col("pass")).count() shouldBe 0L
+
+    val drifted = Seq(
+      """{"k": 10, "s": "aa"}""",          // maximum(k)=9
+      """{"k": 4, "s": "zz"}""",           // enum(s)=[aa,bb,cc]
+      """{"s": "aa"}"""                    // required k
+    ).toDF("doc")
+    val dv = Graft.validateJsonColumn(drifted, "doc", spec)
+    dv.where(!col("pass")).count() shouldBe 3L
+  }
+
+  test("round-trip on testdata events.props (sf0.001)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val spec = JsonSuggest.suggestSchema(ev, "props")
+    Graft.validateJsonColumn(ev.select("event_id", "props"), "props", spec)
+      .where(!col("pass")).count() shouldBe 0L
+  }
+
+  test("no parseable document yields no suggestions") {
+    val bad = Seq("nope", null.asInstanceOf[String]).toDF("doc")
+    JsonSuggest.profile(bad, "doc") shouldBe Seq.empty
+  }
+}
