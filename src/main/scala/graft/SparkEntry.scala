@@ -2095,6 +2095,23 @@ object SparkEntry {
       graft.checks.JsonSuggest.suggestions(t(dir, "events"), "props")
     }),
 
+    "q_suggest_drift" -> ((s, dir) => { implicit val sp = s
+      // SCHEMA-EVOLUTION detection: profile two corpus versions (the even
+      // and odd doc_id halves stand in for baseline vs current ingest) and
+      // diff the suggested invariants — `added` = the new corpus satisfies
+      // a NEW invariant, `removed` = an old invariant broke, `changed` =
+      // a bound moved. This is the drift alarm a pipeline runs per batch
+      // BEFORE its hand-written specs start failing. The corpus work is
+      // the two profiles; the diff is driver-side over tiny row sets. The
+      // oracle recomputes BOTH suggestion sets rule-by-rule and full-outer
+      // joins them, so a drifted rule on either side changes the hash.
+      val docs = t(dir, "documents")
+      Suggest.suggestionDiff(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        Seq("doc_id", "lang", "n_chars"))
+    }),
+
     "q_shuffle_shards" -> ((s, dir) => { implicit val sp = s
       // deterministic corpus shuffle → training shards: shard + dense
       // in-shard position from a pure md5-u01 of the id — one balanced
@@ -3364,6 +3381,67 @@ object SparkEntry {
            FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0
          UNION ALL SELECT '/k', 'maximum', CAST(max_k AS VARCHAR)
            FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0""",
+
+    "q_suggest_drift" ->
+      """WITH b0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         b1 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         s0 AS (
+           SELECT count(*) AS total,
+                  count(doc_id) AS nn_doc_id, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+                  count(n_chars) AS nn_n_chars, min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars,
+                  count(lang) AS nn_lang, min(length(lang)) AS lmin_lang, max(length(lang)) AS lmax_lang,
+                  count(DISTINCT lang) AS d_lang
+           FROM b0),
+         s1 AS (
+           SELECT count(*) AS total,
+                  count(doc_id) AS nn_doc_id, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+                  count(n_chars) AS nn_n_chars, min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars,
+                  count(lang) AS nn_lang, min(length(lang)) AS lmin_lang, max(length(lang)) AS lmax_lang,
+                  count(DISTINCT lang) AS d_lang
+           FROM b1),
+         r0 AS (
+           SELECT 'doc_id' AS col_name, 'type' AS keyword, '"integer"' AS value FROM s0
+           UNION ALL SELECT 'doc_id', 'required', 'true' FROM s0 WHERE nn_doc_id = total AND total > 0
+           UNION ALL SELECT 'doc_id', 'minimum', CAST(min_doc_id AS VARCHAR) FROM s0 WHERE nn_doc_id > 0
+           UNION ALL SELECT 'doc_id', 'maximum', CAST(max_doc_id AS VARCHAR) FROM s0 WHERE nn_doc_id > 0
+           UNION ALL SELECT 'n_chars', 'type', '"integer"' FROM s0
+           UNION ALL SELECT 'n_chars', 'required', 'true' FROM s0 WHERE nn_n_chars = total AND total > 0
+           UNION ALL SELECT 'n_chars', 'minimum', CAST(min_n_chars AS VARCHAR) FROM s0 WHERE nn_n_chars > 0
+           UNION ALL SELECT 'n_chars', 'maximum', CAST(max_n_chars AS VARCHAR) FROM s0 WHERE nn_n_chars > 0
+           UNION ALL SELECT 'lang', 'type', '"string"' FROM s0
+           UNION ALL SELECT 'lang', 'required', 'true' FROM s0 WHERE nn_lang = total AND total > 0
+           UNION ALL SELECT 'lang', 'minLength', CAST(lmin_lang AS VARCHAR) FROM s0 WHERE nn_lang > 0
+           UNION ALL SELECT 'lang', 'maxLength', CAST(lmax_lang AS VARCHAR) FROM s0 WHERE nn_lang > 0
+           UNION ALL SELECT 'lang', 'enum',
+             (SELECT '[' || string_agg(to_json(v), ',' ORDER BY v) || ']'
+              FROM (SELECT DISTINCT lang AS v FROM b0 WHERE lang IS NOT NULL))
+             FROM s0 WHERE d_lang BETWEEN 2 AND 8 AND d_lang <= 0.5 * nn_lang),
+         r1 AS (
+           SELECT 'doc_id' AS col_name, 'type' AS keyword, '"integer"' AS value FROM s1
+           UNION ALL SELECT 'doc_id', 'required', 'true' FROM s1 WHERE nn_doc_id = total AND total > 0
+           UNION ALL SELECT 'doc_id', 'minimum', CAST(min_doc_id AS VARCHAR) FROM s1 WHERE nn_doc_id > 0
+           UNION ALL SELECT 'doc_id', 'maximum', CAST(max_doc_id AS VARCHAR) FROM s1 WHERE nn_doc_id > 0
+           UNION ALL SELECT 'n_chars', 'type', '"integer"' FROM s1
+           UNION ALL SELECT 'n_chars', 'required', 'true' FROM s1 WHERE nn_n_chars = total AND total > 0
+           UNION ALL SELECT 'n_chars', 'minimum', CAST(min_n_chars AS VARCHAR) FROM s1 WHERE nn_n_chars > 0
+           UNION ALL SELECT 'n_chars', 'maximum', CAST(max_n_chars AS VARCHAR) FROM s1 WHERE nn_n_chars > 0
+           UNION ALL SELECT 'lang', 'type', '"string"' FROM s1
+           UNION ALL SELECT 'lang', 'required', 'true' FROM s1 WHERE nn_lang = total AND total > 0
+           UNION ALL SELECT 'lang', 'minLength', CAST(lmin_lang AS VARCHAR) FROM s1 WHERE nn_lang > 0
+           UNION ALL SELECT 'lang', 'maxLength', CAST(lmax_lang AS VARCHAR) FROM s1 WHERE nn_lang > 0
+           UNION ALL SELECT 'lang', 'enum',
+             (SELECT '[' || string_agg(to_json(v), ',' ORDER BY v) || ']'
+              FROM (SELECT DISTINCT lang AS v FROM b1 WHERE lang IS NOT NULL))
+             FROM s1 WHERE d_lang BETWEEN 2 AND 8 AND d_lang <= 0.5 * nn_lang)
+         SELECT coalesce(r0.col_name, r1.col_name) AS col_name,
+                coalesce(r0.keyword, r1.keyword) AS keyword,
+                CASE WHEN r0.value IS NULL THEN 'added'
+                     WHEN r1.value IS NULL THEN 'removed'
+                     ELSE 'changed' END AS change,
+                r0.value AS old_value, r1.value AS new_value
+         FROM r0 FULL OUTER JOIN r1
+           ON r0.col_name = r1.col_name AND r0.keyword = r1.keyword
+         WHERE r0.value IS DISTINCT FROM r1.value""",
 
     "q_shuffle_shards" ->
       """WITH k AS (

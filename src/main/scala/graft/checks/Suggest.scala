@@ -277,4 +277,41 @@ object Suggest {
   def suggestSchema(df: DataFrame, cols: Seq[String],
                     opts: Options = Options()): SchemaSpec =
     toSchema(profile(df, cols, opts))
+
+  // ---- suggestion diff (schema-evolution detection) ------------------------
+
+  /** Diff two suggestion-row sets (from [[suggestionRows]] or
+    * [[JsonSuggest.suggestionRows]]) keyed on (label, keyword):
+    * `added` = the newer corpus satisfies a NEW invariant, `removed` = an
+    * invariant the old corpus satisfied broke (e.g. fresh NULLs dissolve a
+    * `required`), `changed` = the bound/value moved. Everything is
+    * driver-side over the already-tiny row sets — the corpus work happened
+    * in the two profiles. */
+  def diffRows(before: Seq[(String, String, String)],
+               after: Seq[(String, String, String)]): Seq[(String, String, String, String, String)] = {
+    val bm = before.map(r => (r._1, r._2) -> r._3).toMap
+    val am = after.map(r => (r._1, r._2) -> r._3).toMap
+    (bm.keySet ++ am.keySet).toSeq.sorted.flatMap { k =>
+      (bm.get(k), am.get(k)) match {
+        case (Some(o), Some(n)) if o == n => None
+        case (Some(o), Some(n)) => Some((k._1, k._2, "changed", o, n))
+        case (Some(o), None)    => Some((k._1, k._2, "removed", o, null))
+        case (None, Some(n))    => Some((k._1, k._2, "added", null, n))
+        case (None, None)       => None
+      }
+    }
+  }
+
+  /** Schema-evolution report between two corpus versions: profile both,
+    * diff the suggestions. The drift alarm a validation pipeline runs per
+    * ingest batch BEFORE its hand-written specs start failing — a moved
+    * bound or a dissolved `required`/`enum` is visible here first. */
+  def suggestionDiff(before: DataFrame, after: DataFrame, cols: Seq[String],
+                     opts: Options = Options()): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    diffRows(suggestionRows(profile(before, cols, opts)),
+             suggestionRows(profile(after, cols, opts)))
+      .toDF("col_name", "keyword", "change", "old_value", "new_value")
+  }
 }

@@ -90,6 +90,23 @@ class SuggestSpec extends SparkTestBase {
       .flagged.where(!col("pass")).count() shouldBe 0L
   }
 
+  test("suggestion diff: added / removed / changed invariants between corpus versions") {
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "cat")
+    val after = Seq((1L, Some("a")), (9L, Some("b")),
+      (3L, None: Option[String])).toDF("id", "cat")
+    val d = Suggest.suggestionDiff(before, after, Seq("id", "cat"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 r.getString(3), r.getString(4))).toSet
+    d shouldBe Set(
+      // the new corpus' max moved
+      ("id", "maximum", "changed", "3", "9"),
+      // a NULL appeared in cat → the required invariant dissolved
+      ("cat", "required", "removed", "true", null))
+    // identical corpora → empty report
+    Suggest.suggestionDiff(before, before, Seq("id", "cat")).count() shouldBe 0L
+  }
+
   test("profile is two scans' worth of driver state: no collect of corpus data") {
     // the profile of a high-cardinality string column must not buffer its
     // values anywhere: only the tiny per-column cardinality row comes back
