@@ -162,14 +162,15 @@ object JsonSuggest {
                                 vpath: Option[String], t: VType)
 
   /** Variant-get path for a field chain; identifier-safe keys use dot
-    * form, others bracket form with doubled single quotes. None when the
-    * key can't be addressed (embedded newline etc. — profiled for type
-    * only via the agg schema, which needs no path). */
+    * form, others bracket form. None when the key can't be addressed:
+    * control characters, and single quotes — Spark's variant path grammar
+    * has NO quote escape (the bracket-key regex is `[^']*`), so an escaped
+    * form would throw INVALID_VARIANT_GET_PATH on a legitimate corpus. */
   private def vpathSegment(key: String): Option[String] =
     if (key.nonEmpty && key.head.isLetter && key.forall(c => c.isLetterOrDigit || c == '_'))
       Some("." + key)
-    else if (key.forall(c => c >= ' '))
-      Some("['" + key.replace("'", "''") + "']")
+    else if (key.forall(c => c >= ' ' && c != '\''))
+      Some("['" + key + "']")
     else None
 
   private def pointerSegment(key: String): String =
@@ -269,8 +270,11 @@ object JsonSuggest {
 
     nodes.flatMap { n =>
       if (n.vpath.isEmpty) {
-        // unaddressable key: type evidence only (from the agg schema)
-        Some(PathProfile(n.pointer, n.parent, jsonTypeOf(n.t), 0L,
+        // unaddressable key (quote/control chars): NO suggestions — with
+        // no presence scan we cannot know whether the field carries JSON
+        // nulls, and a bare type row would break the round-trip invariant
+        // on a null-bearing path (the merge absorbs VOID silently)
+        Some(PathProfile(n.pointer, n.parent, None, 0L,
           n.parent.map(present.getOrElse(_, 0L)).getOrElse(0L),
           0L, None, None, None, None, None, None, None))
       } else {

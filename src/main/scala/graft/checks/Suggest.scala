@@ -168,29 +168,35 @@ object Suggest {
         struct(lit(label).as("column"), c.cast(StringType).as("value")) }: _*)).as("p"))
       .select(col("p.column").as("column"), col("p.value").as("value"))
       .where(col("value").isNotNull)
+    // persisted: cardinality AND eligible-value collection both act on
+    // this frame — without the pin the second action re-runs the whole
+    // melt corpus scan (the expensive stage) from scratch
     val valueCounts = melted.groupBy("column", "value")
       .agg(count(lit(1)).as("cnt"))
-    val perCol = valueCounts.groupBy("column").agg(count(lit(1)).as("distinct_cnt"))
-    val dcnts = perCol.collect()
-      .map(r => r.getAs[String]("column") -> r.getAs[Long]("distinct_cnt"))
-      .toMap
-    val eligible = labelled.map(_._1).filter { n =>
-      val d = dcnts.getOrElse(n, 0L)
-      d >= 2 && d <= opts.enumMaxDistinct && d <= opts.enumMaxFraction * nonNull(n)
-    }
-    val vals: Map[String, Vector[(String, String)]] =
-      if (eligible.isEmpty) Map.empty
-      else valueCounts.where(col("column").isin(eligible: _*))
-        .groupBy("column")
-        .agg(array_sort(collect_list(struct(col("value"),
-          jsonRendered(col("value")).as("rendered")))).as("vs"))
-        .collect()
-        .map(r => r.getAs[String]("column") ->
-          r.getAs[Seq[Row]]("vs")
-            .map(p => (p.getAs[String]("value"),
-                       p.getAs[String]("rendered"))).toVector)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perCol = valueCounts.groupBy("column").agg(count(lit(1)).as("distinct_cnt"))
+      val dcnts = perCol.collect()
+        .map(r => r.getAs[String]("column") -> r.getAs[Long]("distinct_cnt"))
         .toMap
-    (dcnts, vals)
+      val eligible = labelled.map(_._1).filter { n =>
+        val d = dcnts.getOrElse(n, 0L)
+        d >= 2 && d <= opts.enumMaxDistinct && d <= opts.enumMaxFraction * nonNull(n)
+      }
+      val vals: Map[String, Vector[(String, String)]] =
+        if (eligible.isEmpty) Map.empty
+        else valueCounts.where(col("column").isin(eligible: _*))
+          .groupBy("column")
+          .agg(array_sort(collect_list(struct(col("value"),
+            jsonRendered(col("value")).as("rendered")))).as("vs"))
+          .collect()
+          .map(r => r.getAs[String]("column") ->
+            r.getAs[Seq[Row]]("vs")
+              .map(p => (p.getAs[String]("value"),
+                         p.getAs[String]("rendered"))).toVector)
+          .toMap
+      (dcnts, vals)
+    } finally valueCounts.unpersist()
   }
 
   private def anyToLong(v: Any): Long = v match {

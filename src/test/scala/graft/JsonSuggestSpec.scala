@@ -110,6 +110,33 @@ class JsonSuggestSpec extends SparkTestBase {
       .where(!col("pass")).count() shouldBe 0L
   }
 
+  test("unaddressable keys (quotes, control chars) degrade to no suggestions, never a crash") {
+    // Spark's variant path grammar has NO quote escape — a quoted-bracket
+    // form would throw INVALID_VARIANT_GET_PATH; such keys must be skipped
+    val quoted = Seq(
+      """{"it's": 1, "ok": 2}""",
+      """{"it's": 5, "ok": 3}"""
+    ).toDF("doc")
+    val rows = JsonSuggest.suggestions(quoted, "doc")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    rows.map(_._1) should not contain "/it's"
+    rows should contain(("/ok", "minimum"))
+
+    // a null-bearing UNADDRESSABLE path must not get a bare type row (no
+    // presence scan ran, so the null count is unknowable) — the round-trip
+    // on its own source must stay clean
+    val tabKey = Seq(
+      """{"a\tb": 1, "ok": 1}""",
+      """{"a\tb": null, "ok": 2}"""
+    ).toDF("doc")
+    val tabRows = JsonSuggest.suggestions(tabKey, "doc")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    tabRows.map(_._1) should not contain "/a\tb"
+    val spec = JsonSuggest.suggestSchema(tabKey, "doc")
+    Graft.validateJsonColumn(tabKey, "doc", spec)
+      .where(!col("pass")).count() shouldBe 0L
+  }
+
   test("no parseable document yields no suggestions") {
     val bad = Seq("nope", null.asInstanceOf[String]).toDF("doc")
     JsonSuggest.profile(bad, "doc") shouldBe Seq.empty
