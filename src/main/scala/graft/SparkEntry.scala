@@ -2095,6 +2095,18 @@ object SparkEntry {
       graft.checks.JsonSuggest.suggestions(t(dir, "events"), "props")
     }),
 
+    "q_suggest_by" -> ((s, dir) => { implicit val sp = s
+      // PER-KEY schema induction — the per-tool argument-schema REGISTRY
+      // of validateJsonColumnBy, derived from data instead of hand-written
+      // (q_schema_dispatch consumes such a registry; this query produces
+      // one). One grouped schema_of_variant_agg (a row per key), then the
+      // shared scan-2/scan-3 core with per-key gates: key count multiplies
+      // agg columns, never corpus scans. Oracle recomputes every rule
+      // GROUP BY event_type.
+      graft.checks.JsonSuggest.suggestionsBy(t(dir, "events"), "props",
+        "event_type")
+    }),
+
     "q_suggest_drift" -> ((s, dir) => { implicit val sp = s
       // SCHEMA-EVOLUTION detection: profile two corpus versions (the even
       // and odd doc_id halves stand in for baseline vs current ingest) and
@@ -3380,6 +3392,41 @@ object SparkEntry {
          UNION ALL SELECT '/k', 'minimum', CAST(min_k AS VARCHAR)
            FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0
          UNION ALL SELECT '/k', 'maximum', CAST(max_k AS VARCHAR)
+           FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0""",
+
+    "q_suggest_by" ->
+      """WITH p AS (SELECT event_type AS key, try_cast(props AS JSON) AS j
+                    FROM events WHERE event_type IS NOT NULL),
+         d AS (SELECT * FROM p WHERE j IS NOT NULL),
+         s AS (
+           SELECT key, count(*) AS n_parsed,
+                  count(CASE WHEN json_type(j) = 'OBJECT' THEN 1 END) AS n_obj,
+                  count(json_extract(j, '$.k')) AS p_k,
+                  count(CASE WHEN json_type(j, '$.k') = 'NULL' THEN 1 END) AS nul_k,
+                  count(CASE WHEN json_type(j, '$.k') IN ('BIGINT','UBIGINT') THEN 1 END) AS int_k,
+                  count(CASE WHEN json_type(j, '$.k') = 'DOUBLE' THEN 1 END) AS dbl_k,
+                  count(CASE WHEN json_type(j, '$.k') NOT IN ('BIGINT','UBIGINT','DOUBLE','NULL')
+                              AND json_extract(j, '$.k') IS NOT NULL THEN 1 END) AS oth_k,
+                  min(CAST(j->>'$.k' AS BIGINT)) AS min_k,
+                  max(CAST(j->>'$.k' AS BIGINT)) AS max_k
+           FROM d GROUP BY key)
+         SELECT key, '' AS pointer, 'type' AS keyword, '"object"' AS value
+           FROM s WHERE n_obj = n_parsed AND n_parsed > 0
+         UNION ALL SELECT key, '/k', 'type', '"integer"'
+           FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0 AND nul_k = 0
+         UNION ALL SELECT key, '/k', 'type', '["integer","null"]'
+           FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0 AND nul_k > 0
+         UNION ALL SELECT key, '/k', 'type', '"number"'
+           FROM s WHERE dbl_k > 0 AND oth_k = 0 AND nul_k = 0
+         UNION ALL SELECT key, '/k', 'type', '["number","null"]'
+           FROM s WHERE dbl_k > 0 AND oth_k = 0 AND nul_k > 0
+         UNION ALL SELECT key, '/k', 'type', '"null"'
+           FROM s WHERE int_k = 0 AND dbl_k = 0 AND oth_k = 0 AND nul_k > 0
+         UNION ALL SELECT key, '/k', 'required', 'true'
+           FROM s WHERE p_k = n_parsed AND n_parsed > 0
+         UNION ALL SELECT key, '/k', 'minimum', CAST(min_k AS VARCHAR)
+           FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0
+         UNION ALL SELECT key, '/k', 'maximum', CAST(max_k AS VARCHAR)
            FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0""",
 
     "q_suggest_drift" ->

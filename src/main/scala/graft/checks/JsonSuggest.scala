@@ -199,47 +199,47 @@ object JsonSuggest {
 
   // ---- profiling -----------------------------------------------------------
 
-  /** Profile the JSON column in three scans (see object doc). */
-  def profile(df: DataFrame, jsonCol: String,
-              opts: Suggest.Options = Suggest.Options()): Seq[PathProfile] = {
-    val v = try_parse_json(col(jsonCol))
-
-    // scan 1: induced merged schema
-    val schemaStr = df.agg(schema_of_variant_agg(v).as("s")).head().getString(0)
-    if (schemaStr == null) return Seq.empty // no parseable document at all
-    val tree = parseVariantSchema(schemaStr)
-    val nodes = flatten(tree)
+  /** Shared profiling core: one scan-2 agg and one scan-3 enum melt for
+    * ANY set of row groups (the whole frame, or one group per dispatch
+    * key). Each group carries its induced node tree and an optional gate
+    * predicate; gated stat columns are NULL outside the group, so count/
+    * min/max see only the group's rows and the whole thing stays a single
+    * associative-partial aggregation regardless of group count. */
+  private def profileCore(df: DataFrame, v: Column,
+                          groups: Seq[(String, Option[Column], Vector[Node])],
+                          opts: Suggest.Options): Map[String, Seq[PathProfile]] = {
+    if (groups.isEmpty) return Map.empty
+    def tagOf(gi: Int, ni: Int) = s"g${gi}_n$ni"
 
     // scan 2: presence + typed bounds for every addressable node, ONE agg
-    def getAt(n: Node): Column = variant_get(v, n.vpath.get, "variant")
-    // absent → NULL; JSON null → the string "null" (still "present")
-    def presenceCol(n: Node): Column = to_json(getAt(n))
     val aggs = Seq.newBuilder[Column]
-    nodes.foreach { n =>
-      if (n.vpath.isDefined) {
-        val tag = n.pointer
-        aggs += count(presenceCol(n)).as(s"p__$tag")
-        // JSON null is PRESENT (required passes) but fails a bare type/enum
-        // constraint — tracked so the rules stay round-trip-safe
-        aggs += count(when(presenceCol(n) === "null", 1)).as(s"nul__$tag")
-        n.t match {
-          case VScalar(sql) =>
-            val u = sql.toUpperCase
-            if (u == "BIGINT") {
-              val c = try_variant_get(v, n.vpath.get, "bigint")
-              aggs += min(c).as(s"min__$tag") += max(c).as(s"max__$tag")
-            } else if (u == "DOUBLE" || u == "FLOAT" || u.startsWith("DECIMAL")) {
-              val c = try_variant_get(v, n.vpath.get, "double")
-              aggs += min(c).as(s"min__$tag") += max(c).as(s"max__$tag")
-            } else if (u == "STRING") {
-              val c = length(try_variant_get(v, n.vpath.get, "string"))
-              aggs += min(c).as(s"lmin__$tag") += max(c).as(s"lmax__$tag")
-            }
-          case VArray(_) =>
-            val c = size(try_variant_get(v, n.vpath.get, "array<variant>"))
-            aggs += min(c).as(s"imin__$tag") += max(c).as(s"imax__$tag")
-          case VObject(_) => () // presence only; children carry the stats
-        }
+    for (((_, gateOpt, nodes), gi) <- groups.zipWithIndex;
+         (n, ni) <- nodes.zipWithIndex if n.vpath.isDefined) {
+      val tag = tagOf(gi, ni)
+      def gate(c: Column): Column = gateOpt.map(g => when(g, c)).getOrElse(c)
+      // absent → NULL; JSON null → the string "null" (still "present")
+      val pres = gate(to_json(variant_get(v, n.vpath.get, "variant")))
+      aggs += count(pres).as(s"p__$tag")
+      // JSON null is PRESENT (required passes) but fails a bare type/enum
+      // constraint — tracked so the rules stay round-trip-safe
+      aggs += count(when(pres === "null", 1)).as(s"nul__$tag")
+      n.t match {
+        case VScalar(sql) =>
+          val u = sql.toUpperCase
+          if (u == "BIGINT") {
+            val c = gate(try_variant_get(v, n.vpath.get, "bigint"))
+            aggs += min(c).as(s"min__$tag") += max(c).as(s"max__$tag")
+          } else if (u == "DOUBLE" || u == "FLOAT" || u.startsWith("DECIMAL")) {
+            val c = gate(try_variant_get(v, n.vpath.get, "double"))
+            aggs += min(c).as(s"min__$tag") += max(c).as(s"max__$tag")
+          } else if (u == "STRING") {
+            val c = gate(length(try_variant_get(v, n.vpath.get, "string")))
+            aggs += min(c).as(s"lmin__$tag") += max(c).as(s"lmax__$tag")
+          }
+        case VArray(_) =>
+          val c = gate(size(try_variant_get(v, n.vpath.get, "array<variant>")))
+          aggs += min(c).as(s"imin__$tag") += max(c).as(s"imax__$tag")
+        case VObject(_) => () // presence only; children carry the stats
       }
     }
     val built = aggs.result()
@@ -252,67 +252,145 @@ object JsonSuggest {
       case i: Int => i.toLong; case l: Long => l
       case other => other.toString.toLong
     }
-    val present: Map[String, Long] =
-      nodes.filter(_.vpath.isDefined)
-        .map(n => n.pointer -> opt[Long](s"p__${n.pointer}").getOrElse(0L)).toMap
-    // an all-invalid/all-NULL corpus induces "VOID" with zero presence —
-    // no document means no evidence, not a "type: null" suggestion
-    if (present.getOrElse("", 0L) == 0L) return Seq.empty
+    val present: Map[String, Long] = (for {
+      ((_, _, nodes), gi) <- groups.zipWithIndex
+      (n, ni) <- nodes.zipWithIndex if n.vpath.isDefined
+    } yield tagOf(gi, ni) -> opt[Long](s"p__${tagOf(gi, ni)}").getOrElse(0L)).toMap
 
-    // scan 3: enum candidacy for string leaves (same shape as Suggest)
-    val stringNodes = nodes.filter(n =>
-      n.vpath.isDefined && jsonTypeOf(n.t).contains("string"))
-    val enumVals: Map[String, Vector[(String, String)]] =
-      if (stringNodes.isEmpty) Map.empty
-      else Suggest.enumCandidates(df,
-        stringNodes.map(n => n.pointer -> try_variant_get(v, n.vpath.get, "string")),
-        p => present.getOrElse(p, 0L), opts)._2
-
-    nodes.flatMap { n =>
-      if (n.vpath.isEmpty) {
-        // unaddressable key (quote/control chars): NO suggestions — with
-        // no presence scan we cannot know whether the field carries JSON
-        // nulls, and a bare type row would break the round-trip invariant
-        // on a null-bearing path (the merge absorbs VOID silently)
-        Some(PathProfile(n.pointer, n.parent, None, 0L,
-          n.parent.map(present.getOrElse(_, 0L)).getOrElse(0L),
-          0L, None, None, None, None, None, None, None))
-      } else {
-        val tag = n.pointer
-        val (numMin, numMax) = n.t match {
-          case VScalar(sql) if sql.equalsIgnoreCase("BIGINT") =>
-            (optNum(s"min__$tag").map(JLongV), optNum(s"max__$tag").map(JLongV))
-          case VScalar(sql) if jsonTypeOf(VScalar(sql)).contains("number") =>
-            (opt[Double](s"min__$tag").map(JDoubleV),
-             opt[Double](s"max__$tag").map(JDoubleV))
-          case _ => (None, None)
-        }
-        val nulls = opt[Long](s"nul__$tag").getOrElse(0L)
-        // read back only the fields this node's type actually aggregated
-        val (lenMin, lenMax) = n.t match {
-          case VScalar(sql) if sql.equalsIgnoreCase("STRING") =>
-            (optNum(s"lmin__$tag"), optNum(s"lmax__$tag"))
-          case _ => (None, None)
-        }
-        val (itemsMin, itemsMax) = n.t match {
-          case VArray(_) => (optNum(s"imin__$tag"), optNum(s"imax__$tag"))
-          case _ => (None, None)
-        }
-        Some(PathProfile(
-          pointer = n.pointer, parent = n.parent,
-          jsonType = jsonTypeOf(n.t),
-          present = present.getOrElse(tag, 0L),
-          parentPresent = n.parent.map(present.getOrElse(_, 0L)).getOrElse(0L),
-          jsonNulls = nulls,
-          numMin = numMin, numMax = numMax,
-          lenMin = lenMin, lenMax = lenMax,
-          itemsMin = itemsMin, itemsMax = itemsMax,
-          // a JSON-null occurrence would violate the enum (null is not in
-          // the candidate list) — suppress candidacy on null-bearing paths
-          enumValues = if (nulls > 0) None else enumVals.get(tag)))
-      }
+    // scan 3: enum candidacy for string leaves across ALL groups (same
+    // melt shape as Suggest; labels are the per-group node tags)
+    val stringPairs = for {
+      ((_, gateOpt, nodes), gi) <- groups.zipWithIndex
+      (n, ni) <- nodes.zipWithIndex
+      if n.vpath.isDefined && jsonTypeOf(n.t).contains("string")
+      if present.getOrElse(tagOf(gi, ni), 0L) > 0
+    } yield {
+      val c = try_variant_get(v, n.vpath.get, "string")
+      tagOf(gi, ni) -> gateOpt.map(g => when(g, c)).getOrElse(c)
     }
+    val enumVals: Map[String, Vector[(String, String)]] =
+      if (stringPairs.isEmpty) Map.empty
+      else Suggest.enumCandidates(df, stringPairs,
+        tag => present.getOrElse(tag, 0L), opts)._2
+
+    groups.zipWithIndex.map { case ((label, _, nodes), gi) =>
+      val tagByPointer: Map[String, String] = nodes.zipWithIndex
+        .filter(_._1.vpath.isDefined)
+        .map { case (n, ni) => n.pointer -> tagOf(gi, ni) }.toMap
+      def presentAt(pointer: String): Long =
+        tagByPointer.get(pointer).map(present.getOrElse(_, 0L)).getOrElse(0L)
+      // a group whose root was never present has no evidence at all —
+      // an all-invalid/all-NULL corpus induces "VOID" with zero presence
+      val profiles: Seq[PathProfile] =
+        if (presentAt("") == 0L) Seq.empty
+        else nodes.zipWithIndex.map { case (n, ni) =>
+          if (n.vpath.isEmpty) {
+            // unaddressable key (quote/control chars): NO suggestions —
+            // with no presence scan we cannot know whether the field
+            // carries JSON nulls, and a bare type row would break the
+            // round-trip invariant on a null-bearing path
+            PathProfile(n.pointer, n.parent, None, 0L,
+              n.parent.map(presentAt).getOrElse(0L),
+              0L, None, None, None, None, None, None, None)
+          } else {
+            val tag = tagOf(gi, ni)
+            val (numMin, numMax) = n.t match {
+              case VScalar(sql) if sql.equalsIgnoreCase("BIGINT") =>
+                (optNum(s"min__$tag").map(JLongV), optNum(s"max__$tag").map(JLongV))
+              case VScalar(sql) if jsonTypeOf(VScalar(sql)).contains("number") =>
+                (opt[Double](s"min__$tag").map(JDoubleV),
+                 opt[Double](s"max__$tag").map(JDoubleV))
+              case _ => (None, None)
+            }
+            val nulls = opt[Long](s"nul__$tag").getOrElse(0L)
+            // read back only the fields this node's type aggregated
+            val (lenMin, lenMax) = n.t match {
+              case VScalar(sql) if sql.equalsIgnoreCase("STRING") =>
+                (optNum(s"lmin__$tag"), optNum(s"lmax__$tag"))
+              case _ => (None, None)
+            }
+            val (itemsMin, itemsMax) = n.t match {
+              case VArray(_) => (optNum(s"imin__$tag"), optNum(s"imax__$tag"))
+              case _ => (None, None)
+            }
+            PathProfile(
+              pointer = n.pointer, parent = n.parent,
+              jsonType = jsonTypeOf(n.t),
+              present = present.getOrElse(tag, 0L),
+              parentPresent = n.parent.map(presentAt).getOrElse(0L),
+              jsonNulls = nulls,
+              numMin = numMin, numMax = numMax,
+              lenMin = lenMin, lenMax = lenMax,
+              itemsMin = itemsMin, itemsMax = itemsMax,
+              // a JSON-null occurrence would violate the enum (null is
+              // not in the candidate list) — suppress on null-bearing
+              // paths
+              enumValues = if (nulls > 0) None else enumVals.get(tag))
+          }
+        }
+      label -> profiles
+    }.toMap
   }
+
+  /** Profile the JSON column in three scans (see object doc). */
+  def profile(df: DataFrame, jsonCol: String,
+              opts: Suggest.Options = Suggest.Options()): Seq[PathProfile] = {
+    val v = try_parse_json(col(jsonCol))
+    // scan 1: induced merged schema
+    val schemaStr = df.agg(schema_of_variant_agg(v).as("s")).head().getString(0)
+    if (schemaStr == null) return Seq.empty // no parseable document at all
+    val nodes = flatten(parseVariantSchema(schemaStr))
+    profileCore(df, v, Seq(("", None, nodes)), opts).getOrElse("", Seq.empty)
+  }
+
+  /** PER-KEY profiling — induce one schema per dispatch key (the per-tool
+    * argument-schema registry of [[graft.Graft.validateJsonColumnBy]],
+    * derived from data instead of hand-written): scan 1 is ONE grouped
+    * `schema_of_variant_agg` (one tiny row per key), scans 2-3 stay ONE
+    * aggregation / ONE melt with per-key gates — group count multiplies
+    * agg columns, never corpus scans. The key column must be a bounded
+    * vocabulary (a tool registry, not an id): more than `maxKeys` keys
+    * fails loudly rather than building a silently huge plan. NULL keys
+    * are not profiled (dispatch sends them to the default). */
+  def profileBy(df: DataFrame, jsonCol: String, keyCol: String,
+                opts: Suggest.Options = Suggest.Options(),
+                maxKeys: Int = 64): Map[String, Seq[PathProfile]] = {
+    val v = try_parse_json(col(jsonCol))
+    val schemaRows = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast(org.apache.spark.sql.types.StringType).as("__k"))
+      .agg(schema_of_variant_agg(v).as("__s"))
+      .limit(maxKeys + 1).collect()
+    require(schemaRows.length <= maxKeys,
+      s"profileBy: over $maxKeys distinct '$keyCol' keys — dispatch keys " +
+        "must be a bounded vocabulary (raise maxKeys if yours really is)")
+    val groups = schemaRows.toSeq.flatMap { r =>
+      val label = r.getString(0)
+      Option(r.getString(1)).map(s =>
+        (label, Some(col(keyCol).cast(org.apache.spark.sql.types.StringType) === label),
+          flatten(parseVariantSchema(s))))
+    }.sortBy(_._1)
+    profileCore(df, v, groups, opts)
+  }
+
+  /** Per-key suggestion rows `(key, pointer, keyword, value)`. */
+  def suggestionsBy(df: DataFrame, jsonCol: String, keyCol: String,
+                    opts: Suggest.Options = Suggest.Options(),
+                    maxKeys: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    profileBy(df, jsonCol, keyCol, opts, maxKeys).toSeq.sortBy(_._1)
+      .flatMap { case (k, ps) =>
+        suggestionRows(ps).map(r => (k, r._1, r._2, r._3)) }
+      .toDF("key", "pointer", "keyword", "value")
+  }
+
+  /** The derived dispatch registry, ready for
+    * [[graft.Graft.validateJsonColumnBy]]. */
+  def suggestSchemasBy(df: DataFrame, jsonCol: String, keyCol: String,
+                       opts: Suggest.Options = Suggest.Options(),
+                       maxKeys: Int = 64): Map[String, SchemaSpec] =
+    profileBy(df, jsonCol, keyCol, opts, maxKeys)
+      .filter(_._2.nonEmpty).map { case (k, ps) => k -> toSchema(ps) }
 
   /** Suggestion rows `(pointer, keyword, value)`; `value` is JSON text. */
   def suggestionRows(profiles: Seq[PathProfile]): Seq[(String, String, String)] =

@@ -137,6 +137,41 @@ class JsonSuggestSpec extends SparkTestBase {
       .where(!col("pass")).count() shouldBe 0L
   }
 
+  test("per-key induction derives the dispatch registry; round-trip through validateJsonColumnBy") {
+    val df = Seq(
+      ("search", """{"q": "cats", "limit": 10}"""),
+      ("search", """{"q": "dogs"}"""),
+      ("fetch", """{"url": "http://a", "retries": 2}"""),
+      ("fetch", """{"url": "http://bb", "retries": 0}"""),
+      (null.asInstanceOf[String], """{"x": 1}""")
+    ).toDF("tool", "args")
+    val rows = JsonSuggest.suggestionsBy(df, "args", "tool").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    rows should contain(("search", "/q", "required", "true"))
+    rows should contain(("search", "/limit", "maximum", "10"))
+    rows should not contain (("search", "/limit", "required", "true"))
+    rows should contain(("fetch", "/retries", "minimum", "0"))
+    rows should contain(("fetch", "/url", "minLength", "8"))
+    // the NULL-key row is not profiled (dispatch sends it to the default)
+    rows.map(_._1) should not contain "/x"
+
+    val registry = JsonSuggest.suggestSchemasBy(df, "args", "tool")
+    registry.keySet shouldBe Set("search", "fetch")
+    Graft.validateJsonColumnBy(df.where(col("tool").isNotNull), "args", "tool",
+      registry).where(!col("pass")).count() shouldBe 0L
+    // a payload violating ITS OWN key's induced schema fails
+    val bad = Seq(("fetch", """{"retries": 5}""")).toDF("tool", "args")
+    Graft.validateJsonColumnBy(bad, "args", "tool", registry)
+      .where(!col("pass")).count() shouldBe 1L
+  }
+
+  test("profileBy refuses unbounded key vocabularies") {
+    val df = Seq(("a", "{}"), ("b", "{}"), ("c", "{}")).toDF("k", "doc")
+    an[IllegalArgumentException] should be thrownBy
+      JsonSuggest.profileBy(df, "doc", "k", maxKeys = 2)
+  }
+
   test("no parseable document yields no suggestions") {
     val bad = Seq("nope", null.asInstanceOf[String]).toDF("doc")
     JsonSuggest.profile(bad, "doc") shouldBe Seq.empty
