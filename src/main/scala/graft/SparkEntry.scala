@@ -2095,6 +2095,27 @@ object SparkEntry {
       graft.checks.JsonSuggest.suggestions(t(dir, "events"), "props")
     }),
 
+    "q_suggest_format" -> ((s, dir) => { implicit val sp = s
+      // FORMAT detection ties the profiler to the reference's own format
+      // vocabulary (date/time/date-time/ipv4): a string column whose
+      // every non-null value passes the ENGINE's format predicate
+      // (FormatCheckExpr — the exact check the validator runs) is
+      // suggested that format keyword, first match in priority order.
+      // Columns derive deterministically from documents so DuckDB can
+      // recompute all four match-counts (calendar-validated date mirror,
+      // strict-octet ipv4 regex) and the priority + all-match rules; the
+      // free-text lang column is the negative control (no format row).
+      val d = t(dir, "documents").select(
+        format_string("2024-%02d-%02d",
+          pmod(col("doc_id"), lit(12)) + 1,
+          pmod(col("doc_id"), lit(28)) + 1).as("day"),
+        format_string("10.0.%d.%d",
+          pmod(col("doc_id"), lit(256)),
+          pmod(col("doc_id"), lit(200))).as("ip"),
+        col("lang"))
+      Suggest.suggestions(d, Seq("day", "ip", "lang"))
+    }),
+
     "q_suggest_by" -> ((s, dir) => { implicit val sp = s
       // PER-KEY schema induction — the per-tool argument-schema REGISTRY
       // of validateJsonColumnBy, derived from data instead of hand-written
@@ -3393,6 +3414,44 @@ object SparkEntry {
            FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0
          UNION ALL SELECT '/k', 'maximum', CAST(max_k AS VARCHAR)
            FROM s WHERE int_k > 0 AND dbl_k = 0 AND oth_k = 0""",
+
+    "q_suggest_format" ->
+      """WITH d AS (
+           SELECT printf('2024-%02d-%02d', doc_id % 12 + 1, doc_id % 28 + 1) AS day,
+                  printf('10.0.%d.%d', doc_id % 256, doc_id % 200) AS ip,
+                  lang
+           FROM documents),
+         m AS (
+           SELECT 'day' AS col_name, day AS v FROM d
+           UNION ALL SELECT 'ip', ip FROM d
+           UNION ALL SELECT 'lang', lang FROM d),
+         s AS (
+           SELECT col_name, count(*) AS total, count(v) AS nn,
+                  min(length(v)) AS lmin, max(length(v)) AS lmax,
+                  count(DISTINCT v) AS dcnt,
+                  count(CASE WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}[Tt]')
+                              AND try_cast(v AS TIMESTAMP) IS NOT NULL THEN 1 END) AS f_dt,
+                  count(CASE WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                              AND try_strptime(v, '%Y-%m-%d') IS NOT NULL THEN 1 END) AS f_d,
+                  count(CASE WHEN regexp_matches(v, '^([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)') THEN 1 END) AS f_t,
+                  count(CASE WHEN regexp_matches(v, '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$') THEN 1 END) AS f_i
+           FROM m GROUP BY col_name)
+         SELECT col_name, 'type' AS keyword, '"string"' AS value FROM s
+         UNION ALL SELECT col_name, 'required', 'true' FROM s WHERE nn = total AND total > 0
+         UNION ALL SELECT col_name, 'minLength', CAST(lmin AS VARCHAR) FROM s WHERE nn > 0
+         UNION ALL SELECT col_name, 'maxLength', CAST(lmax AS VARCHAR) FROM s WHERE nn > 0
+         UNION ALL SELECT col_name, 'format', '"date-time"' FROM s WHERE nn > 0 AND f_dt = nn
+         UNION ALL SELECT col_name, 'format', '"date"' FROM s
+           WHERE nn > 0 AND f_d = nn AND f_dt < nn
+         UNION ALL SELECT col_name, 'format', '"time"' FROM s
+           WHERE nn > 0 AND f_t = nn AND f_dt < nn AND f_d < nn
+         UNION ALL SELECT col_name, 'format', '"ipv4"' FROM s
+           WHERE nn > 0 AND f_i = nn AND f_dt < nn AND f_d < nn AND f_t < nn
+         UNION ALL SELECT s.col_name, 'enum', e.val FROM s JOIN (
+             SELECT col_name, '[' || string_agg(to_json(v), ',' ORDER BY v) || ']' AS val
+             FROM (SELECT DISTINCT col_name, v FROM m WHERE v IS NOT NULL)
+             GROUP BY col_name) e USING (col_name)
+           WHERE dcnt BETWEEN 2 AND 8 AND dcnt <= 0.5 * nn""",
 
     "q_suggest_by" ->
       """WITH p AS (SELECT event_type AS key, try_cast(props AS JSON) AS j

@@ -156,7 +156,8 @@ object JsonSuggest {
                                lenMax: Option[Long],
                                itemsMin: Option[Long],
                                itemsMax: Option[Long],
-                               enumValues: Option[Vector[(String, String)]])
+                               enumValues: Option[Vector[(String, String)]],
+                               format: Option[String] = None)
 
   private final case class Node(pointer: String, parent: Option[String],
                                 vpath: Option[String], t: VType)
@@ -233,8 +234,14 @@ object JsonSuggest {
             val c = gate(try_variant_get(v, n.vpath.get, "double"))
             aggs += min(c).as(s"min__$tag") += max(c).as(s"max__$tag")
           } else if (u == "STRING") {
-            val c = gate(length(try_variant_get(v, n.vpath.get, "string")))
+            val sc = try_variant_get(v, n.vpath.get, "string")
+            val c = gate(length(sc))
             aggs += min(c).as(s"lmin__$tag") += max(c).as(s"lmax__$tag")
+            if (opts.detectFormats)
+              Suggest.FormatPriority.zipWithIndex.foreach { case (f, fi) =>
+                aggs += count(gate(when(graft.functions.FormatCheckExpr.check(
+                  sc, f, strictDateTime = false), 1))).as(s"fmt${fi}__$tag")
+              }
           }
         case VArray(_) =>
           val c = gate(size(try_variant_get(v, n.vpath.get, "array<variant>")))
@@ -313,6 +320,18 @@ object JsonSuggest {
               case VArray(_) => (optNum(s"imin__$tag"), optNum(s"imax__$tag"))
               case _ => (None, None)
             }
+            // format: every STRING occurrence passes the engine's own
+            // check (JSON nulls excluded — FormatC passes non-strings, so
+            // the round-trip stays safe either way)
+            val fmt = n.t match {
+              case VScalar(sql) if sql.equalsIgnoreCase("STRING") && opts.detectFormats =>
+                val strs = present.getOrElse(tag, 0L) - nulls
+                if (strs <= 0) None
+                else Suggest.FormatPriority.zipWithIndex.collectFirst {
+                  case (f, fi) if opt[Long](s"fmt${fi}__$tag").getOrElse(0L) == strs => f
+                }
+              case _ => None
+            }
             PathProfile(
               pointer = n.pointer, parent = n.parent,
               jsonType = jsonTypeOf(n.t),
@@ -325,7 +344,8 @@ object JsonSuggest {
               // a JSON-null occurrence would violate the enum (null is
               // not in the candidate list) — suppress on null-bearing
               // paths
-              enumValues = if (nulls > 0) None else enumVals.get(tag))
+              enumValues = if (nulls > 0) None else enumVals.get(tag),
+              format = fmt)
           }
         }
       label -> profiles
@@ -413,6 +433,7 @@ object JsonSuggest {
       p.lenMax.foreach(v => rows += ((p.pointer, "maxLength", v.toString)))
       p.itemsMin.foreach(v => rows += ((p.pointer, "minItems", v.toString)))
       p.itemsMax.foreach(v => rows += ((p.pointer, "maxItems", v.toString)))
+      p.format.foreach(f => rows += ((p.pointer, "format", "\"" + f + "\"")))
       p.enumValues.foreach(vs =>
         rows += ((p.pointer, "enum", vs.map(_._2).mkString("[", ",", "]"))))
       rows.result()
@@ -454,6 +475,7 @@ object JsonSuggest {
       }
       p.lenMin.foreach(v => cs += MinLengthC(v))
       p.lenMax.foreach(v => cs += MaxLengthC(v))
+      p.format.foreach(f => cs += FormatC(f))
       p.itemsMin.foreach(v => cs += MinItemsC(v))
       p.itemsMax.foreach(v => cs += MaxItemsC(v))
       p.enumValues.foreach(vs =>

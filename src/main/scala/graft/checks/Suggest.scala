@@ -48,7 +48,15 @@ import graft.spec._
 object Suggest {
 
   final case class Options(enumMaxDistinct: Int = 8,
-                           enumMaxFraction: Double = 0.5)
+                           enumMaxFraction: Double = 0.5,
+                           detectFormats: Boolean = true)
+
+  /** Format-detection priority: a string column whose every non-null value
+    * passes the engine's OWN format check (FormatCheckExpr — the exact
+    * predicate the validator runs, permissive date-time to match the
+    * default CompileOptions) gets a `format` suggestion; first match in
+    * this order wins (the syntaxes are mutually exclusive in practice). */
+  private[checks] val FormatPriority = Seq("date-time", "date", "time", "ipv4")
 
   /** Everything the rules need about one column. `enumValues` is present
     * only when the eligibility rule held (and is ≤ enumMaxDistinct long);
@@ -62,7 +70,8 @@ object Suggest {
                                  lenMin: Option[Long],
                                  lenMax: Option[Long],
                                  distinct: Option[Long],
-                                 enumValues: Option[Vector[(String, String)]])
+                                 enumValues: Option[Vector[(String, String)]],
+                                 format: Option[String] = None)
 
   private def isIntegral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -104,7 +113,11 @@ object Suggest {
         if (isIntegral(dt) || isFractional(dt))
           Seq(min(c).as(s"min__$n"), max(c).as(s"max__$n"))
         else if (dt == StringType)
-          Seq(min(length(c)).as(s"lmin__$n"), max(length(c)).as(s"lmax__$n"))
+          Seq(min(length(c)).as(s"lmin__$n"), max(length(c)).as(s"lmax__$n")) ++
+            (if (opts.detectFormats) FormatPriority.zipWithIndex.map { case (f, fi) =>
+              count(when(graft.functions.FormatCheckExpr.check(c, f,
+                strictDateTime = false), 1)).as(s"fmt${fi}__$n")
+            } else Nil)
         else Nil
       base ++ extra
     }
@@ -145,7 +158,15 @@ object Suggest {
         lenMin = if (dt == StringType) opt[Any](s"lmin__$n").map(anyToLong) else None,
         lenMax = if (dt == StringType) opt[Any](s"lmax__$n").map(anyToLong) else None,
         distinct = enumInfo.get(n).map(_._1),
-        enumValues = enumInfo.get(n).flatMap(_._2))
+        enumValues = enumInfo.get(n).flatMap(_._2),
+        format =
+          if (dt == StringType && opts.detectFormats) {
+            val nn = opt[Long](s"nn__$n").getOrElse(0L)
+            if (nn == 0) None
+            else FormatPriority.zipWithIndex.collectFirst {
+              case (f, fi) if opt[Long](s"fmt${fi}__$n").getOrElse(0L) == nn => f
+            }
+          } else None)
     }
   }
 
@@ -222,6 +243,7 @@ object Suggest {
       p.numMax.foreach(v => rows += ((p.name, "maximum", JsonValue.render(v))))
       p.lenMin.foreach(v => rows += ((p.name, "minLength", v.toString)))
       p.lenMax.foreach(v => rows += ((p.name, "maxLength", v.toString)))
+      p.format.foreach(f => rows += ((p.name, "format", "\"" + f + "\"")))
       p.enumValues.foreach(vs =>
         rows += ((p.name, "enum", vs.map(_._2).mkString("[", ",", "]"))))
       rows.result()
@@ -259,6 +281,7 @@ object Suggest {
       }
       p.lenMin.foreach(v => cs += MinLengthC(v))
       p.lenMax.foreach(v => cs += MaxLengthC(v))
+      p.format.foreach(f => cs += FormatC(f))
       p.enumValues.foreach { vs =>
         cs += EnumC(vs.map(v => JStringV(v._1): JsonValue).toVector)
       }

@@ -137,6 +137,25 @@ class JsonSuggestSpec extends SparkTestBase {
       .where(!col("pass")).count() shouldBe 0L
   }
 
+  test("format detection on JSON string fields, incl. null-union paths") {
+    val docs = Seq(
+      """{"ts": "2024-01-05T10:00:00Z", "d": "2024-01-01", "free": "x"}""",
+      """{"ts": "2023-12-31T23:59:59+01:00", "d": null, "free": "2024-01-01"}"""
+    ).toDF("doc")
+    val rows = JsonSuggest.suggestions(docs, "doc")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    rows should contain(("/ts", "format", "\"date-time\""))
+    // null-bearing path: format derives from the STRING occurrences only,
+    // and the type is the faithful union
+    rows should contain(("/d", "format", "\"date\""))
+    rows should contain(("/d", "type", "[\"string\",\"null\"]"))
+    rows.filter(_._1 == "/free").map(_._2) should not contain "format"
+    // round-trip: JSON null passes FormatC (applies to strings only)
+    val spec = JsonSuggest.suggestSchema(docs, "doc")
+    Graft.validateJsonColumn(docs, "doc", spec)
+      .where(!col("pass")).count() shouldBe 0L
+  }
+
   test("per-key induction derives the dispatch registry; round-trip through validateJsonColumnBy") {
     val df = Seq(
       ("search", """{"q": "cats", "limit": 10}"""),

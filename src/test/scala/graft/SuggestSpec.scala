@@ -90,6 +90,29 @@ class SuggestSpec extends SparkTestBase {
       .flagged.where(!col("pass")).count() shouldBe 0L
   }
 
+  test("format detection: all-matching string columns get the engine's format keyword") {
+    val df = Seq(
+      ("2024-01-05", "10.0.0.1", "hello", "12:30:00"),
+      ("2023-12-31", "255.255.255.255", "2024-01-01", "23:59:60")
+    ).toDF("day", "ip", "mixed", "tm")
+    val rows = Suggest.suggestions(df, Seq("day", "ip", "mixed", "tm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    rows should contain(("day", "format", "\"date\""))
+    rows should contain(("ip", "format", "\"ipv4\""))
+    rows should contain(("tm", "format", "\"time\"")) // leap second allowed
+    // one non-date value → no format suggestion (every rule is an invariant)
+    rows.filter(_._1 == "mixed").map(_._2) should not contain "format"
+
+    // round-trip clean; a calendar-invalid date then fails the format
+    val spec = Suggest.suggestSchema(df, Seq("day", "ip", "mixed", "tm"))
+    Graft.validate(df, spec, Seq("day")).flagged
+      .where(!col("pass")).count() shouldBe 0L
+    val drifted = Seq(("2024-13-01", "10.0.0.1", "x", "12:30:00"))
+      .toDF("day", "ip", "mixed", "tm")
+    Graft.validate(drifted, spec, Seq("day")).violations
+      .where(col("kind") === "format").count() should be >= 1L
+  }
+
   test("suggestion diff: added / removed / changed invariants between corpus versions") {
     val before = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "cat")
     val after = Seq((1L, Some("a")), (9L, Some("b")),
