@@ -20,7 +20,11 @@ class SuggestFuzzSpec extends SparkTestBase {
 
   private val keyPool = Vector("a", "b2", "c_c", "with space", "q\"uote",
     "it's", "esc~/seg", "d")
-  private val strPool = Vector("x", "yy", "zzz", "a\"b", "c\\d", "ünïcødé", "")
+  // includes format-shaped values so the format-detection rule fuzzes too
+  // (an all-date column must suggest format=date and still round-trip)
+  private val strPool = Vector("x", "yy", "zzz", "a\"b", "c\\d", "ünïcødé", "",
+    "2024-01-05", "2023-12-31", "10.0.0.1", "12:30:00", "23:59:60",
+    "2024-01-05T10:00:00Z")
 
   /** One random JSON value; nested objects/arrays only at depth 0. */
   private def randValue(r: Random, depth: Int): String = {
