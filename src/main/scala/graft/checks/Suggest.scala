@@ -185,15 +185,10 @@ object Suggest {
       nonNull: String => Long,
       opts: Options): (Map[String, Long], Map[String, Vector[(String, String)]]) = {
     if (labelled.isEmpty) return (Map.empty, Map.empty)
-    val melted = df.select(explode(array(labelled.map { case (label, c) =>
-        struct(lit(label).as("column"), c.cast(StringType).as("value")) }: _*)).as("p"))
-      .select(col("p.column").as("column"), col("p.value").as("value"))
-      .where(col("value").isNotNull)
     // persisted: cardinality AND eligible-value collection both act on
     // this frame — without the pin the second action re-runs the whole
     // melt corpus scan (the expensive stage) from scratch
-    val valueCounts = melted.groupBy("column", "value")
-      .agg(count(lit(1)).as("cnt"))
+    val valueCounts = meltValueCounts(df, labelled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val perCol = valueCounts.groupBy("column").agg(count(lit(1)).as("distinct_cnt"))
@@ -219,6 +214,19 @@ object Suggest {
       (dcnts, vals)
     } finally valueCounts.unpersist()
   }
+
+  /** The melt → per-(label, value) count frame — the enum pass's only
+    * corpus-scale stage. Exposed for PlanSpec: it must plan as a
+    * partial-aggregated hash agg (map-side combine), never a per-label
+    * `collect_set` buffer. */
+  private[graft] def meltValueCounts(df: DataFrame,
+      labelled: Seq[(String, Column)]): DataFrame =
+    df.select(explode(array(labelled.map { case (label, c) =>
+        struct(lit(label).as("column"), c.cast(StringType).as("value")) }: _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.value").as("value"))
+      .where(col("value").isNotNull)
+      .groupBy("column", "value")
+      .agg(count(lit(1)).as("cnt"))
 
   private def anyToLong(v: Any): Long = v match {
     case b: Byte => b.toLong; case s: Short => s.toLong

@@ -215,4 +215,32 @@ class PlanSpec extends SparkTestBase {
     vp.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
     vp should include("HashAggregate")
   }
+
+  test("suggestion enum melt plans as partial-aggregated hash agg, never collect_set") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.checks.Suggest.meltValueCounts(docs,
+      Seq("lang" -> col("lang"), "source" -> col("source"))))
+    // map-side combine before the one exchange: a high-cardinality column
+    // yields more small agg rows, never a per-column buffer
+    p should include("partial_count")
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+    p should not include "collect_set"
+    p should not include "ObjectHashAggregate"
+  }
+
+  test("snapshot-delta validation reads ONLY the added files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-delta").toString
+    val log = new graft.io.SnapshotLog(s"$dir/log")
+    import spark.implicits._
+    (0 until 50).toDF("v").write.parquet(s"$dir/a")
+    (50 until 80).toDF("v").write.parquet(s"$dir/b")
+    log.commitAppend(Seq(s"$dir/a"))
+    log.commitAppend(Seq(s"$dir/b"))
+    val spec = SpecParser.parse("""{"properties":{"v":{"maximum":60}}}""")
+    val out = Runner.validateDelta(spark, log, 0, 1, spec, Seq("v")).get
+    // input-file-level isolation: the v0 slice is never opened
+    val files = out.flagged.inputFiles
+    files should not be empty
+    files.foreach(f => f should include("/b/"))
+  }
 }
