@@ -3393,8 +3393,10 @@ object SparkEntry {
                   count(CASE WHEN json_type(j, '$.k') = 'DOUBLE' THEN 1 END) AS dbl_k,
                   count(CASE WHEN json_type(j, '$.k') NOT IN ('BIGINT','UBIGINT','DOUBLE','NULL')
                               AND json_extract(j, '$.k') IS NOT NULL THEN 1 END) AS oth_k,
-                  min(CAST(j->>'$.k' AS BIGINT)) AS min_k,
-                  max(CAST(j->>'$.k' AS BIGINT)) AS max_k
+                  min(CASE WHEN json_type(j, '$.k') IN ('BIGINT','UBIGINT')
+                           THEN try_cast(j->>'$.k' AS BIGINT) END) AS min_k,
+                  max(CASE WHEN json_type(j, '$.k') IN ('BIGINT','UBIGINT')
+                           THEN try_cast(j->>'$.k' AS BIGINT) END) AS max_k
            FROM d)
          SELECT '' AS pointer, 'type' AS keyword, '"object"' AS value
            FROM s WHERE n_obj = n_parsed AND n_parsed > 0
@@ -3425,17 +3427,64 @@ object SparkEntry {
            SELECT 'day' AS col_name, day AS v FROM d
            UNION ALL SELECT 'ip', ip FROM d
            UNION ALL SELECT 'lang', lang FROM d),
+         -- per-value format booleans mirroring the ENGINE's permissive
+         -- predicates exactly (Compiler.scala:1057-1080): any-digit year,
+         -- Gregorian day-in-month with leap years, anchored time with
+         -- optional Z/offset and the :60-only-at-UTC-23:59 leap-second
+         -- rule, engine-octet ipv4 (leading zeros allowed)
+         m2 AS (
+           SELECT col_name, v,
+             regexp_matches(v, '^[0-9]+-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])$')
+               AND try_cast(regexp_extract(v, '^([0-9]+)-([0-9]{2})-([0-9]{2})$', 3) AS INT) <=
+                 CASE try_cast(regexp_extract(v, '^([0-9]+)-([0-9]{2})-([0-9]{2})$', 2) AS INT)
+                   WHEN 2 THEN CASE WHEN try_cast(regexp_extract(v, '^([0-9]+)-([0-9]{2})-([0-9]{2})$', 1) AS INT) % 4 = 0
+                                     AND (try_cast(regexp_extract(v, '^([0-9]+)-([0-9]{2})-([0-9]{2})$', 1) AS INT) % 100 != 0
+                                          OR try_cast(regexp_extract(v, '^([0-9]+)-([0-9]{2})-([0-9]{2})$', 1) AS INT) % 400 = 0)
+                               THEN 29 ELSE 28 END
+                   WHEN 4 THEN 30 WHEN 6 THEN 30 WHEN 9 THEN 30 WHEN 11 THEN 30
+                   ELSE 31 END AS d_ok,
+             regexp_matches(v, '^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\.[0-9]+)?(([Zz])?|([+-])([01][0-9]|2[0-3]):([0-5][0-9]))$')
+               AND (NOT v LIKE '__:__:60%' OR
+                 ((try_cast(substr(v, 1, 2) AS INT) * 60 + try_cast(substr(v, 4, 2) AS INT)
+                   - CASE WHEN regexp_matches(v, '[+-]([01][0-9]|2[0-3]):[0-5][0-9]$')
+                          THEN (CASE WHEN regexp_matches(v, '-([01][0-9]|2[0-3]):[0-5][0-9]$') THEN -1 ELSE 1 END)
+                               * (try_cast(regexp_extract(v, '([01][0-9]|2[0-3]):([0-5][0-9])$', 1) AS INT) * 60
+                                  + try_cast(regexp_extract(v, '([01][0-9]|2[0-3]):([0-5][0-9])$', 2) AS INT))
+                          ELSE 0 END) % 1440 + 1440) % 1440 = 1439) AS t_ok,
+             regexp_matches(v, '^[0-9]+-(0[1-9]|1[012])-(0[1-9]|[12][0-9]|3[01])[Tt]([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9]|60)(\.[0-9]+)?(([Zz])?|([+-])([01][0-9]|2[0-3]):([0-5][0-9]))$') AS dt_syntax,
+             regexp_matches(v, '^(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$') AS i_ok
+           FROM m),
+         -- date-time refines its syntax match with the date prefix's
+         -- day-range and the time part's leap-second rule
+         m3 AS (
+           SELECT col_name, v, d_ok, t_ok, i_ok,
+             dt_syntax
+               AND try_cast(regexp_extract(v, '^([0-9]+)-([0-9]{2})-([0-9]{2})[Tt]', 3) AS INT) <=
+                 CASE try_cast(regexp_extract(v, '^([0-9]+)-([0-9]{2})-([0-9]{2})[Tt]', 2) AS INT)
+                   WHEN 2 THEN CASE WHEN try_cast(regexp_extract(v, '^([0-9]+)-([0-9]{2})-([0-9]{2})[Tt]', 1) AS INT) % 4 = 0
+                                     AND (try_cast(regexp_extract(v, '^([0-9]+)-([0-9]{2})-([0-9]{2})[Tt]', 1) AS INT) % 100 != 0
+                                          OR try_cast(regexp_extract(v, '^([0-9]+)-([0-9]{2})-([0-9]{2})[Tt]', 1) AS INT) % 400 = 0)
+                               THEN 29 ELSE 28 END
+                   WHEN 4 THEN 30 WHEN 6 THEN 30 WHEN 9 THEN 30 WHEN 11 THEN 30
+                   ELSE 31 END
+               AND (regexp_extract(v, '[Tt][0-9]{2}:[0-9]{2}:([0-9]{2}|60)', 1) != '60' OR
+                 ((try_cast(regexp_extract(v, '[Tt]([0-9]{2}):', 1) AS INT) * 60
+                   + try_cast(regexp_extract(v, '[Tt][0-9]{2}:([0-9]{2}):', 1) AS INT)
+                   - CASE WHEN regexp_matches(v, '[+-]([01][0-9]|2[0-3]):[0-5][0-9]$')
+                          THEN (CASE WHEN regexp_matches(v, '-([01][0-9]|2[0-3]):[0-5][0-9]$') THEN -1 ELSE 1 END)
+                               * (try_cast(regexp_extract(v, '([01][0-9]|2[0-3]):([0-5][0-9])$', 1) AS INT) * 60
+                                  + try_cast(regexp_extract(v, '([01][0-9]|2[0-3]):([0-5][0-9])$', 2) AS INT))
+                          ELSE 0 END) % 1440 + 1440) % 1440 = 1439) AS dt_ok
+           FROM m2),
          s AS (
            SELECT col_name, count(*) AS total, count(v) AS nn,
                   min(length(v)) AS lmin, max(length(v)) AS lmax,
                   count(DISTINCT v) AS dcnt,
-                  count(CASE WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}[Tt]')
-                              AND try_cast(v AS TIMESTAMP) IS NOT NULL THEN 1 END) AS f_dt,
-                  count(CASE WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
-                              AND try_strptime(v, '%Y-%m-%d') IS NOT NULL THEN 1 END) AS f_d,
-                  count(CASE WHEN regexp_matches(v, '^([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)') THEN 1 END) AS f_t,
-                  count(CASE WHEN regexp_matches(v, '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$') THEN 1 END) AS f_i
-           FROM m GROUP BY col_name)
+                  count(CASE WHEN dt_ok THEN 1 END) AS f_dt,
+                  count(CASE WHEN d_ok THEN 1 END) AS f_d,
+                  count(CASE WHEN t_ok THEN 1 END) AS f_t,
+                  count(CASE WHEN i_ok THEN 1 END) AS f_i
+           FROM m3 GROUP BY col_name)
          SELECT col_name, 'type' AS keyword, '"string"' AS value FROM s
          UNION ALL SELECT col_name, 'required', 'true' FROM s WHERE nn = total AND total > 0
          UNION ALL SELECT col_name, 'minLength', CAST(lmin AS VARCHAR) FROM s WHERE nn > 0
@@ -3466,8 +3515,10 @@ object SparkEntry {
                   count(CASE WHEN json_type(j, '$.k') = 'DOUBLE' THEN 1 END) AS dbl_k,
                   count(CASE WHEN json_type(j, '$.k') NOT IN ('BIGINT','UBIGINT','DOUBLE','NULL')
                               AND json_extract(j, '$.k') IS NOT NULL THEN 1 END) AS oth_k,
-                  min(CAST(j->>'$.k' AS BIGINT)) AS min_k,
-                  max(CAST(j->>'$.k' AS BIGINT)) AS max_k
+                  min(CASE WHEN json_type(j, '$.k') IN ('BIGINT','UBIGINT')
+                           THEN try_cast(j->>'$.k' AS BIGINT) END) AS min_k,
+                  max(CASE WHEN json_type(j, '$.k') IN ('BIGINT','UBIGINT')
+                           THEN try_cast(j->>'$.k' AS BIGINT) END) AS max_k
            FROM d GROUP BY key)
          SELECT key, '' AS pointer, 'type' AS keyword, '"object"' AS value
            FROM s WHERE n_obj = n_parsed AND n_parsed > 0

@@ -163,15 +163,18 @@ object JsonSuggest {
                                 vpath: Option[String], t: VType)
 
   /** Variant-get path for a field chain; identifier-safe keys use dot
-    * form, others bracket form. None when the key can't be addressed:
-    * control characters, and single quotes — Spark's variant path grammar
-    * has NO quote escape (the bracket-key regex is `[^']*`), so an escaped
-    * form would throw INVALID_VARIANT_GET_PATH on a legitimate corpus. */
+    * form, others one of the bracket forms. Spark's variant path grammar
+    * has NO quote escapes (bracket-key content is `[^']*` resp. `[^"]*`),
+    * but it offers BOTH quote kinds: `['...']` for quote-free keys and
+    * `["..."]` for keys carrying a single quote (apostrophes are common
+    * in real tool-argument payloads). None — unaddressable — only for
+    * keys with control characters or with BOTH quote kinds. */
   private def vpathSegment(key: String): Option[String] =
     if (key.nonEmpty && key.head.isLetter && key.forall(c => c.isLetterOrDigit || c == '_'))
       Some("." + key)
-    else if (key.forall(c => c >= ' ' && c != '\''))
-      Some("['" + key + "']")
+    else if (key.exists(c => c < ' ')) None
+    else if (!key.contains('\'')) Some("['" + key + "']")
+    else if (!key.contains('"')) Some("[\"" + key + "\"]")
     else None
 
   private def pointerSegment(key: String): String =

@@ -111,16 +111,24 @@ class JsonSuggestSpec extends SparkTestBase {
   }
 
   test("unaddressable keys (quotes, control chars) degrade to no suggestions, never a crash") {
-    // Spark's variant path grammar has NO quote escape — a quoted-bracket
-    // form would throw INVALID_VARIANT_GET_PATH; such keys must be skipped
+    // apostrophe keys ARE addressable via the double-quote bracket form —
+    // full evidence, no crash (Spark's grammar has no quote escape, but it
+    // has both quote kinds)
     val quoted = Seq(
       """{"it's": 1, "ok": 2}""",
       """{"it's": 5, "ok": 3}"""
     ).toDF("doc")
     val rows = JsonSuggest.suggestions(quoted, "doc")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    rows.map(_._1) should not contain "/it's"
+    rows should contain(("/it's", "minimum"))
+    rows should contain(("/it's", "required"))
     rows should contain(("/ok", "minimum"))
+    // a key with BOTH quote kinds is genuinely unaddressable: no rows
+    val both = Seq("""{"a'b\"c": 1, "ok": 2}""").toDF("doc")
+    val bothRows = JsonSuggest.suggestions(both, "doc")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    bothRows.map(_._1) should not contain "/a'b\"c"
+    bothRows should contain(("/ok", "minimum"))
 
     // a null-bearing UNADDRESSABLE path must not get a bare type row (no
     // presence scan ran, so the null count is unknowable) — the round-trip
@@ -173,7 +181,7 @@ class JsonSuggestSpec extends SparkTestBase {
     rows should contain(("fetch", "/retries", "minimum", "0"))
     rows should contain(("fetch", "/url", "minLength", "8"))
     // the NULL-key row is not profiled (dispatch sends it to the default)
-    rows.map(_._1) should not contain "/x"
+    rows.map(_._2) should not contain "/x"
 
     val registry = JsonSuggest.suggestSchemasBy(df, "args", "tool")
     registry.keySet shouldBe Set("search", "fetch")
