@@ -18,6 +18,22 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Re-split an UNSPLITTABLE input so the CPU-bound projection that
+    * follows parallelizes (guide §2.5: one huge unsplittable file →
+    * "repartition immediately after the read"). Every sf table ships as a
+    * single-file single-ROW-GROUP parquet, and parquet scans split only at
+    * row-group boundaries — so without this, a per-row compute (document
+    * walk, SAX parse, shingle hashing) runs on ONE core no matter the
+    * session's parallelism; with it, a milliseconds-scale round-robin
+    * exchange of a single-digit-MB table buys a full-width compute stage.
+    * Scale-adaptive (derived from the session's core count, never a
+    * constant); applied per-query ONLY where profiled serial compute
+    * dominates — trivial scans keep their exchange-free plans. At 100 TB
+    * the same idiom is layout-time: write row-group-sized files (see the
+    * media staging note) and this becomes a no-op. */
+  private def resplit(df: DataFrame)(implicit s: SparkSession): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** The events→transcript-turns projection shared by q_conv_render,
     * q_sft_pairs and q_role_sequence (conv = user, turn order = event
     * order, roles from event_type). ONE definition so the three query
@@ -191,7 +207,11 @@ object SparkEntry {
     * once), layout/pairs/checkpoint (reset per query run so every
     * invocation processes the same two files deterministically). */
   def streamingDedupBase(dir: String): String =
-    "/tmp/graft_oracle_aux/sdedup_" +
+    // tmpfs: the timed body hard-links/copies the staged trees and the
+    // resumed stream fsync-writes offset/commit/state files per batch —
+    // on /dev/vda those writes ride the machine's writeback storms (the
+    // same reason newBenchSession puts spark.local.dir on /dev/shm)
+    "/dev/shm/graft_oracle_aux/sdedup_" +
       dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_")
 
   private def copyTree(src: String, dst: String): Unit = {
@@ -445,7 +465,9 @@ object SparkEntry {
     * per row through the native validator, explode, keep selected kinds. */
   private def jsonViolations(df: DataFrame, doc: Column, schemaJson: String,
                              keyCol: String, kinds: Seq[String]): DataFrame = {
-    val out = Graft.validateJsonColumn(df.withColumn("__doc", doc), "__doc", schemaJson)
+    // resplit: the document walk is the cost and the input is one row group
+    implicit val s: SparkSession = df.sparkSession
+    val out = Graft.validateJsonColumn(resplit(df).withColumn("__doc", doc), "__doc", schemaJson)
     out.select(col(keyCol), explode(col("violations")).as("__v"))
       .where(col("__v.kind").isin(kinds: _*))
       .select(col(keyCol), col("__v.json_pointer").as("json_pointer"),
@@ -497,9 +519,14 @@ object SparkEntry {
     "q_format_date_violations" -> ((s, dir) => { implicit val sp = s
       // derived RFC3339 date strings, some out of Gregorian range — the
       // format machinery (regex + day-range, VV:388-445) does the work
-      val df = t(dir, "orders").withColumn("d",
-        format_string("%04d-%02d-%02d", lit(2023), month(col("o_orderdate")),
-          dayofmonth(col("o_orderdate")) + lit(21)))
+      // resplit: one-row-group input, the format check is the cost; the
+      // barrier keeps the fail-fast !pass pushdown ABOVE the exchange —
+      // without it the pushed filter re-runs the whole check serially at
+      // the unsplittable scan (see PlanBarrierExpr)
+      val df = resplit(t(dir, "orders")).withColumn("d",
+        graft.functions.PlanBarrierExpr.barrier(
+          format_string("%04d-%02d-%02d", lit(2023), month(col("o_orderdate")),
+            dayofmonth(col("o_orderdate")) + lit(21))))
       Graft.violations(df, """{"properties":{"d":{"format":"date"}}}""",
         Seq("o_orderkey", "d"), kinds = Seq("format"))
     }),
@@ -518,7 +545,8 @@ object SparkEntry {
     "q_json_validate" -> ((s, dir) => { implicit val sp = s
       // fully-dynamic path: events.props validated as arbitrary JSON
       // documents through the VariantType compiler
-      val out = Graft.validateJsonColumn(t(dir, "events"), "props",
+      // resplit: one-row-group input, the walk is the cost (see resplit doc)
+      val out = Graft.validateJsonColumn(resplit(t(dir, "events")), "props",
         """{"type":"object","required":["k"],
             "properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""")
       // no pass-filter before the explode: predicate pushdown would clone
@@ -670,7 +698,7 @@ object SparkEntry {
       // MinHash-LSH candidates + exact shingle-Jaccard verify: output is the
       // exact near-dup pair set (banding recall-safe at this threshold:
       // corpus pairs are J>=0.9 or J<0.2), so DuckDB can oracle it
-      Dedup.minhashNearDupsVerified(t(dir, "documents"), "doc_id", "text",
+      Dedup.minhashNearDupsVerified(resplit(t(dir, "documents")), "doc_id", "text",
         numHashes = 32, bands = 8, jaccardThreshold = 0.5)
     }),
 
@@ -722,8 +750,9 @@ object SparkEntry {
       // corpus side is one scan + codegen'd shingle explode + broadcast
       // semi-join — no corpus-wide shuffle (PlanSpec asserts the broadcast).
       val docs = t(dir, "documents")
+      // corpus side resplit: the shingle-hash projection is the cost
       Curation.decontaminate(
-        docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        resplit(docs.where(pmod(col("doc_id"), lit(97)) =!= 0)),
         docs.where(pmod(col("doc_id"), lit(97)) === 0),
         "doc_id", "text", k = 13)
         .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
@@ -742,7 +771,7 @@ object SparkEntry {
       // (mod 89) than q_decontaminate so the two rows aren't clones.
       val docs = t(dir, "documents")
       Curation.decontaminateBloom(
-        docs.where(pmod(col("doc_id"), lit(89)) =!= 0),
+        resplit(docs.where(pmod(col("doc_id"), lit(89)) =!= 0)),
         docs.where(pmod(col("doc_id"), lit(89)) === 0),
         "doc_id", "text", k = 13)
         .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
@@ -867,7 +896,7 @@ object SparkEntry {
           .otherwise(lit("")),
         col("text"), closing,
         when(pmod(col("doc_id"), lit(7)) === 0, closing).otherwise(lit("")))
-      Dedup.duplicateSpans(d.select(col("doc_id"), txt.as("txt")),
+      Dedup.duplicateSpans(resplit(d.select(col("doc_id"), txt.as("txt"))),
         "doc_id", "txt", windowWords = 8, minOcc = 2L)
     }),
 
@@ -886,7 +915,7 @@ object SparkEntry {
           .otherwise(lit("")),
         col("text"), closing,
         when(pmod(col("doc_id"), lit(7)) === 0, closing).otherwise(lit("")))
-      Dedup.removeDuplicateSpans(d.select(col("doc_id"), txt.as("txt")),
+      Dedup.removeDuplicateSpans(resplit(d.select(col("doc_id"), txt.as("txt"))),
         "doc_id", "txt", windowWords = 8, minOcc = 2L)
     }),
 
@@ -1079,7 +1108,9 @@ object SparkEntry {
     }),
 
     "q_minmax_items" -> ((s, dir) => { implicit val sp = s
-      val df = t(dir, "documents").withColumn("toks", split(col("text"), " "))
+      val df = resplit(t(dir, "documents"))
+        .withColumn("toks", graft.functions.PlanBarrierExpr.barrier(
+          split(col("text"), " ")))
       Graft.violations(df,
         """{"properties":{"toks":{"minItems":20,"maxItems":80}}}""",
         Seq("doc_id"), kinds = Seq("minItems", "maxItems"))
@@ -1095,8 +1126,9 @@ object SparkEntry {
     "q_uniqueitems_row" -> ((s, dir) => { implicit val sp = s
       // in-row O(n²) pairwise uniqueness (VV:1362-1399) over the first 12
       // tokens; one violation row per offending (i,j) pair
-      val df = t(dir, "documents")
-        .withColumn("toks12", slice(split(col("text"), " "), 1, 12))
+      val df = resplit(t(dir, "documents"))
+        .withColumn("toks12", graft.functions.PlanBarrierExpr.barrier(
+          slice(split(col("text"), " "), 1, 12)))
       Graft.violations(df,
         """{"properties":{"toks12":{"uniqueItems":true}}}""",
         Seq("doc_id"), kinds = Seq("uniqueItems"))
@@ -1153,6 +1185,8 @@ object SparkEntry {
     }),
 
     "q_format_ipv4" -> ((s, dir) => { implicit val sp = s
+      // no resplit: the ipv4 check is cheap enough that the serial scan
+      // beats paying an exchange (measured 0.21s serial vs 0.42s re-split)
       val df = t(dir, "events").withColumn("ip",
         format_string("%d.0.0.1", pmod(col("event_id"), lit(300))))
       Graft.violations(df, """{"properties":{"ip":{"format":"ipv4"}}}""",
@@ -1161,6 +1195,7 @@ object SparkEntry {
 
     "q_format_time" -> ((s, dir) => { implicit val sp = s
       // hours 24..29 are invalid; :60 leap second only at 23:59 UTC
+      // no resplit: cheap check, serial scan beats an exchange (see ipv4)
       val df = t(dir, "events").withColumn("tm",
         format_string("%02d:30:00Z", pmod(col("event_id"), lit(30))))
       Graft.violations(df, """{"properties":{"tm":{"format":"time"}}}""",
@@ -1378,7 +1413,7 @@ object SparkEntry {
         lit(""","c":"""), pmod(col("event_id"), lit(150)),
         lit(""","d":"""), pmod(col("event_id"), lit(13)) - 4, lit("}"))
       val out = Graft.validateJsonColumn(
-        t(dir, "events").withColumn("__doc", doc), "__doc", spec)
+        resplit(t(dir, "events")).withColumn("__doc", doc), "__doc", spec)
       out.select(col("event_id"), explode(col("violations")).as("v"))
         .where(col("v.kind").isin("minimum", "maximum"))
         .select(col("event_id"), col("v.json_pointer").as("json_pointer"),
@@ -1431,7 +1466,8 @@ object SparkEntry {
       // divergence itself, not just the weak rows.
       val doc = concat(lit("""{"v":""""), pmod(col("event_id"), lit(150)), lit("\"}"))
       val spec = Graft.parseSchema("""{"properties":{"v":{"maximum":100}}}""")
-      val df = t(dir, "events").withColumn("__doc", doc)
+      // resplit ONCE; both mode branches share the exchange
+      val df = resplit(t(dir, "events")).withColumn("__doc", doc)
       def run(strict: Boolean, tag: String) =
         Graft.validateJsonColumn(df, "__doc", spec,
             graft.compile.CompileOptions(strictTypes = strict))
@@ -1455,9 +1491,11 @@ object SparkEntry {
       val spec = Graft.parseSchema("""{"properties":{"v":{"maximum":100}}}""")
       // the events fixture is ONE parquet row group, so without a re-split
       // this CPU-bound parse would run on one core (scans split only at
-      // row-group boundaries) — same idiom as the media-fixture layout
+      // row-group boundaries) — same idiom as the media-fixture layout.
+      // Project to the one column the payload derives from BEFORE the
+      // exchange (guide §2.3) and size it from the session, not a constant.
       val out = Graft.validateJsonColumn(
-        t(dir, "events").repartition(32).withColumn("__doc",
+        resplit(t(dir, "events").select("event_id")).withColumn("__doc",
           graft.functions.YamlToJsonExpr.yamlToJson(yaml)), "__doc", spec)
       out.select(col("event_id"), explode(col("violations")).as("v"))
         .where(col("v.kind") === "maximum")
@@ -1485,9 +1523,9 @@ object SparkEntry {
              "t":{"type":"array","minItems":2},
              "<xmlattr>":{"properties":{"id":{"minimum":2}}}}}}}""")
       // one-row-group fixture: re-split so the SAX parse parallelizes
-      // (see q_yaml_ingest's note)
+      // (see q_yaml_ingest's note); event_id-only before the exchange
       val out = Graft.validateJsonColumn(
-        t(dir, "events").repartition(32).withColumn("__doc",
+        resplit(t(dir, "events").select("event_id")).withColumn("__doc",
           graft.functions.XmlToJsonExpr.xmlToJson(xml)), "__doc", spec,
         graft.compile.CompileOptions(strictTypes = false))
       out.select(col("event_id"), explode(col("violations")).as("v"))
@@ -1510,9 +1548,9 @@ object SparkEntry {
       val spec = Graft.parseSchema(
         """{"properties":{"meta":{"properties":{"v":{"maximum":100}}}}}""")
       // one-row-group fixture: re-split so the line parse parallelizes
-      // (see q_yaml_ingest's note)
+      // (see q_yaml_ingest's note); event_id-only before the exchange
       val out = Graft.validateJsonColumn(
-        t(dir, "events").repartition(32).withColumn("__doc",
+        resplit(t(dir, "events").select("event_id")).withColumn("__doc",
           graft.functions.PropsToJsonExpr.propsToJson(props)), "__doc", spec,
         graft.compile.CompileOptions(strictTypes = false))
       out.select(col("event_id"), explode(col("violations")).as("v"))
@@ -1782,8 +1820,14 @@ object SparkEntry {
         """{"properties":{"event_type":{"enum":["signup","click","view","purchase"]}}}""")
       val agg = graft.streaming.StreamingValidator.windowedVerdicts(
         stream, spec, tsCol = "ts", watermark = "1 hour", window = "1 day")
+      // explicit tmpfs checkpoint, reset per invocation (identical
+      // reprocessing semantics to the default fresh temp checkpoint, but
+      // the per-batch offset/commit/state writes hit /dev/shm, not /dev/vda)
+      val ckpt = "/dev/shm/graft-ckpt-verdicts"
+      rmTree(ckpt)
       val q = agg.writeStream.format("memory").queryName("graft_stream_verdicts")
         .outputMode("complete")
+        .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table("graft_stream_verdicts")
@@ -1805,8 +1849,11 @@ object SparkEntry {
       val agg = graft.streaming.StreamingValidator.sessionVerdicts(
         stream, spec, keyCol = "user_id", tsCol = "ts",
         watermark = "1 hour", gap = "12 hours")
+      val ckpt = "/dev/shm/graft-ckpt-sessions" // tmpfs, reset per run (see q_streaming_verdicts)
+      rmTree(ckpt)
       val q = agg.writeStream.format("memory").queryName("graft_stream_sessions")
         .outputMode("complete")
+        .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table("graft_stream_sessions")
@@ -1832,8 +1879,11 @@ object SparkEntry {
           col("ts").cast("timestamp").as("ts"))
         .as[graft.streaming.StreamingValidator.TurnEvent]
       val anomalies = graft.streaming.StreamingValidator.conversationAnomalies(turns)
+      val ckpt = "/dev/shm/graft-ckpt-anomalies" // tmpfs, reset per run (see q_streaming_verdicts)
+      rmTree(ckpt)
       val q = anomalies.toDF().writeStream.format("memory")
         .queryName("graft_stream_anomalies").outputMode("append")
+        .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table("graft_stream_anomalies")
@@ -1933,7 +1983,7 @@ object SparkEntry {
         }))
       val doc = concat(lit("""{"v":"""), pmod(col("event_id"), lit(100)), lit("}"))
       val out = Graft.validateJsonColumn(
-        t(dir, "events").withColumn("__doc", doc), "__doc", spec)
+        resplit(t(dir, "events")).withColumn("__doc", doc), "__doc", spec)
       out.select(col("event_id"), explode(col("violations")).as("v"))
         .select(col("event_id"), col("v.json_pointer").as("json_pointer"),
           col("v.description").as("description"))
@@ -1971,8 +2021,12 @@ object SparkEntry {
         "view" -> Graft.parseSchema("""{"properties":{"k":{"minimum":20}}}"""),
         "purchase" -> Graft.parseSchema("""{"properties":{"k":{"multipleOf":3}}}"""),
         "error" -> Graft.parseSchema("""{"properties":{"k":{"exclusiveMaximum":80}}}"""))
-      Graft.validateJsonColumnBy(t(dir, "events"), "props", "event_type", specs)
-        .where(!col("pass"))
+      // resplit: one-row-group input, the walk is the cost. NO !pass
+      // filter: exploding an empty violations array already emits zero
+      // rows for passing documents, and the filter's pass-probe would be a
+      // SECOND evaluation of the whole dispatch per row (the duplication
+      // q_json_validate's comment warns about — same result, double walk).
+      Graft.validateJsonColumnBy(resplit(t(dir, "events")), "props", "event_type", specs)
         .select(col("event_id"), col("event_type"), explode(col("violations")).as("v"))
         .where(col("v.kind") =!= "properties") // wrapper rows: kind-pinned leaves suffice
         .select(col("event_id"), col("event_type"),
@@ -2092,7 +2146,9 @@ object SparkEntry {
       // null-union cases, presence-based required, integer bounds), so a
       // drifted rule or a presence/null confusion changes the hash.
       // JsonSuggestSpec asserts the round-trip on nested/mixed corpora.
-      graft.checks.JsonSuggest.suggestions(t(dir, "events"), "props")
+      // resplit: each profiling scan's variant parse is the cost and the
+      // input is one row group — the exchange parallelizes all three scans
+      graft.checks.JsonSuggest.suggestions(resplit(t(dir, "events")), "props")
     }),
 
     "q_suggest_format" -> ((s, dir) => { implicit val sp = s
@@ -2124,7 +2180,7 @@ object SparkEntry {
       // shared scan-2/scan-3 core with per-key gates: key count multiplies
       // agg columns, never corpus scans. Oracle recomputes every rule
       // GROUP BY event_type.
-      graft.checks.JsonSuggest.suggestionsBy(t(dir, "events"), "props",
+      graft.checks.JsonSuggest.suggestionsBy(resplit(t(dir, "events")), "props",
         "event_type")
     }),
 

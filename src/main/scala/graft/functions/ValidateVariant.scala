@@ -91,6 +91,20 @@ case class ValidateJsonExpr(child: Expression, spec: SchemaSpec,
 
   override def nullable: Boolean = false
 
+  // Planning-time non-determinism (guide §4.4 — the same trick as marking
+  // an expensive UDF nondeterministic): the parse+walk is THE cost of every
+  // dynamic-JSON query, and with a deterministic node the optimizer clones
+  // it — InferFiltersFromGenerate derives `size(res.violations) > 0` from
+  // the downstream explode and predicate pushdown sinks that filter (a FULL
+  // second walk per row) into the scan, below any repartition. Observed in
+  // every dynamic-query plan: two validatejsonexpr evaluations per row in
+  // one stage (whole-stage codegen has no cross-operator CSE). Marking the
+  // node nondeterministic forbids duplication/reordering: the result struct
+  // is projected ONCE and the inferred filter evaluates on the projected
+  // attribute. The function itself is pure — only the planner's freedom to
+  // clone it is being revoked.
+  override lazy val deterministic: Boolean = false
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

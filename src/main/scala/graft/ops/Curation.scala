@@ -273,8 +273,16 @@ object Curation {
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, k: Int = 13): DataFrame = {
     val evalShingles = shingleFrame(evalSet, textCol, k).select("_sh").distinct()
-    shingleFrame(corpus, textCol, k, col(idCol))
-      .join(broadcast(evalShingles), "_sh")
+    // The broadcast side carries (hash, shingle); the corpus scan emits
+    // per-position HASHES only (native one-pass expression — no per-shingle
+    // string allocation, guide §2.3/§4) and joins on the 64-bit key. The
+    // string shingle is re-materialized ONLY for hash matches — a substr of
+    // the row's own norm — and the string equality filter strips hash
+    // collisions, so the output is bit-identical to the string join.
+    val evalKeyed = evalShingles.select(col("_sh"), xxhash64(col("_sh")).as("_h"))
+    shingleHashFrame(corpus, textCol, k, col(idCol))
+      .join(broadcast(evalKeyed), Seq("_h"))
+      .where(col("_norm").substr(col("_p") + 1, lit(k)) === col("_sh"))
       .groupBy(idCol)
       .agg(countDistinct(col("_sh")).as("n_shared"))
   }
@@ -283,6 +291,19 @@ object Curation {
                            keep: Column*): DataFrame =
     df.withColumn("_norm", TextAnalysis.normalizeText(col(textCol)))
       .select(keep :+ explode(TextAnalysis.shinglesOfNorm(col("_norm"), k)).as("_sh"): _*)
+
+  /** Per-position shingle HASHES `(keep…, _norm, _p, _h)` — the probe-side
+    * form of [[shingleFrame]]: `_h` equals `xxhash64` of the corresponding
+    * `_sh` string (same bytes, native one-pass expression), `_p` is the
+    * 0-based code-point position so a match can re-materialize its string
+    * as `substr(_norm, _p + 1, k)`. Nothing per-shingle is allocated for
+    * positions the downstream hash probe rejects. */
+  private def shingleHashFrame(df: DataFrame, textCol: String, k: Int,
+                               keep: Column*): DataFrame =
+    df.withColumn("_norm", TextAnalysis.normalizeText(col(textCol)))
+      .select(keep :+ col("_norm") :+
+        posexplode(graft.functions.ShingleHashesExpr.shingleHashes(col("_norm"), k))
+          .as(Seq("_p", "_h")): _*)
 
   /** Benchmark decontamination for eval sets too LARGE to broadcast exactly —
     * the 100 TB growth path of [[decontaminate]], with IDENTICAL output.
@@ -338,10 +359,18 @@ object Curation {
       Literal(n), Literal(numBits)).toAggregateExpression()
     val sketch = evalShingles.select(column(agg).as("_bf"))
       .head().getAs[Array[Byte]](0) // one row: the serialized sketch
+    // The corpus scan emits per-position HASHES (native one-pass expression
+    // — no per-shingle string allocation) and probes the sketch on the
+    // 64-bit key directly: identical probe values to might_contain(
+    // xxhash64(_sh)) since _h hashes the same bytes. Only surviving
+    // candidates re-materialize their string (substr of the row's own norm)
+    // for the exact phase-3 join, so the overwhelming majority of corpus
+    // shingles pay one hash and one bloom probe — and nothing else.
     val probe = column(new BloomFilterMightContain(
-      Literal(sketch, BinaryType), expression(xxhash64(col("_sh")))))
-    shingleFrame(corpus, textCol, k, col(idCol))
+      Literal(sketch, BinaryType), expression(col("_h"))))
+    shingleHashFrame(corpus, textCol, k, col(idCol))
       .where(probe)                 // phase 2: codegen'd in-scan prefilter
+      .select(col(idCol), col("_norm").substr(col("_p") + 1, lit(k)).as("_sh"))
       .join(evalShingles, "_sh")    // phase 3: exact verify, candidates only
       .groupBy(idCol)
       .agg(countDistinct(col("_sh")).as("n_shared"))

@@ -663,7 +663,7 @@ object Dedup {
     require(windowWords >= 2, s"windowWords must be >= 2, got $windowWords")
     require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
     val w = windowWords
-    val wins = windowHashes(normWords(df, idCol, textCol), idCol, w)
+    val wins = windowHashes(normFrame(df, idCol, textCol), idCol, w)
     val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .where(col("_c") >= minOcc).select(col("_h"))
     val matched = wins.join(dup, Seq("_h")).select(col(idCol), col("_p"))
@@ -697,7 +697,7 @@ object Dedup {
     require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
     val w = windowWords
     val base = normWords(df, idCol, textCol)
-    val wins = windowHashes(base, idCol, w)
+    val wins = windowHashes(normFrame(df, idCol, textCol), idCol, w)
     val canon = wins.groupBy(col("_h"))
       .agg(count(lit(1)).as("_c"),
         min(struct(col(idCol).as("i"), col("_p").as("p"))).as("_first"))
@@ -722,23 +722,30 @@ object Dedup {
           acc + s.getField("e") - s.getField("s")).as("n_words_removed"))
   }
 
+  /** Normalized text: `(idCol, _norm)` for every input row. */
+  private def normFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      TextAnalysis.normalizeText(coalesce(col(textCol).cast("string"), lit("")))
+        .as("_norm"))
+
   /** Normalized word arrays: `(idCol, _ws)` for every input row. */
   private def normWords(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), split(
-      TextAnalysis.normalizeText(coalesce(col(textCol).cast("string"), lit(""))), " ")
-      .as("_ws"))
+    normFrame(df, idCol, textCol)
+      .select(col(idCol), split(col("_norm"), " ").as("_ws"))
 
-  /** Per-position window hashes `(idCol, _p:int, _h:long)`; rows shorter
-    * than the window (and empty texts, whose word array is `[""]`)
-    * contribute none. The window TEXT lives only inside this projection. */
+  /** Per-position window hashes `(idCol, _p:int, _h:long)` from a
+    * `(idCol, _norm)` frame; rows shorter than the window (and empty
+    * texts) contribute none. Computed by the native one-pass
+    * [[graft.functions.WordWindowHashesExpr]] over the row's normalized
+    * text — neither the word array nor any window TEXT is materialized
+    * (the hash covers the byte range of words p..p+w-1, byte-identical to
+    * the split + concat_ws-of-slice formulation it replaces; asserted in
+    * OpsSpec). */
   private def windowHashes(base: DataFrame, idCol: String, w: Int): DataFrame =
     base
-      .where(size(col("_ws")) >= w && col("_ws").getItem(0) =!= "")
-      .select(col(idCol), explode(transform(sequence(lit(0), size(col("_ws")) - w),
-        p => struct(p.cast("int").as("_p"),
-          xxhash64(concat_ws(" ", slice(col("_ws"), p + 1, lit(w)))).as("_h"))))
-        .as("_win"))
-      .select(col(idCol), col("_win._p").as("_p"), col("_win._h").as("_h"))
+      .select(col(idCol),
+        posexplode(graft.functions.WordWindowHashesExpr.wordWindowHashes(
+          col("_norm"), w)).as(Seq("_p", "_h")))
 
   /** Gaps-and-islands merge of matched window positions `(idCol, _p)` into
     * maximal spans: a sort-based window (spillable) whose exchange is

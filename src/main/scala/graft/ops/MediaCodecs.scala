@@ -190,8 +190,12 @@ object MediaCodecs {
 
   /** Encode an 8-bit raster as a valid PNG (fixture/round-trip support; the
     * serving path is [[decodePng]]). `filterOfRow` picks the per-scanline
-    * filter type (0-4) so fixtures exercise every unfilter branch. */
-  def encodePng(img: DecodedImage, filterOfRow: Int => Int = _ % 5): Array[Byte] = {
+    * filter type (0-4) so fixtures exercise every unfilter branch.
+    * `level` is the zlib effort (any level yields the same decoded raster
+    * — PNG is lossless; hot pipeline paths whose output is immediately
+    * re-decoded pass BEST_SPEED). */
+  def encodePng(img: DecodedImage, filterOfRow: Int => Int = _ % 5,
+                level: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] = {
     require(Set(1, 3, 4).contains(img.channels), "channels must be 1, 3 or 4")
     require(img.pixels.length == img.width * img.height * img.channels)
     val stride = img.width * img.channels
@@ -222,7 +226,7 @@ object MediaCodecs {
       }
       y += 1
     }
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    val deflater = new Deflater(level)
     deflater.setInput(raw); deflater.finish()
     val comp = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
@@ -548,6 +552,45 @@ object MediaCodecs {
     javax.imageio.ImageIO.setUseCache(false)
   }
 
+  // ONE JPEG ImageReader per executor thread, reused across rows:
+  // `ImageIO.read` scans the reader registry, instantiates a reader and
+  // disposes it PER CALL — for the small frames a media pipeline decodes
+  // by the million, that fixed cost rivals the decode itself. The cached
+  // reader is the same registry-first JDK codec ImageIO.read would pick,
+  // so the decoded raster is bit-identical; on any failure the thread's
+  // reader is discarded and the call falls back to the generic path.
+  @transient private lazy val jpegReader =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader = {
+        imageIoInit
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+        if (it.hasNext) it.next() else null
+      }
+    }
+
+  private def readJpegPooled(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val reader = jpegReader.get()
+    if (reader == null)
+      return javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } finally {
+        try reader.setInput(null) catch { case scala.util.control.NonFatal(_) => () }
+        iis.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) =>
+      // a mid-read abort can leave reader state dirty: drop the pooled
+      // instance and retry once via the stock path (fail-closed above it)
+      try reader.dispose() catch { case scala.util.control.NonFatal(_) => () }
+      jpegReader.remove()
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    }
+  }
+
   /** Decode via the JDK's BUILT-IN ImageIO codecs (`java.desktop` — part
     * of the JDK itself, not an external dependency): notably baseline and
     * progressive JPEG, which no reasonable pure-Scala reimplementation
@@ -558,7 +601,11 @@ object MediaCodecs {
     imageIoInit
     if (bytes == null || bytes.length < 4) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // JPEG fast path (SOI marker): thread-pooled reader, same JDK codec
+      val img =
+        if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+          readJpegPooled(bytes)
+        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w < 1 || h < 1 || w.toLong * h > MaxPixels) return None

@@ -254,8 +254,12 @@ object Multimodal {
           val tw = math.max(1, math.ceil(img.width * scale).toInt)
           val th = math.max(1, math.ceil(img.height * scale).toInt)
           val resized = MediaCodecs.resizeBilinear(img, tw, th)
+          // filter 0 + BEST_SPEED: the PNG is a lossless container here —
+          // any filter/level decodes to the identical raster, and heavier
+          // zlib effort on freshly-resampled pixels is pure CPU overhead
           (id, img.width, img.height, resized.width, resized.height,
-            MediaCodecs.encodePng(resized))
+            MediaCodecs.encodePng(resized, _ => 0,
+              java.util.zip.Deflater.BEST_SPEED))
         }
       })
       .toDF(idCol, "src_width", "src_height", "width", "height", "png")

@@ -16,6 +16,16 @@ class PlanSpec extends SparkTestBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Plan AFTER running it: AQE-wrapped plans (anything with an exchange)
+    * only expose codegen stage markers and final join strategies once the
+    * adaptive plan is finalized by an execution. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // keep only the final adaptive plan: the string repeats the whole tree
+    // under "== Initial Plan ==", which would double node counts
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
   test("filters and column selection reach the parquet scan") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .where(col("l_quantity") > 40)
@@ -71,9 +81,16 @@ class PlanSpec extends SparkTestBase {
 
   test("dynamic JSON validation stays inside whole-stage codegen (ValidateJsonExpr doGenCode)") {
     val q = SparkEntry.queries("q_json_validate")
-    val p = plan(q(spark, sf))
-    p should include("*(1)") // whole-stage codegen span covers the scan+validate stage
-    p should not include "Exchange"
+    val p = finalPlan(q(spark, sf))
+    p should include("*(") // whole-stage codegen span covers the validate stage
+    // only the single-row-group resplit exchange (round-robin), no keyed
+    // shuffle anywhere
+    p should include("RoundRobinPartitioning")
+    p should not include "Exchange hashpartitioning"
+    p should not include "Exchange rangepartitioning"
+    // the document walk runs ONCE per row: non-determinism forbids the
+    // optimizer from cloning it into a scan-side inferred filter (r6)
+    p.sliding("validatejsonexpr".length).count(_ == "validatejsonexpr") shouldBe 1
   }
 
   test("single-scan row output: slim projection is shuffle-free, pruned, codegen'd") {
@@ -88,14 +105,28 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("new constraint queries stay shuffle-free and codegen'd") {
-    for (q <- Seq("q_type_violations", "q_items_tuple", "q_propertynames",
-                  "q_multipleof_int", "q_allof", "q_uniqueitems_row",
-                  "q_custom_keyword", "q_image_meta", "q_video_meta",
-                  "q_metaschema")) {
+    for (q <- Seq("q_multipleof_int", "q_allof", "q_image_meta",
+                  "q_video_meta", "q_metaschema")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       withClue(q) {
         p should not include "Exchange"
         p should include("*(1)")
+      }
+    }
+    // CPU-heavy queries over the single-row-group fixtures carry exactly
+    // ONE round-robin resplit exchange (guide §2.5) and nothing else; the
+    // dynamic ones additionally evaluate the document walk ONCE per row
+    for (q <- Seq("q_type_violations", "q_items_tuple", "q_propertynames",
+                  "q_uniqueitems_row", "q_custom_keyword")) {
+      val p = finalPlan(SparkEntry.queries(q)(spark, sf))
+      withClue(q) {
+        p should include("RoundRobinPartitioning")
+        p should not include "Exchange hashpartitioning"
+        p should not include "Exchange rangepartitioning"
+        p should include("*(")
+        if (p.contains("validatejsonexpr"))
+          p.sliding("validatejsonexpr".length)
+            .count(_ == "validatejsonexpr") shouldBe 1
       }
     }
   }
