@@ -77,7 +77,9 @@ object SparkEntry {
     * the production append-only dedup shape: an increment probes the
     * persisted layout instead of rescanning the corpus. */
   def minhashLshTablePath(dir: String): String =
-    "/tmp/graft_oracle_aux/minhash_lsh_" +
+    // tmpfs: the probe opens one file per pruned (band, bhp) directory —
+    // ~64 opens whose ~3ms disk fixed cost is the probe's floor
+    "/dev/shm/graft_oracle_aux/minhash_lsh_" +
       dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Side-channel for `q_dedup_clusters`: the verified near-dup PAIR set
@@ -353,7 +355,7 @@ object SparkEntry {
     // Same idiom at 100 TB: binary-heavy decode corpora are written with
     // row-group-sized files so CPU-bound decode stages parallelize at the
     // scan, no runtime shuffle needed.
-    if (force || !stagedFor(path, s"$dir#v4")) { implicit val sp = s
+    if (force || !stagedFor(path, s"$dir#v5")) { implicit val sp = s
       import s.implicits._
       import graft.ops.MediaCodecs
       t(dir, "events").select(col("event_id").cast("long")).as[Long]
@@ -436,8 +438,13 @@ object SparkEntry {
             (id, "jpeg", jpeg), (id, "avi", avi))
         })
         .toDF("asset_id", "kind", "bytes")
-        .write.mode("overwrite").parquet(path)
-      stamp(path, s"$dir#v4")
+        // v5: kind becomes a PARTITION column — every decode query filters
+        // on exactly one kind, so the directory layout lets the scan prune
+        // 4/5 of the staged bytes (PartitionFilters) instead of reading and
+        // discarding them; each kind directory keeps the 64-file splittable
+        // layout (one file per repartition task per kind)
+        .write.mode("overwrite").partitionBy("kind").parquet(path)
+      stamp(path, s"$dir#v5")
     }
   }
 
@@ -456,9 +463,11 @@ object SparkEntry {
 
   /** Where `q_sink_roundtrip` writes its violations parquet — keyed by
     * sanitized dir so concurrent runs at different scales never clobber
-    * each other's sink mid-read. */
+    * each other's sink mid-read. tmpfs: the sink write is INSIDE the timed
+    * body and /dev/vda writeback storms would tax it (same rationale as
+    * spark.local.dir). */
   private def sinkPath(dir: String): String =
-    "/tmp/graft_oracle_aux/violations_sink_" +
+    "/dev/shm/graft_oracle_aux/violations_sink_" +
       dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Dynamic-JSON constraint query shape: validate a constructed JSON doc

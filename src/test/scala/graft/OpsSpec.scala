@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -244,6 +245,89 @@ class OpsSpec extends SparkTestBase {
     val a = graft.ops.Dedup.minhashSignatures(one.withColumn("id", lit(1L)), "id", "t", 4, 8).head().getSeq[Long](1)
     val b = graft.ops.Dedup.minhashSignaturesHof(one.withColumn("id", lit(1L)), "id", "t", 4, 8).head().getSeq[Long](1)
     a shouldBe b
+  }
+
+  test("native ShingleHashesExpr matches xxhash64 of the HOF shingles bit-for-bit") {
+    import graft.functions.ShingleHashesExpr.shingleHashes
+    // corpus sample: element-wise equality against the materialized form
+    val k = 13
+    val d = docs.limit(200)
+      .select(TextAnalysis.normalizeText(col("text")).as("_norm"))
+      .select(
+        shingleHashes(col("_norm"), k).as("nat"),
+        transform(TextAnalysis.shinglesOfNorm(col("_norm"), k), s => xxhash64(s)).as("hof"))
+    d.where(expr("nat <> hof")).count() shouldBe 0L
+    // edges: short (whole-string shingle), empty, unicode (code-point
+    // windows over multi-byte text), and NULL propagation
+    val edges = spark.sql(
+      "SELECT * FROM VALUES ('ab'), (''), ('héllo wörld ünïcode!'), (CAST(NULL AS STRING)) AS t(s)")
+    val e = edges.select(
+      shingleHashes(col("s"), 5).as("nat"),
+      when(col("s").isNotNull,
+        transform(TextAnalysis.shinglesOfNorm(col("s"), 5), x => xxhash64(x))).as("hof"))
+    e.where(expr("NOT (nat <=> hof)")).count() shouldBe 0L
+  }
+
+  test("native WordWindowHashesExpr matches xxhash64 of the slice+concat windows bit-for-bit") {
+    import graft.functions.WordWindowHashesExpr.wordWindowHashes
+    val w = 8
+    val hofWins = (norm: org.apache.spark.sql.Column) => {
+      val ws = split(norm, " ")
+      when(functions.size(ws) >= w && ws.getItem(0) =!= "",
+        transform(sequence(lit(0), functions.size(ws) - w),
+          p => xxhash64(concat_ws(" ", slice(ws, p + 1, lit(w))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val d = docs.limit(200)
+      .select(TextAnalysis.normalizeText(col("text")).as("_norm"))
+      .select(wordWindowHashes(col("_norm"), w).as("nat"), hofWins(col("_norm")).as("hof"))
+    d.where(expr("nat <> hof")).count() shouldBe 0L
+    // edges: exactly-w words, fewer than w, empty, unicode words (w=3)
+    val edges = spark.sql(
+      "SELECT * FROM VALUES ('a b c'), ('one two'), (''), ('é ü ö'), ('x y z w') AS t(s)")
+    val hof3 = (norm: org.apache.spark.sql.Column) => {
+      val ws = split(norm, " ")
+      when(functions.size(ws) >= 3 && ws.getItem(0) =!= "",
+        transform(sequence(lit(0), functions.size(ws) - 3),
+          p => xxhash64(concat_ws(" ", slice(ws, p + 1, lit(3))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    edges.select(wordWindowHashes(col("s"), 3).as("nat"), hof3(col("s")).as("hof"))
+      .where(expr("nat <> hof")).count() shouldBe 0L
+  }
+
+  test("PlanBarrierExpr is value-preserving and keeps filters above its projection") {
+    import graft.functions.PlanBarrierExpr.barrier
+    val d = docs.select(col("doc_id"), barrier(functions.length(col("text"))).as("len"),
+      functions.length(col("text")).as("len2"))
+    d.where(expr("NOT (len <=> len2)")).count() shouldBe 0L
+    // a filter over the barriered column must NOT be pushed into the scan
+    val filtered = docs.repartition(4)
+      .withColumn("len", barrier(functions.length(col("text"))))
+      .where(col("len") > 10)
+    val p = filtered.queryExecution.executedPlan.toString
+    // the filter evaluates the projected ATTRIBUTE; no clone of the
+    // barriered expression is pushed below the exchange into a Filter
+    p.linesIterator.filter(_.contains("Filter")).foreach { l =>
+      l should not include "length("
+    }
+    p should include("planbarrierexpr")
+  }
+
+  test("pooled JPEG reader: repeated decodes are identical, corrupt input falls back closed") {
+    import graft.ops.MediaCodecs
+    val img = MediaCodecs.DecodedImage(16, 12, 3,
+      Array.tabulate(16 * 12 * 3)(i => (i % 251).toByte))
+    val jpeg = MediaCodecs.encodeJpeg(img)
+    val a = MediaCodecs.decodeJdkImage(jpeg).get
+    val b = MediaCodecs.decodeJdkImage(jpeg).get // same thread → pooled reader reused
+    a.pixels.toSeq shouldBe b.pixels.toSeq
+    a.width shouldBe 16; a.height shouldBe 12
+    // corrupt payload with a JPEG SOI marker: pooled path must fail closed
+    val corrupt = Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3, 4)
+    MediaCodecs.decodeJdkImage(corrupt) shouldBe None
+    // and a subsequent good decode on the same thread still works
+    MediaCodecs.decodeJdkImage(jpeg).map(_.width) shouldBe Some(16)
   }
 
   test("simhash: identical text distance 0, perturbed text small distance") {
