@@ -138,12 +138,9 @@ object WordWindowHashesExpr {
   /** Called from both interpreted eval and generated code. */
   def hashes(s: UTF8String, w: Int): Array[Long] = {
     val nBytes = s.numBytes()
-    // empty string → word array [""] → the empty-first-word sentinel
-    if (nBytes == 0 || s.getByte(0) == ' '.toByte) {
-      // first word empty (empty text or leading space): no windows,
-      // matching the `_ws[0] != ""` row filter of the HOF formulation
-      if (nBytes == 0) return empty
-    }
+    // first word empty (empty text or leading space) → no windows,
+    // matching the `_ws[0] != ""` row filter of the HOF formulation
+    if (nBytes == 0 || s.getByte(0) == ' '.toByte) return empty
     val base = s.getBaseObject
     val off = s.getBaseOffset
     // word start offsets of the single-space split: word 0 starts at 0,
@@ -156,7 +153,6 @@ object WordWindowHashesExpr {
       b += 1
     }
     if (nWords < w) return empty
-    if (s.getByte(0) == ' '.toByte) return empty // first word empty
     val wordStart = new Array[Int](nWords + 1)
     wordStart(0) = 0
     var wi = 1
