@@ -452,12 +452,19 @@ object SparkEntry {
     * for the file-stream source (production shape: files arriving in a
     * landing dir). Keyed by sanitized dir so scale factors never mix. */
   private def stageStreamEvents(dir: String): String = {
-    val landing = java.nio.file.Paths.get("/tmp/graft_oracle_aux/stream_events_" +
+    // tmpfs landing + idempotent copy: three streaming queries call this
+    // per invocation, and an unconditional 2 MB disk copy per call sat
+    // inside every timed body (source file is immutable test data, so
+    // same-size = same-content here)
+    val landing = java.nio.file.Paths.get("/dev/shm/graft_oracle_aux/stream_events_" +
       dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9.]", "_"))
     java.nio.file.Files.createDirectories(landing)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      landing.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val dst = landing.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst) ||
+        java.nio.file.Files.size(dst) != java.nio.file.Files.size(src))
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     landing.toString
   }
 
@@ -1823,7 +1830,11 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // parquet stores ts as TIMESTAMP_NTZ; watermarks need TIMESTAMP
       // (session TZ is UTC, so the wall-clock instant is unchanged)
+      // stream-side resplit: the landing file is ONE parquet row group, so
+      // the per-batch validate projection would run on a single task before
+      // the state shuffle (same finding as the batch queries — see resplit)
       val stream = s.readStream.schema(schema).parquet(stageStreamEvents(dir))
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("ts", col("ts").cast("timestamp"))
       val spec = graft.spec.SpecParser.parse(
         """{"properties":{"event_type":{"enum":["signup","click","view","purchase"]}}}""")
@@ -1852,6 +1863,7 @@ object SparkEntry {
       // session span and its verdict counts with window functions.
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema).parquet(stageStreamEvents(dir))
+        .repartition(s.sparkContext.defaultParallelism) // one-row-group source (see q_streaming_verdicts)
         .withColumn("ts", col("ts").cast("timestamp"))
       val spec = graft.spec.SpecParser.parse(
         """{"properties":{"event_type":{"enum":["signup","click","view","purchase"]}}}""")
@@ -1883,6 +1895,7 @@ object SparkEntry {
       // dense_ok min_idx==0 check) — all window-derivable.
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val turns = s.readStream.schema(schema).parquet(stageStreamEvents(dir))
+        .repartition(s.sparkContext.defaultParallelism) // one-row-group source (see q_streaming_verdicts)
         .select(col("user_id").cast("string").as("conv_id"),
           pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
           col("ts").cast("timestamp").as("ts"))
